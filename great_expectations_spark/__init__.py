@@ -1,0 +1,36 @@
+"""great_expectations_spark — a PySpark-native expectation-suite validation engine.
+
+A brand-new engine (NOT a port) with the semantics of the reference
+``great_expectations`` 0.15.50 library: declarative expectation suites are
+compiled into a small, fixed number of fused Spark jobs (typically ONE
+``df.agg(...)`` scan for an entire suite) instead of the reference's
+one-job-per-metric resolution waves
+(reference: great_expectations/validator/validation_graph.py,
+great_expectations/execution_engine/sparkdf_execution_engine.py:727-805).
+
+Public API:
+    from great_expectations_spark import (
+        ExpectationConfiguration, ExpectationSuite, SparkValidator, validate,
+    )
+"""
+
+from great_expectations_spark.core.suite import (
+    ExpectationConfiguration,
+    ExpectationSuite,
+)
+from great_expectations_spark.core.result import (
+    ExpectationValidationResult,
+    SuiteValidationResult,
+)
+from great_expectations_spark.validator import SparkValidator, validate
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ExpectationConfiguration",
+    "ExpectationSuite",
+    "ExpectationValidationResult",
+    "SuiteValidationResult",
+    "SparkValidator",
+    "validate",
+]

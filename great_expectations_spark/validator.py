@@ -1,0 +1,299 @@
+"""SparkValidator — executes a compiled suite in a fixed number of passes.
+
+Execution shape (vs the reference's per-metric resolution waves,
+validator/validation_graph.py:209-347):
+
+  pass 0  schema-only expectations + column-existence pruning (no scan;
+          mirrors fail-fast exception capture, validator/validator.py:1229-1263)
+  pass 1  ONE fused ``df.agg(...)`` containing every counted/aggregated
+          metric of every expectation, deduped by metric key (generalizes the
+          reference's per-domain bundling, sparkdf_execution_engine.py:727-805,
+          to the whole suite; row_conditions are folded into conditional
+          aggregates so differing domains still share the scan)
+  pass 1b optional second fused agg for value-dependent expressions (z-scores)
+  eager   one shaped job per uniqueness / referential / distribution
+          expectation (groupBy or anti-join)
+  pass 2  violation extraction: one BOUNDED job per *violated* map
+          expectation (limit k; skipped entirely when counts are clean or
+          result_format is BOOLEAN_ONLY)
+"""
+
+from __future__ import annotations
+
+import time
+import traceback
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from great_expectations_spark.core.result import (
+    ExpectationValidationResult as EVR,
+    SuiteValidationResult,
+)
+from great_expectations_spark.core.result_format import ResultFormat
+from great_expectations_spark.core.suite import ExpectationConfiguration, ExpectationSuite
+from great_expectations_spark.plans.compiler import (
+    Compiled,
+    CompileError,
+    Options,
+    compile_expectation,
+    _py,
+)
+
+
+def _required_columns(config: ExpectationConfiguration) -> list[str]:
+    k = config.kwargs
+    cols: list[str] = []
+    if "column" in k:
+        cols.append(k["column"])
+    for key in ("column_A", "column_B"):
+        if key in k:
+            cols.append(k[key])
+    if "column_list" in k:
+        cols.extend(k["column_list"])
+    return cols
+
+
+_SCHEMA_TYPES_WITH_OWN_CHECK = {
+    "expect_column_to_exist",
+    "expect_column_values_to_be_of_type",
+    "expect_column_values_to_be_in_type_list",
+}
+
+
+class SparkValidator:
+    def __init__(
+        self,
+        df: DataFrame,
+        suite: ExpectationSuite,
+        result_format: Any = "BASIC",
+        tables: dict[str, DataFrame] | None = None,
+        options: Options | None = None,
+    ) -> None:
+        self.df = df
+        self.suite = suite
+        self.rf = ResultFormat.parse(result_format)
+        self.tables = tables or {}
+        self.options = options or Options()
+
+    # ------------------------------------------------------------------ run
+
+    def validate(self) -> SuiteValidationResult:
+        t0 = time.time()
+        schema = self.df.schema
+        metrics: dict[str, Any] = {"__schema__": schema, "__tables__": self.tables}
+
+        from great_expectations_spark.plans.compiler import supported_expectations
+
+        known = set(supported_expectations())
+        compiled: list[tuple[ExpectationConfiguration, Compiled | None, EVR | None]] = []
+        for config in self.suite.expectations:
+            if config.expectation_type not in known:
+                compiled.append(
+                    (config, None,
+                     EVR.exception(config, f"unknown expectation_type: {config.expectation_type}"))
+                )
+                continue
+            # column-existence pruning: a non-schema expectation over a
+            # missing column fails fast with exception_info instead of
+            # poisoning the fused agg
+            if config.expectation_type not in _SCHEMA_TYPES_WITH_OWN_CHECK:
+                missing = [c for c in _required_columns(config) if c not in schema.fieldNames()]
+                if missing:
+                    compiled.append(
+                        (config, None, EVR.exception(config, f"column(s) not found: {missing}"))
+                    )
+                    continue
+            try:
+                compiled.append((config, compile_expectation(config, self.options), None))
+            except Exception as e:  # CompileError or kernel construction error
+                compiled.append((config, None, EVR.exception(config, str(e))))
+
+        # ---- pass 1: fused agg ------------------------------------------
+        agg_requests: dict[str, Any] = {}
+        for _, comp, _err in compiled:
+            if comp is not None:
+                agg_requests.update(comp.aggs)
+        self._run_agg(agg_requests, metrics, compiled, wave=1)
+
+        # ---- pass 1b: wave-2 agg (value-dependent expressions) ----------
+        agg2_requests: dict[str, Any] = {}
+        wave2_owner: dict[str, Compiled] = {}
+        for _, comp, _err in compiled:
+            if comp is not None and comp.aggs2 is not None:
+                try:
+                    reqs = comp.aggs2(metrics)
+                    agg2_requests.update(reqs)
+                    for key in reqs:
+                        wave2_owner[key] = comp
+                except Exception as e:
+                    self._mark_failed(compiled, comp, e)
+        self._run_agg(agg2_requests, metrics, compiled, wave=2)
+
+        # ---- eager jobs ---------------------------------------------------
+        for i, (config, comp, err) in enumerate(compiled):
+            if comp is None or err is not None or comp.eager is None:
+                continue
+            try:
+                metrics.update(comp.eager(self.df, metrics))
+            except Exception as e:
+                compiled[i] = (config, comp, EVR.exception(config, str(e), traceback.format_exc()))
+
+        # ---- pass 2: bounded violation extraction ------------------------
+        if self.rf.at_least("BASIC"):
+            for config, comp, err in compiled:
+                if comp is None or err is not None:
+                    continue
+                unexp = metrics.get(f"unexpected_count|{config.id}")
+                if not unexp:
+                    continue
+                try:
+                    metrics.update(self._collect_violations(config, comp, metrics))
+                except Exception:
+                    pass  # lists are best-effort detail; counts already exact
+
+        # ---- finalize ------------------------------------------------------
+        results: list[EVR] = []
+        for config, comp, err in compiled:
+            if err is not None:
+                results.append(err)
+                continue
+            try:
+                results.append(comp.finalize(metrics))
+            except Exception as e:
+                results.append(EVR.exception(config, str(e), traceback.format_exc()))
+
+        meta = {
+            "engine": "great_expectations_spark",
+            "validation_time_s": round(time.time() - t0, 4),
+            "result_format": self.rf.tier,
+        }
+        return SuiteValidationResult.from_results(results, suite_name=self.suite.name, meta=meta)
+
+    # ------------------------------------------------------------- helpers
+
+    def _mark_failed(self, compiled, comp: Compiled, e: Exception) -> None:
+        for i, (config, c, err) in enumerate(compiled):
+            if c is comp and err is None:
+                compiled[i] = (config, c, EVR.exception(config, str(e), traceback.format_exc()))
+
+    def _run_agg(self, requests: dict[str, Any], metrics: dict[str, Any], compiled, wave: int) -> None:
+        if not requests:
+            return
+        keys = sorted(requests)
+        aliased = [requests[k].alias(f"m{i}") for i, k in enumerate(keys)]
+        try:
+            row = self.df.agg(*aliased).first()
+            for i, k in enumerate(keys):
+                metrics[k] = row[f"m{i}"]
+        except Exception:
+            # isolation fallback: one agg per expectation so a single bad
+            # expression (type mismatch under exotic schemas) can't poison
+            # the suite — the failing expectation gets exception_info
+            for idx, (config, comp, err) in enumerate(compiled):
+                if comp is None or err is not None:
+                    continue
+                own = comp.aggs if wave == 1 else (comp.aggs2(metrics) if comp.aggs2 else {})
+                own = {k: v for k, v in own.items() if k in requests and k not in metrics}
+                if not own:
+                    continue
+                ks = sorted(own)
+                try:
+                    row = self.df.agg(*[own[k].alias(f"m{i}") for i, k in enumerate(ks)]).first()
+                    for i, k in enumerate(ks):
+                        metrics[k] = row[f"m{i}"]
+                except Exception as e:
+                    compiled[idx] = (
+                        config, comp, EVR.exception(config, str(e), traceback.format_exc())
+                    )
+
+    def _collect_violations(
+        self, config: ExpectationConfiguration, comp: Compiled, metrics: dict[str, Any]
+    ) -> dict[str, Any]:
+        out: dict[str, Any] = {}
+        k = self.rf.partial_unexpected_count
+        cap = self.options.complete_list_cap
+
+        vdf_key = f"__violations_df__|{config.id}"
+        kernel = comp.kernel
+        if kernel is None and comp.kernel2 is not None:
+            kernel = comp.kernel2(metrics)
+
+        if vdf_key in metrics:  # referential: anti-join already built the frame
+            vdf = metrics[vdf_key].withColumnRenamed("__value", "__v")
+        elif kernel is not None:
+            unexpected = kernel.include & ~F.coalesce(kernel.ok, F.lit(False))
+            index_cols = [c for c in self.rf.unexpected_index_column_names]
+            sel = [kernel.value.alias("__v"), unexpected.alias("__u")] + [
+                F.col(c) for c in index_cols
+            ]
+            vdf = self.df.select(*sel).where(F.col("__u")).drop("__u")
+        else:
+            return out
+
+        rows = vdf.limit(k).collect()
+        out[f"partial_unexpected_list|{config.id}"] = [_py(r["__v"]) for r in rows]
+
+        if self.rf.at_least("SUMMARY"):
+            counts = (
+                vdf.groupBy("__v")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .orderBy(F.desc("__n"), F.col("__v"))
+                .limit(k)
+                .collect()
+            )
+            out[f"partial_unexpected_counts|{config.id}"] = [
+                {"value": _py(r["__v"]), "count": int(r["__n"])} for r in counts
+            ]
+
+        if self.rf.at_least("COMPLETE"):
+            full = vdf.limit(cap).collect()
+            out[f"unexpected_list|{config.id}"] = [_py(r["__v"]) for r in full]
+            if self.rf.unexpected_index_column_names:
+                out[f"unexpected_index_list|{config.id}"] = [
+                    {c: _py(r[c]) for c in self.rf.unexpected_index_column_names} for r in full
+                ]
+        return out
+
+
+def validate(
+    df: DataFrame,
+    suite: ExpectationSuite,
+    result_format: Any = "BASIC",
+    tables: dict[str, DataFrame] | None = None,
+    options: Options | None = None,
+) -> SuiteValidationResult:
+    return SparkValidator(df, suite, result_format, tables, options).validate()
+
+
+def suite_result_to_df(spark: SparkSession, result: SuiteValidationResult) -> DataFrame:
+    """Flatten a suite result into a DataFrame (the engine's results-table
+    row shape — one row per expectation, mirroring the reference EVR fields)."""
+    import json
+
+    rows = []
+    for r in result.results:
+        res = r.result
+        rows.append(
+            {
+                "suite_name": result.suite_name,
+                "expectation_type": r.expectation_config.expectation_type,
+                "kwargs_json": json.dumps(r.expectation_config.kwargs, sort_keys=True, default=str),
+                "success": bool(r.success),
+                "element_count": res.get("element_count"),
+                "unexpected_count": res.get("unexpected_count"),
+                "unexpected_percent": res.get("unexpected_percent"),
+                "missing_count": res.get("missing_count"),
+                "observed_value_json": json.dumps(res.get("observed_value"), default=str)
+                if "observed_value" in res
+                else None,
+                "raised_exception": bool(r.exception_info.get("raised_exception")),
+            }
+        )
+    schema = (
+        "suite_name string, expectation_type string, kwargs_json string, success boolean, "
+        "element_count long, unexpected_count long, unexpected_percent double, "
+        "missing_count long, observed_value_json string, raised_exception boolean"
+    )
+    return spark.createDataFrame(rows, schema=schema)
