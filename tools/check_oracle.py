@@ -1,0 +1,93 @@
+"""Local replay of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry at sf0.01 on Spark AND its
+oracle_sql() in DuckDB, then compares row count, column names, and
+order-insensitive values. Exit 0 iff everything matches.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", round(v, 9))
+    if isinstance(v, int):
+        return ("i", v)
+    return ("s", str(v))
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from great_expectations_spark.sources.session import get_spark
+
+    spark = get_spark(cores=8, app="oracle-check", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(norm(v) for v in row) for row in sdf.collect()]
+        except Exception as e:
+            failures.append((name, f"spark error: {e}"))
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"okNO-ORACLE {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = [tuple(norm(v) for v in row) for row in res.fetchall()]
+        except Exception as e:
+            failures.append((name, f"duckdb error: {e}"))
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns spark={scols} duck={dcols}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        else:
+            # compare values column-name-aligned, order-insensitive
+            sidx = {c: i for i, c in enumerate(scols)}
+            didx = {c: i for i, c in enumerate(dcols)}
+            common = sorted(set(scols) & set(dcols))
+            skey = sorted(tuple(r[sidx[c]] for c in common) for r in srows)
+            dkey = sorted(tuple(r[didx[c]] for c in common) for r in drows)
+            if skey != dkey:
+                diff = [(a, b) for a, b in zip(skey, dkey) if a != b][:3]
+                problems.append(f"values differ, first diffs: {diff}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            print(f"ok   {name} ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))
