@@ -479,6 +479,306 @@ def _q30(spark, sf):
 
 
 # --------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text / multimodal)
+# --------------------------------------------------------------------------
+
+_FILLER_SQL = "('table','row','value','scan','hash','key','part')"
+
+
+@_q("pipeline_exact_dedup", """
+WITH d AS (SELECT * FROM documents UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0),
+g AS (SELECT md5(text) AS h, count(*) AS n FROM d WHERE text IS NOT NULL GROUP BY 1),
+s AS (SELECT count(*) AS nd, sum(n - 1) AS dup_rows,
+             sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS dup_groups FROM g),
+b AS (SELECT count(*) AS total,
+             coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS n_null FROM d)
+SELECT CAST(total AS BIGINT) AS n_rows, CAST(n_null AS BIGINT) AS n_null,
+       CAST(nd AS BIGINT) AS n_distinct, CAST(dup_rows AS BIGINT) AS dup_rows,
+       CAST(dup_groups AS BIGINT) AS dup_groups
+FROM b, s
+""")
+def _p1(spark, sf):
+    from great_expectations_spark.pipeline.dedup import exact_dedup_stats
+
+    docs = _tbl(spark, sf, "documents")
+    planted = docs.union(docs.where(F.col("doc_id") % 10 == 0))
+    return exact_dedup_stats(planted, "text")
+
+
+def _minhash_oracle(k: int = 12, bands: int = 4, n: int = 3) -> str:
+    r = k // bands
+    sig_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS m{i}" for i in range(k)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {ms})) AS bucket FROM sig".format(
+            b=b, ms=", ".join(f"m{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    grams = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL
+),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - {n} + 2), i -> {grams})) AS sh
+  FROM toks WHERE len(t) >= {n}
+),
+sig AS (SELECT doc_id, {sig_cols} FROM shingled),
+bands AS ({band_selects})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+"""
+
+
+@_q("pipeline_minhash_lsh", _minhash_oracle())
+def _p2(spark, sf):
+    from great_expectations_spark.pipeline.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_tbl(spark, sf, "documents"), "doc_id", "text")
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    def vote(j: int) -> str:
+        return (
+            "list_sum(list_transform(hs, h -> CASE WHEN "
+            f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) % 2 = 1 "
+            "THEN 1 ELSE -1 END))"
+        )
+
+    expr = " + ".join(f"(CASE WHEN {vote(j)} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)) AS hs
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (SELECT doc_id, CAST({expr} AS BIGINT) AS simhash FROM toks)
+SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs
+FROM sh GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+@_q("pipeline_simhash_collisions", _simhash_oracle())
+def _p3(spark, sf):
+    from great_expectations_spark.pipeline.dedup import simhash_dedup_stats
+
+    return simhash_dedup_stats(_tbl(spark, sf, "documents"), "doc_id", "text")
+
+
+@_q("pipeline_ngram_jaccard", """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+       FROM d WHERE len(t) >= 3),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+          FROM sh a JOIN sh b ON a.s = b.s WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b, round(n / (sa.sz + sb.sz - n), 6) AS jaccard
+  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+) WHERE jaccard >= 0.3
+""")
+def _p4(spark, sf):
+    from great_expectations_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = _tbl(spark, sf, "documents").where(F.col("doc_id") % 10 == 0)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+
+
+def _doc_stats_oracle() -> str:
+    from great_expectations_spark.pipeline.textstats import LANG_MARKERS
+
+    score = {
+        l: f"len(list_filter(t, x -> x IN ({', '.join(repr(m) for m in ms)})))"
+        for l, ms in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
+    best = f"greatest({', '.join(score[l] for l in langs)})"
+    lang_case = (
+        "CASE "
+        + " ".join(f"WHEN {best} > 0 AND {score[l]} = {best} THEN '{l}'" for l in langs)
+        + " ELSE 'und' END"
+    )
+    fr = f"round(len(list_filter(t, x -> x IN {_FILLER_SQL})) / len(t), 6)"
+    return f"""
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t
+           FROM documents WHERE text IS NOT NULL)
+SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  {fr} AS filler_ratio,
+  round(greatest(least(len(t) / 100.0, 1.0) * (1.0 - {fr}), 0.0), 6) AS quality,
+  {lang_case} AS lang_guess,
+  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
+FROM d
+"""
+
+
+@_q("pipeline_doc_stats", _doc_stats_oracle())
+def _p5(spark, sf):
+    from great_expectations_spark.pipeline.textstats import doc_stats
+
+    return doc_stats(_tbl(spark, sf, "documents"), "doc_id", "text")
+
+
+@_q("pipeline_corpus_stats", f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents WHERE text IS NOT NULL),
+per AS (SELECT doc_id, len(t) AS n_tokens,
+  round(greatest(least(len(t) / 100.0, 1.0) *
+        (1.0 - round(len(list_filter(t, x -> x IN {_FILLER_SQL})) / len(t), 6)), 0.0), 6) AS quality,
+  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
+  FROM d)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(n_tokens), 6) AS avg_tokens,
+       round(avg(quality), 6) AS avg_quality,
+       CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fingerprints
+FROM per
+""")
+def _p6(spark, sf):
+    from great_expectations_spark.pipeline.textstats import corpus_stats
+
+    return corpus_stats(_tbl(spark, sf, "documents"), "doc_id", "text")
+
+
+@_q("pipeline_fingerprint_dups", """
+WITH d AS (SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+           FROM documents WHERE text IS NOT NULL)
+SELECT fp, CAST(count(*) AS BIGINT) AS n_docs
+FROM d GROUP BY fp HAVING count(*) > 1
+""")
+def _p7(spark, sf):
+    from great_expectations_spark.pipeline.textstats import fingerprint
+
+    docs = _tbl(spark, sf, "documents").where(F.col("text").isNotNull())
+    return (
+        docs.select(fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+_COS_SQL = ("list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
+            "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))")
+
+
+@_q("pipeline_cosine_topk", f"""
+WITH s AS (
+  SELECT b.vec_id AS q_id, a.vec_id AS vec_id, round({_COS_SQL}, 4) AS sim
+  FROM embeddings a, embeddings b
+  WHERE b.vec_id < 8 AND a.vec_id <> b.vec_id
+),
+r AS (SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      FROM s)
+SELECT q_id, vec_id, sim, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10
+""")
+def _p8(spark, sf):
+    from great_expectations_spark.pipeline.similarity import cosine_topk
+
+    emb = _tbl(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return cosine_topk(emb, q, k=10)
+
+
+def _ann_oracle(dims: int = 64, planes: int = 6, k: int = 10) -> str:
+    from great_expectations_spark.pipeline.similarity import hyperplane_weights
+
+    def bucket(alias: str) -> str:
+        terms = []
+        for p in range(planes):
+            w = hyperplane_weights(p, dims)
+            arr = "[" + ", ".join(f"{x!r}" for x in w) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(CAST({alias}.embedding AS DOUBLE[]), {arr}) > 0 "
+                f"THEN {2 ** p} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    return f"""
+WITH c AS (SELECT vec_id, embedding, {bucket('embeddings')} AS blk FROM embeddings),
+q AS (SELECT vec_id, embedding, blk FROM c WHERE vec_id < 8),
+s AS (
+  SELECT b.vec_id AS q_id, a.vec_id AS vec_id, round({_COS_SQL}, 4) AS sim
+  FROM c a JOIN q b ON a.blk = b.blk
+  WHERE a.vec_id <> b.vec_id
+),
+r AS (SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      FROM s)
+SELECT q_id, vec_id, sim, CAST(rank AS INT) AS rank FROM r WHERE rank <= {k}
+"""
+
+
+@_q("pipeline_ann_lsh", _ann_oracle())
+def _p9(spark, sf):
+    from great_expectations_spark.pipeline.similarity import ann_topk_lsh
+
+    emb = _tbl(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return ann_topk_lsh(emb, q, dims=64, k=10, planes=6)
+
+
+@_q("pipeline_embedding_neardup", f"""
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_SQL}, 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.label = b.label
+  WHERE a.vec_id < b.vec_id
+) WHERE cosine >= 0.8
+""")
+def _p10(spark, sf):
+    from great_expectations_spark.pipeline.dedup import embedding_neardup_pairs
+
+    emb = _tbl(spark, sf, "embeddings")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", "label", threshold=0.8)
+
+
+@_q("pipeline_multimodal_features", """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+            ELSE CAST(octet_length(encode(text)) % 640 + 1 AS INT) END AS width,
+       CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+            ELSE CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) END AS height,
+       CASE WHEN octet_length(encode(text)) = 0 THEN NULL ELSE 3 END AS channels,
+       CASE WHEN octet_length(encode(text)) = 0 THEN NULL ELSE 'fake' END AS format
+FROM documents WHERE text IS NOT NULL
+""")
+def _p11(spark, sf):
+    from great_expectations_spark.pipeline.multimodal import extract_features, with_fake_payload
+
+    pay = with_fake_payload(_tbl(spark, sf, "documents"), "doc_id", "text")
+    return extract_features(pay, "doc_id", "payload")
+
+
+@_q("pipeline_frame_sample", """
+WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+           FROM documents WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+idx AS (SELECT doc_id, text, n, unnest(range(0, 4)) AS frame_idx FROM d)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST((frame_idx * n) // 4 AS BIGINT) AS frame_offset,
+       md5(substr(text, CAST((frame_idx * n) // 4 AS INT) + 1, 16)) AS frame_md5
+FROM idx
+""")
+def _p12(spark, sf):
+    from great_expectations_spark.pipeline.multimodal import frame_sample, with_fake_payload
+
+    pay = with_fake_payload(_tbl(spark, sf, "documents"), "doc_id", "text")
+    return frame_sample(pay, "doc_id", "payload", k=4)
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""Benchmark harness for great_expectations_spark.
+
+Runs the engine's headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Workloads (each is a full engine path, not raw Spark SQL):
+  suite_documents   -- 12-expectation fused suite over documents (ONE scan +
+                       bounded eager jobs): the engine's core value prop
+  suite_lineitem    -- aggregate + pair + uniqueness suite on the fact table
+  suite_webpages    -- north-rule Common-Crawl-shape table (synthesized
+                       deterministically at ~sf scale), incl. regex/pandas-UDF
+                       kernels over text
+  referential       -- cross-table anti-join (orders.o_custkey in customer)
+  dedup_exact       -- exact duplicate detection over documents text
+  dedup_minhash     -- MinHash+LSH near-duplicate candidates over documents
+  ann_cosine        -- brute-force cosine top-k over embeddings
+
+Throughput metric: validated rows/sec over the suite_* workloads (rows
+scanned per wall-second, all expectations fused).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+
+def _tbl(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = -1.0
+
+    from great_expectations_spark import ExpectationSuite, validate
+    from great_expectations_spark.sources.session import get_spark
+    from great_expectations_spark.sources.webpages import webpages
+
+    spark = get_spark(app="ges-bench")
+
+    docs = _tbl(spark, sf_dir, "documents")
+    lineitem = _tbl(spark, sf_dir, "lineitem")
+    orders = _tbl(spark, sf_dir, "orders")
+    customer = _tbl(spark, sf_dir, "customer")
+    emb = _tbl(spark, sf_dir, "embeddings")
+
+    timings: dict[str, float] = {}
+    rows_validated = 0
+
+    def timed(name):
+        def deco(fn):
+            t0 = time.time()
+            fn()
+            timings[name] = round(time.time() - t0, 4)
+
+        return deco
+
+    # warm the JVM + parquet footers so q1 isn't charged session startup
+    lineitem.select(F.count(F.lit(1))).first()
+
+    n_docs = docs.count()
+    n_li = lineitem.count()
+
+    @timed("suite_documents")
+    def _q1():
+        suite = (
+            ExpectationSuite(name="documents_bench")
+            .add("expect_table_row_count_to_be_between", min_value=1)
+            .add("expect_column_values_to_not_be_null", column="text", mostly=0.9)
+            .add("expect_column_values_to_not_be_null", column="doc_id")
+            .add("expect_column_values_to_be_unique", column="doc_id")
+            .add("expect_column_values_to_be_in_set",
+                 column="lang", value_set=["en", "de", "fr", "es", "zh"], mostly=0.5)
+            .add("expect_column_values_to_match_regex", column="source", regex="^src")
+            .add("expect_column_value_lengths_to_be_between",
+                 column="text", min_value=1, max_value=10_000_000, mostly=0.9)
+            .add("expect_column_mean_to_be_between",
+                 column="n_chars", min_value=1, max_value=1_000_000)
+            .add("expect_column_stdev_to_be_between", column="n_chars", min_value=0)
+            .add("expect_column_unique_value_count_to_be_between",
+                 column="lang", min_value=1, max_value=100)
+            .add("expect_column_quantile_values_to_be_between",
+                 column="n_chars",
+                 quantile_ranges={"quantiles": [0.25, 0.5, 0.75],
+                                  "value_ranges": [[0, 10**7]] * 3})
+            .add("expect_column_kl_divergence_to_be_less_than",
+                 column="lang",
+                 partition_object={"values": ["en", "de", "fr", "es", "zh"],
+                                   "weights": [0.4, 0.15, 0.15, 0.15, 0.15]},
+                 threshold=10.0)
+        )
+        validate(docs, suite, result_format="BASIC")
+
+    rows_validated += n_docs
+
+    @timed("suite_lineitem")
+    def _q2():
+        suite = (
+            ExpectationSuite(name="lineitem_bench")
+            .add("expect_column_values_to_not_be_null", column="l_orderkey")
+            .add("expect_column_values_to_be_between",
+                 column="l_quantity", min_value=0, max_value=100)
+            .add("expect_column_mean_to_be_between",
+                 column="l_extendedprice", min_value=0)
+            .add("expect_column_sum_to_be_between", column="l_quantity", min_value=0)
+            .add("expect_column_pair_values_a_to_be_greater_than_b",
+                 column_A="l_tax", column_B="l_discount", mostly=0.2,
+                 ignore_row_if="either_value_is_missing")
+            .add("expect_compound_columns_to_be_unique",
+                 column_list=["l_orderkey", "l_linenumber"])
+            .add("expect_multicolumn_sum_to_equal",
+                 column_list=["l_tax", "l_discount"], sum_total=0.1,
+                 ignore_row_if="never", mostly=0.01)
+        )
+        validate(lineitem, suite, result_format="BOOLEAN_ONLY")
+
+    rows_validated += n_li
+
+    n_pages = max(int(60_000 * (sf / 0.01)) if sf > 0 else 60_000, 10_000)
+
+    @timed("suite_webpages")
+    def _q3():
+        pages = webpages(spark, n_pages)
+        suite = (
+            ExpectationSuite(name="webpages_bench")
+            .add("expect_column_values_to_not_be_null", column="url")
+            .add("expect_column_values_to_match_regex",
+                 column="url", regex=r"^https://d\d+\.example/")
+            .add("expect_column_values_to_not_be_null", column="text", mostly=0.9)
+            .add("expect_column_values_to_be_in_set",
+                 column="lang",
+                 value_set=["en", "de", "fr", "es", "zh", "ru", "ja", "pt"],
+                 mostly=0.99)
+            .add("expect_column_values_to_be_unique", column="url", mostly=0.9)
+            .add("expect_column_value_lengths_to_be_between",
+                 column="text", min_value=1, max_value=10_000_000, mostly=0.9)
+        )
+        validate(pages, suite, result_format="BOOLEAN_ONLY")
+
+    rows_validated += n_pages
+
+    @timed("referential")
+    def _q4():
+        suite = ExpectationSuite(name="ref").add(
+            "expect_column_values_to_be_in_other_table",
+            column="o_custkey", other_table_name="customer", other_column="c_custkey")
+        validate(orders, suite, tables={"customer": customer},
+                 result_format="BOOLEAN_ONLY")
+
+    @timed("dedup_exact")
+    def _q5():
+        from great_expectations_spark.pipeline.dedup import exact_dedup_stats
+        exact_dedup_stats(docs, "text").first()
+
+    @timed("dedup_minhash")
+    def _q6():
+        from great_expectations_spark.pipeline.dedup import minhash_lsh_candidates
+        minhash_lsh_candidates(docs, "doc_id", "text").select(
+            F.count(F.lit(1))).first()
+
+    @timed("ann_cosine")
+    def _q7():
+        from great_expectations_spark.pipeline.similarity import cosine_topk
+        queries_df = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        cosine_topk(emb, queries_df, k=10).select(F.count(F.lit(1))).first()
+
+    total = round(sum(timings.values()), 4)
+    suite_secs = sum(timings[k] for k in timings if k.startswith("suite_"))
+    throughput = round(rows_validated / suite_secs, 2) if suite_secs > 0 else 0.0
+
+    print(json.dumps({
+        "metric": "validated rows/sec (fused expectation suites) + pipeline ops",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "rows_validated": rows_validated,
+        "validated_rows_per_sec": throughput,
+        "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (broadcast the query set,
+one scan over the corpus, per-query top-k via window). The scale path is
+LSH bucketing with deterministic random-hyperplane signs: candidate set
+shrinks by ~2^planes, then exact rerank inside buckets.
+
+All dot products run JVM-side via ``F.zip_with`` + ``F.aggregate`` over
+doubles — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Broadcast the (small) query set against the corpus — ONE corpus scan
+    for all queries, no shuffle of the corpus itself; the only shuffle is
+    the per-query top-k (tiny after the map-side filter).
+
+    Rank is over sim rounded to 4 decimals with id tiebreak, so results
+    are stable across summation orders / engines.
+    """
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"))
+    q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("__q"))
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.where(F.col("vec_id") != F.col("q_id"))
+    sim = F.round(cosine_sim(F.col("__v"), F.col("__q")), 4)
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        joined.select("q_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# ----------------------------------------------------- LSH-bucketed ANN
+
+
+def hyperplane_weights(plane: int, dims: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: weight d = value of the
+    first hex digit of md5('p:<plane>:<dim>') minus 7.5. Computed
+    driver-side (plain Python hashlib) and shipped as literals, so any
+    engine — including the DuckDB oracle — reproduces the same planes."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"p:{plane}:{d}".encode()).hexdigest()[0], 16) - 7.5
+        for d in range(dims)
+    ]
+
+
+def lsh_bucket(vec: Column, dims: int, planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id (0..2^planes-1) as a long.
+
+    The projection is a literal-weighted sum — pure codegen arithmetic,
+    no per-row hashing.
+    """
+    out = F.lit(0).cast("long")
+    for p in range(planes):
+        w = hyperplane_weights(p, dims)
+        proj = F.lit(0.0)
+        for d in range(dims):
+            proj = proj + F.element_at(vec, d + 1).cast("double") * F.lit(w[d])
+        out = out + F.when(proj > 0, F.lit(2 ** p)).otherwise(0)
+    return out
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 10,
+    planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Approximate top-k: exact cosine rerank restricted to the query's
+    LSH bucket. At 10^9+ vectors the bucket join replaces the full scan;
+    recall is tunable via ``planes`` (fewer planes → bigger buckets).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__v"),
+        lsh_bucket(F.col(vec_col), dims, planes).alias("__blk"),
+    )
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(q_vec_col).alias("__q"),
+        lsh_bucket(F.col(q_vec_col), dims, planes).alias("__blk"),
+    )
+    joined = c.join(F.broadcast(q), on="__blk").where(F.col("vec_id") != F.col("q_id"))
+    sim = F.round(cosine_sim(F.col("__v"), F.col("__q")), 4)
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        joined.select("q_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )
