@@ -505,10 +505,30 @@ def _p1(spark, sf):
     return exact_dedup_stats(planted, "text")
 
 
+def _hashed_shingle_sql(n: int = 3) -> str:
+    """DuckDB replica of dedup.hashed_shingles over column ``th``."""
+    from great_expectations_spark.pipeline.dedup import MINHASH_P, SHINGLE_C
+
+    s = "th[i]"
+    for j in range(1, n):
+        s = f"(({s}) * {SHINGLE_C} + th[i+{j}]) % {MINHASH_P}"
+    return f"list_distinct(list_transform(range(1, len(th) - {n} + 2), i -> {s}))"
+
+
+_TOKEN_HASH_SQL = (
+    "list_transform(string_split(text, ' '), "
+    "x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)"
+)
+
+
 def _minhash_oracle(k: int = 12, bands: int = 4, n: int = 3) -> str:
+    from great_expectations_spark.pipeline.dedup import MINHASH_P, minhash_params
+
     r = k // bands
+    params = minhash_params(k)
     sig_cols = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS m{i}" for i in range(k)
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {MINHASH_P})) AS m{i}"
+        for i, (a, b) in enumerate(params)
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5(concat_ws('|', {ms})) AS bucket FROM sig".format(
@@ -516,17 +536,16 @@ def _minhash_oracle(k: int = 12, bands: int = 4, n: int = 3) -> str:
         )
         for b in range(bands)
     )
-    grams = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL
+  SELECT doc_id, {_TOKEN_HASH_SQL} AS th
+  FROM documents WHERE text IS NOT NULL
 ),
-shingled AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(t) - {n} + 2), i -> {grams})) AS sh
-  FROM toks WHERE len(t) >= {n}
+hashed AS (
+  SELECT doc_id, {_hashed_shingle_sql(n)} AS hs
+  FROM toks WHERE len(th) >= {n}
 ),
-sig AS (SELECT doc_id, {sig_cols} FROM shingled),
+sig AS (SELECT doc_id, {sig_cols} FROM hashed),
 bands AS ({band_selects})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
@@ -544,15 +563,16 @@ def _p2(spark, sf):
 def _simhash_oracle(bits: int = 16) -> str:
     def vote(j: int) -> str:
         return (
-            "list_sum(list_transform(hs, h -> CASE WHEN "
-            f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) % 2 = 1 "
+            f"list_sum(list_transform(hs, x -> CASE WHEN (x >> {j}) & 1 = 1 "
             "THEN 1 ELSE -1 END))"
         )
 
     expr = " + ".join(f"(CASE WHEN {vote(j)} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits))
     return f"""
 WITH toks AS (
-  SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)) AS hs
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(text, ' ')),
+                        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
   FROM documents WHERE text IS NOT NULL
 ),
 sh AS (SELECT doc_id, CAST({expr} AS BIGINT) AS simhash FROM toks)
@@ -568,26 +588,31 @@ def _p3(spark, sf):
     return simhash_dedup_stats(_tbl(spark, sf, "documents"), "doc_id", "text")
 
 
-@_q("pipeline_ngram_jaccard", """
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
-           FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0),
-sh AS (SELECT doc_id,
-              unnest(list_distinct(list_transform(range(1, len(t) - 1),
-                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-       FROM d WHERE len(t) >= 3),
+def _jaccard_oracle() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKEN_HASH_SQL} AS th
+           FROM documents WHERE text IS NOT NULL),
+sh AS (SELECT doc_id, unnest({_hashed_shingle_sql(3)}) AS s
+       FROM d WHERE len(th) >= 3),
 sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
           FROM sh a JOIN sh b ON a.s = b.s WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
 SELECT id_a, id_b, jaccard FROM (
   SELECT id_a, id_b, round(n / (sa.sz + sb.sz - n), 6) AS jaccard
   FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-) WHERE jaccard >= 0.3
-""")
+) WHERE jaccard >= 0.5
+"""
+
+
+@_q("pipeline_ngram_jaccard", _jaccard_oracle())
 def _p4(spark, sf):
+    # exact Jaccard over the full corpus at >=0.5: the ground truth the
+    # MinHash-LSH candidates are judged against (their sets coincide on
+    # this corpus — see tests/test_pipeline.py)
     from great_expectations_spark.pipeline.dedup import ngram_jaccard_pairs
 
-    docs = _tbl(spark, sf, "documents").where(F.col("doc_id") % 10 == 0)
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    return ngram_jaccard_pairs(_tbl(spark, sf, "documents"), "doc_id", "text",
+                               n=3, threshold=0.5)
 
 
 def _doc_stats_oracle() -> str:
@@ -690,13 +715,13 @@ def _p8(spark, sf):
     return cosine_topk(emb, q, k=10)
 
 
-def _ann_oracle(dims: int = 64, planes: int = 6, k: int = 10) -> str:
+def _ann_oracle(dims: int = 64, planes: int = 6, tables: int = 4, k: int = 10) -> str:
     from great_expectations_spark.pipeline.similarity import hyperplane_weights
 
-    def bucket(alias: str) -> str:
+    def bucket(alias: str, t: int) -> str:
         terms = []
         for p in range(planes):
-            w = hyperplane_weights(p, dims)
+            w = hyperplane_weights(t * planes + p, dims)
             arr = "[" + ", ".join(f"{x!r}" for x in w) + "]::DOUBLE[]"
             terms.append(
                 f"(CASE WHEN list_dot_product(CAST({alias}.embedding AS DOUBLE[]), {arr}) > 0 "
@@ -704,12 +729,14 @@ def _ann_oracle(dims: int = 64, planes: int = 6, k: int = 10) -> str:
             )
         return " + ".join(terms)
 
+    b_cols = ", ".join(f"{bucket('embeddings', t)} AS b{t}" for t in range(tables))
+    or_cond = " OR ".join(f"a.b{t} = b.b{t}" for t in range(tables))
     return f"""
-WITH c AS (SELECT vec_id, embedding, {bucket('embeddings')} AS blk FROM embeddings),
-q AS (SELECT vec_id, embedding, blk FROM c WHERE vec_id < 8),
+WITH c AS (SELECT vec_id, embedding, {b_cols} FROM embeddings),
+q AS (SELECT * FROM c WHERE vec_id < 8),
 s AS (
   SELECT b.vec_id AS q_id, a.vec_id AS vec_id, round({_COS_SQL}, 4) AS sim
-  FROM c a JOIN q b ON a.blk = b.blk
+  FROM c a JOIN q b ON ({or_cond})
   WHERE a.vec_id <> b.vec_id
 ),
 r AS (SELECT q_id, vec_id, sim,
@@ -726,7 +753,7 @@ def _p9(spark, sf):
     emb = _tbl(spark, sf, "embeddings")
     q = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    return ann_topk_lsh(emb, q, dims=64, k=10, planes=6)
+    return ann_topk_lsh(emb, q, dims=64, k=10, planes=6, tables=4)
 
 
 @_q("pipeline_embedding_neardup", f"""

@@ -15,14 +15,38 @@ Scale notes (100 TB / 10^12 docs):
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HEX = "0123456789abcdef"
 
+# Mersenne prime 2^31-1: universal-hash modulus. Token/shingle hashes are
+# 60-bit ints (first 15 hex chars of md5), folded to [0, P) before the
+# per-permutation affine map — (a*x + b) never overflows int64.
+MINHASH_P = 2_147_483_647
+
 
 def _md5(col: Column) -> Column:
     return F.md5(F.encode(col, "UTF-8"))
+
+
+def _md5_int(col: Column) -> Column:
+    """60-bit integer hash: first 15 hex chars of md5, base-16 parsed.
+    Engine-portable: DuckDB ``('0x' || substr(md5(s),1,15))::BIGINT``."""
+    return F.conv(F.substring(_md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) affine-permutation params, derived driver-side
+    from md5 so any engine can replay them as literals."""
+    out = []
+    for i in range(k):
+        a = int(hashlib.md5(f"mh:a:{i}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"mh:b:{i}".encode()).hexdigest()[:8], 16) % MINHASH_P
+        out.append((a, b))
+    return out
 
 
 def tokens(text: Column) -> Column:
@@ -30,19 +54,56 @@ def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams joined by a single space; NULL-safe.
+def _shingle_index(t: Column, n: int) -> Column:
+    # sequence(0, -1) would DESCEND in Spark — guard short docs with an
+    # explicit empty array instead
+    return F.when(
+        F.size(t) >= n, F.sequence(F.lit(0), F.size(t) - n)
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def word_shingles(tok_col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams joined by a single space.
+
+    ``tok_col`` MUST be a materialized token-array column (see
+    ``hashed_tokens``'s performance note): ``element_at`` inside a lambda
+    re-evaluates its child expression per access, so shingling over an
+    inline ``split(...)`` is quadratic in document length.
 
     Docs with fewer than ``n`` tokens yield an empty array.
     """
-    t = tokens(text)
-    # sequence(0, -1) would DESCEND in Spark — guard short docs with an
-    # explicit empty array instead
-    idx = F.when(
-        F.size(t) >= n, F.sequence(F.lit(0), F.size(t) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)])
-    return F.array_distinct(F.transform(idx, gram))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(tok_col, i + j + 1) for j in range(n)])
+    return F.array_distinct(F.transform(_shingle_index(tok_col, n), gram))
+
+
+# multiplier for the rolling shingle-hash combine; (P-1)*C + (P-1) < 2^63
+SHINGLE_C = 65_599
+
+
+def hashed_tokens(tok_col: Column) -> Column:
+    """Token-hash ints in [0, P): ONE md5 per token.
+
+    Project the result into its own column (``.select``/``.withColumn``)
+    before building shingles or signatures from it — referencing a
+    materialized column keeps downstream ``element_at`` calls O(1) and
+    stops Catalyst duplicating the hash subtree.
+    """
+    return F.transform(tok_col, lambda t: _md5_int(t) % MINHASH_P)
+
+
+def hashed_shingles(th_col: Column, n: int = 3) -> Column:
+    """Distinct shingle hashes from a token-hash array column: rolling
+    combine s := (s * C + h[i+j]) mod P — integer codegen only, no string
+    concatenation. Engine-portable (same arithmetic in the DuckDB oracle).
+    """
+
+    def gram(i):
+        s = F.element_at(th_col, i + 1)
+        for j in range(1, n):
+            s = (s * SHINGLE_C + F.element_at(th_col, i + j + 1)) % MINHASH_P
+        return s
+
+    return F.array_distinct(F.transform(_shingle_index(th_col, n), gram))
 
 
 # --------------------------------------------------------------------- exact
@@ -94,17 +155,20 @@ def exact_dedup(df: DataFrame, col: str, keep_order_col: str | None = None) -> D
 # ------------------------------------------------------------- MinHash + LSH
 
 
-def minhash_signature(text: Column, k: int = 12, shingle_n: int = 3) -> Column:
-    """Array of k minhash values: lexicographic min of salted md5 hex.
+def minhash_from_hashes(hashes: Column, k: int = 12) -> Column:
+    """Signature from an already-materialized shingle-hash array column:
+    min of k affine permutations (a*x + b) mod P — cheap integer codegen,
+    no additional hashing.
 
-    Pure Column expression — computed map-side, never shuffled.
+    Prefer projecting the hash array into its own column first
+    (``.withColumn``): referencing one column keeps Catalyst from
+    duplicating the tokenize+shingle+md5 subtree k times in the plan.
     """
-    sh = word_shingles(text, shingle_n)
 
-    def salted(i):
-        return lambda s: _md5(F.concat(F.lit(f"{i}:"), s))
+    def perm(a, b):
+        return lambda x: (x * F.lit(a) + F.lit(b)) % MINHASH_P
 
-    return F.array(*[F.array_min(F.transform(sh, salted(i))) for i in range(k)])
+    return F.array(*[F.array_min(F.transform(hashes, perm(a, b))) for a, b in minhash_params(k)])
 
 
 def minhash_lsh_candidates(
@@ -121,10 +185,13 @@ def minhash_lsh_candidates(
     md5 of the concatenated rows. Only (band, bucket, id) triples shuffle.
     """
     r = k // bands
-    sig = minhash_signature(F.col(text_col), k, shingle_n)
     base = (
-        df.where(F.col(text_col).isNotNull() & (F.size(tokens(F.col(text_col))) >= shingle_n))
-        .select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
+        .where(F.size("__t") >= shingle_n)
+        .select("__id", hashed_tokens(F.col("__t")).alias("__th"))
+        .select("__id", hashed_shingles(F.col("__th"), shingle_n).alias("__h"))
+        .select("__id", minhash_from_hashes(F.col("__h"), k).alias("__sig"))
     )
     band_cols = [
         _md5(F.concat_ws("|", *[F.col("__sig")[b * r + j] for j in range(r)])).alias("__bucket")
@@ -152,20 +219,19 @@ def minhash_lsh_candidates(
 # ------------------------------------------------------------------- SimHash
 
 
-def simhash(text: Column, bits: int = 16) -> Column:
-    """SimHash over distinct tokens.
+def token_hashes(text: Column) -> Column:
+    """Distinct tokens, each md5-hashed ONCE to a 60-bit int."""
+    return F.transform(F.array_distinct(tokens(text)), lambda t: _md5_int(t))
 
-    Bit j of token-hash = parity of the value of hex digit j+1 of
-    md5(token) (portable to any SQL engine via instr arithmetic). The
-    simhash sets bit j iff strictly more tokens vote 1 than 0.
+
+def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
+    """SimHash from a token-hash int array: bit j of a token's vote is bit
+    j of its 60-bit hash (cheap shift/mask codegen — the md5 already ran).
+    The simhash sets bit j iff strictly more tokens vote 1 than 0.
     """
-    toks = F.array_distinct(tokens(text))
-    hashes = F.transform(toks, lambda t: _md5(t))
+
     def voter(j):
-        # vote per token: +1 if hex digit j+1 of md5(token) is odd, else -1
-        return lambda acc, h: acc + F.when(
-            (F.instr(F.lit(HEX), F.substring(h, j + 1, 1)) - 1) % 2 == 1, 1
-        ).otherwise(-1)
+        return lambda acc, h: acc + F.when(F.shiftright(h, j).bitwiseAND(1) == 1, 1).otherwise(-1)
 
     out = F.lit(0).cast("long")
     for j in range(bits):
@@ -174,11 +240,21 @@ def simhash(text: Column, bits: int = 16) -> Column:
     return out
 
 
+def simhash(text: Column, bits: int = 16) -> Column:
+    """SimHash over distinct tokens (see simhash_from_hashes)."""
+    return simhash_from_hashes(token_hashes(text), bits)
+
+
 def simhash_dedup_stats(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
-    """Group docs by exact simhash; return per-bucket collision counts > 1."""
+    """Group docs by exact simhash; return per-bucket collision counts > 1.
+
+    The hash array is projected to its own column so the md5 transform
+    appears once in the plan, not ``bits`` times.
+    """
     h = (
         df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("__id"), simhash(F.col(text_col), bits).alias("sh"))
+        .select(F.col(id_col).alias("__id"), token_hashes(F.col(text_col)).alias("__h"))
+        .select("__id", simhash_from_hashes(F.col("__h"), bits).alias("sh"))
     )
     return (
         h.groupBy("sh")
@@ -201,15 +277,15 @@ def ngram_jaccard_pairs(
     """Exact Jaccard similarity over word-n-gram sets for all pairs in
     ``left`` (id_a < id_b). Quadratic — run on LSH candidates or samples.
 
-    Implemented as shingle-explode + equi-join on the shingle (shuffle on
-    shingle hash), counting intersections; set sizes broadcast back in.
+    Implemented as shingle-hash-explode + equi-join on the hash (8-byte
+    join keys, not strings), counting intersections; set sizes broadcast
+    back in.
     """
     sh = (
         left.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("__id"),
-            F.explode(word_shingles(F.col(text_col), n)).alias("s"),
-        )
+        .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
+        .select("__id", hashed_tokens(F.col("__t")).alias("__th"))
+        .select("__id", F.explode(hashed_shingles(F.col("__th"), n)).alias("s"))
     )
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -100,36 +100,70 @@ def lsh_bucket(vec: Column, dims: int, planes: int = 8) -> Column:
     return out
 
 
+def lsh_buckets(vec: Column, dims: int, planes: int, tables: int) -> Column:
+    """Array of ``tables`` bucket ids; table t uses planes
+    [t*planes, (t+1)*planes) — independent hash tables, the standard
+    recall lever for hyperplane LSH."""
+    out = []
+    for t in range(tables):
+        b = F.lit(0).cast("long")
+        for p in range(planes):
+            w = hyperplane_weights(t * planes + p, dims)
+            proj = F.lit(0.0)
+            for d in range(dims):
+                proj = proj + F.element_at(vec, d + 1).cast("double") * F.lit(w[d])
+            b = b + F.when(proj > 0, F.lit(2 ** p)).otherwise(0)
+        out.append(b)
+    return F.array(*out)
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     dims: int,
     k: int = 10,
     planes: int = 6,
+    tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine rerank restricted to the query's
-    LSH bucket. At 10^9+ vectors the bucket join replaces the full scan;
-    recall is tunable via ``planes`` (fewer planes → bigger buckets).
+    """Approximate top-k: exact cosine rerank restricted to vectors
+    sharing ANY of the query's LSH buckets (``tables`` independent
+    tables). At 10^9+ vectors the bucket join replaces the full scan;
+    recall is tuned by ``tables`` (more tables → more candidates) and
+    ``planes`` (fewer planes → bigger buckets).
     """
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("__v"),
-        lsh_bucket(F.col(vec_col), dims, planes).alias("__blk"),
+    c = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("__v"),
+            lsh_buckets(F.col(vec_col), dims, planes, tables).alias("__blks"),
+        )
+        .select(
+            "vec_id", "__v",
+            F.posexplode(F.col("__blks")).alias("__tbl", "__blk"),
+        )
     )
     q = queries.select(
         F.col(q_id_col).alias("q_id"),
         F.col(q_vec_col).alias("__q"),
-        lsh_bucket(F.col(q_vec_col), dims, planes).alias("__blk"),
+        lsh_buckets(F.col(q_vec_col), dims, planes, tables).alias("__blks"),
+    ).select(
+        "q_id", "__q",
+        F.posexplode(F.col("__blks")).alias("__tbl", "__blk"),
     )
-    joined = c.join(F.broadcast(q), on="__blk").where(F.col("vec_id") != F.col("q_id"))
+    cand = (
+        c.join(F.broadcast(q), on=["__tbl", "__blk"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "__v", "__q")
+        .dropDuplicates(["q_id", "vec_id"])
+    )
     sim = F.round(cosine_sim(F.col("__v"), F.col("__q")), 4)
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
-        joined.select("q_id", "vec_id", sim.alias("sim"))
+        cand.select("q_id", "vec_id", sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q_id", "vec_id", "sim", F.col("rank").cast("int").alias("rank"))

@@ -1,0 +1,182 @@
+"""Tests for the training-data pipeline operators (dedup / similarity /
+textstats / multimodal) on the sf0.001 tables."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def test_exact_dedup_stats_planted(spark, docs):
+    from great_expectations_spark.pipeline.dedup import exact_dedup_stats
+
+    n = docs.count()
+    extra = docs.where(F.col("doc_id") % 10 == 0)
+    k = extra.count()
+    row = exact_dedup_stats(docs.union(extra), "text").first()
+    assert row.n_rows == n + k
+    assert row.n_distinct == n  # originals were all distinct
+    assert row.dup_rows == k
+    assert row.dup_groups == k
+
+
+def test_exact_dedup_keeps_one_per_value(spark, docs):
+    from great_expectations_spark.pipeline.dedup import exact_dedup
+
+    doubled = docs.union(docs)
+    out = exact_dedup(doubled, "text", keep_order_col="doc_id")
+    assert out.count() == docs.count()
+
+
+def test_minhash_matches_true_jaccard_neardups(spark, docs):
+    """LSH candidates == true near-dup pairs (jaccard>=0.5) on this corpus."""
+    from great_expectations_spark.pipeline.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    cand = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(docs, "doc_id", "text").collect()}
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert truth  # the synthetic corpus plants near-duplicates
+    # full recall on planted near-dups; precision may admit a few extras
+    assert truth <= cand
+    assert len(cand) <= len(truth) + 5
+
+
+def test_simhash_is_deterministic_and_int(spark, docs):
+    from great_expectations_spark.pipeline.dedup import simhash
+
+    rows = (
+        docs.where(F.col("text").isNotNull())
+        .select(simhash(F.col("text")).alias("sh"))
+        .limit(20)
+        .collect()
+    )
+    assert all(0 <= r.sh < 2 ** 16 for r in rows)
+
+
+def test_shingle_guard_short_docs(spark):
+    from great_expectations_spark.pipeline.dedup import hashed_shingles, hashed_tokens, tokens
+
+    df = spark.createDataFrame([("a b",), ("a b c d",), ("x",)], "text string")
+    out = (
+        df.select(tokens(F.col("text")).alias("t"))
+        .select(hashed_tokens(F.col("t")).alias("th"))
+        .select(F.size(hashed_shingles(F.col("th"), 3)).alias("n"))
+        .collect()
+    )
+    assert [r.n for r in out] == [0, 2, 0]
+
+
+# ------------------------------------------------------------- similarity
+
+
+def test_cosine_topk_self_similarity(spark, emb):
+    from great_expectations_spark.pipeline.similarity import cosine_topk
+
+    q = emb.limit(3).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = cosine_topk(emb, q, k=5, exclude_self=False)
+    top1 = {r.q_id: r.vec_id for r in out.where(F.col("rank") == 1).collect()}
+    # each query's nearest neighbour (self included) is itself
+    assert all(q_id == v for q_id, v in top1.items())
+
+
+def test_ann_lsh_recall_vs_exact(spark, emb):
+    from great_expectations_spark.pipeline.similarity import ann_topk_lsh, cosine_topk
+
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = cosine_topk(emb, q, k=5).collect()
+    approx = ann_topk_lsh(emb, q, dims=64, k=5, planes=4).collect()
+    exact_set = {(r.q_id, r.vec_id) for r in exact}
+    approx_set = {(r.q_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3  # 4 planes / random embeddings: modest but nonzero
+
+
+def test_embedding_neardup_blocked(spark, emb):
+    from great_expectations_spark.pipeline.dedup import embedding_neardup_pairs
+
+    out = embedding_neardup_pairs(emb, "vec_id", "embedding", "label", threshold=0.8)
+    for r in out.collect():
+        assert r.id_a < r.id_b and r.cosine >= 0.8
+
+
+# --------------------------------------------------------------- textstats
+
+
+def test_doc_stats_matches_python(spark, docs):
+    from great_expectations_spark.pipeline.textstats import FILLER_WORDS, doc_stats
+
+    sample = {r.doc_id: r.text for r in docs.where(F.col("text").isNotNull()).limit(5).collect()}
+    out = {r.doc_id: r for r in doc_stats(docs, "doc_id", "text").collect() if r.doc_id in sample}
+    for doc_id, text in sample.items():
+        toks = text.split(" ")
+        r = out[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.n_chars == len(text)
+        assert r.filler_ratio == pytest.approx(
+            round(sum(t in FILLER_WORDS for t in toks) / len(toks), 6), abs=1e-6)
+        fp = hashlib.md5(" ".join(sorted(set(toks))).encode()).hexdigest()
+        assert r.fp == fp
+
+
+def test_corpus_stats_shape(spark, docs):
+    from great_expectations_spark.pipeline.textstats import corpus_stats
+
+    row = corpus_stats(docs, "doc_id", "text").first()
+    assert row.n_docs > 0 and row.total_tokens > row.n_docs
+    assert 0 <= row.avg_quality <= 1
+    assert row.distinct_fingerprints <= row.n_docs
+
+
+# --------------------------------------------------------------- multimodal
+
+
+def test_extract_features_matches_python(spark, docs):
+    from great_expectations_spark.pipeline.multimodal import extract_features, with_fake_payload
+
+    pay = with_fake_payload(docs, "doc_id", "text")
+    sample = {r.doc_id: r.text for r in docs.where(F.col("text").isNotNull()).limit(5).collect()}
+    out = {r.doc_id: r for r in extract_features(pay, "doc_id", "payload").collect()}
+    for doc_id, text in sample.items():
+        r = out[doc_id]
+        data = text.encode()
+        assert r.n_bytes == len(data)
+        assert r.content_md5 == hashlib.md5(data).hexdigest()
+        assert r.width == len(data) % 640 + 1
+        assert r.height == (len(data) * 7) % 480 + 1
+        assert r.format == "fake"
+
+
+def test_frame_sample_offsets(spark, docs):
+    from great_expectations_spark.pipeline.multimodal import frame_sample, with_fake_payload
+
+    pay = with_fake_payload(docs.limit(10), "doc_id", "text")
+    rows = frame_sample(pay, "doc_id", "payload", k=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, frames in by_doc.items():
+        assert sorted(f.frame_idx for f in frames) == [0, 1, 2, 3]
+        offs = [f.frame_offset for f in sorted(frames, key=lambda f: f.frame_idx)]
+        assert offs == sorted(offs) and offs[0] == 0
