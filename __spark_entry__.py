@@ -805,6 +805,51 @@ def _p12(spark, sf):
     return frame_sample(pay, "doc_id", "payload", k=4)
 
 
+# ---- checkpointed (per-partition lineage) validation ------------------------
+
+
+@_q("checkpoint_per_lang", """
+WITH base AS (
+  SELECT CASE WHEN lang IS NULL THEN 'lang=__null__' ELSE 'lang=' || lang END AS chunk_id,
+         count(*) AS ec,
+         coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS nulls,
+         coalesce(sum(CASE WHEN text IS NOT NULL
+                       AND NOT (length(text) BETWEEN 48 AND 300) THEN 1 ELSE 0 END), 0) AS badlen
+  FROM documents GROUP BY lang
+)
+SELECT chunk_id, 0 AS expectation_index,
+       CAST(ec AS BIGINT) AS element_count, CAST(0 AS BIGINT) AS missing_count,
+       CAST(nulls AS BIGINT) AS unexpected_count,
+       CASE WHEN ec <= 0 THEN TRUE
+            ELSE (CAST(ec - nulls AS DOUBLE) / ec) >= 0.9 END AS success
+FROM base
+UNION ALL
+SELECT chunk_id, 1 AS expectation_index,
+       CAST(ec AS BIGINT) AS element_count, CAST(nulls AS BIGINT) AS missing_count,
+       CAST(badlen AS BIGINT) AS unexpected_count,
+       CASE WHEN ec - nulls <= 0 THEN TRUE
+            ELSE (CAST(ec - nulls - badlen AS DOUBLE) / (ec - nulls)) >= 0.5 END AS success
+FROM base
+""")
+def _cp1(spark, sf):
+    import tempfile
+
+    from great_expectations_spark.checkpoint import Splitter, run_checkpoint
+
+    docs = _tbl(spark, sf, "documents")
+    suite = (
+        ExpectationSuite(name="cp_lang")
+        .add("expect_column_values_to_not_be_null", column="text", mostly=0.9)
+        .add("expect_column_value_lengths_to_be_between",
+             column="text", min_value=48, max_value=300, mostly=0.5)
+    )
+    path = tempfile.mkdtemp(prefix="ges_cp_") + "/results"
+    res = run_checkpoint(docs, suite, Splitter.column_value(docs, "lang"), path, run_id="q")
+    return res.results_df.select(
+        "chunk_id", "expectation_index", "element_count", "missing_count",
+        "unexpected_count", "success")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

@@ -29,7 +29,13 @@ def _h(col, salt: int, seed: int):
     return F.abs(F.xxhash64(col, F.lit(salt), F.lit(seed)))
 
 
-def webpages(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+def webpages(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    max_tokens: int = 300,
+) -> DataFrame:
     df = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
     rid = F.col("id")
 
@@ -47,7 +53,7 @@ def webpages(spark: SparkSession, n: int, seed: int = 42, partitions: int | None
     warc_ts = F.timestamp_seconds(F.lit(1704067200) + (_h(rid, 4, seed) % 31536000))
 
     # deterministic token text derived from eff (url id): dup urls ⇒ identical text
-    n_tokens = (_h(eff, 5, seed) % 300).cast("int")
+    n_tokens = (_h(eff, 5, seed) % max_tokens).cast("int")
     token = lambda i: F.concat(F.lit("w"), ((_h(eff, 6, seed) + i * 2654435761) % 5000).cast("string"))
     words = F.transform(F.sequence(F.lit(0), n_tokens), lambda i: token(i))
     raw_text = F.array_join(words, " ")
