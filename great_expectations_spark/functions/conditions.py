@@ -44,6 +44,9 @@ class MapKernel:
     # True when missing rows should be reported via missing_count/percent
     # (column-map semantics); pair/multicolumn report filtered_row_count.
     column_domain: bool = True
+    # shape of each reported unexpected value (reference _format_map_output):
+    # "scalar" (column), "pair" (list [a, b]), "record" (dict col->value)
+    value_format: str = "scalar"
 
 
 KernelBuilder = Callable[[dict[str, Any]], MapKernel]
@@ -93,8 +96,14 @@ def _null(kwargs: dict[str, Any]) -> MapKernel:
 def _in_set(kwargs: dict[str, Any]) -> MapKernel:
     vs = kwargs.get("value_set")
     col = F.col(kwargs["column"])
-    # None/empty set → vacuously true (reference column_values_in_set.py:105-126)
-    ok = F.lit(True) if not vs else col.isin(list(vs))
+    # None → vacuously true; EMPTY list → nothing passes
+    # (reference column_values_in_set.py:105-126)
+    if vs is None:
+        ok = F.lit(True)
+    elif not vs:
+        ok = F.lit(False)
+    else:
+        ok = col.isin(list(vs))
     return _col_kernel(kwargs, ok)
 
 
@@ -102,6 +111,11 @@ def _in_set(kwargs: dict[str, Any]) -> MapKernel:
 def _not_in_set(kwargs: dict[str, Any]) -> MapKernel:
     vs = kwargs.get("value_set")
     col = F.col(kwargs["column"])
+    if vs is None:
+        # reference spark backend raises (column_values_not_in_set.py)
+        raise ValueError(
+            "expect_column_values_to_not_be_in_set cannot support a None in the "
+            "value_set in spark")
     ok = F.lit(True) if not vs else ~col.isin(list(vs))
     return _col_kernel(kwargs, ok)
 
@@ -131,6 +145,13 @@ def _values_between(kwargs: dict[str, Any]) -> MapKernel:
 
 @register("expect_column_value_lengths_to_be_between")
 def _lengths_between(kwargs: dict[str, Any]) -> MapKernel:
+    for b in ("min_value", "max_value"):
+        v = kwargs.get(b)
+        if v is not None:
+            try:
+                int(v)  # reference raises on non-numeric length bounds
+            except (TypeError, ValueError):
+                raise ValueError(f"{b} for length must be an integer, got {v!r}")
     return _col_kernel(kwargs, _between(F.length(F.col(kwargs["column"])), kwargs))
 
 
@@ -215,7 +236,15 @@ def _match_json_schema(kwargs: dict[str, Any]) -> MapKernel:
 
 @register("expect_column_values_to_match_strftime_format")
 def _match_strftime(kwargs: dict[str, Any]) -> MapKernel:
-    ok = udfs.match_strftime(kwargs["strftime_format"])(F.col(kwargs["column"]))
+    fmt = kwargs["strftime_format"]
+    # reference validates the format by a strftime/strptime round trip
+    import datetime as _dt
+
+    try:
+        _dt.datetime.strptime(_dt.datetime.strftime(_dt.datetime.now(), fmt), fmt)
+    except ValueError as e:
+        raise ValueError("Unable to use provided strftime_format.") from e
+    ok = udfs.match_strftime(fmt)(F.col(kwargs["column"]))
     return _col_kernel(kwargs, ok)
 
 
@@ -245,6 +274,7 @@ def _pair_kernel(kwargs: dict[str, Any], ok: Column) -> MapKernel:
         value=F.struct(a.alias(ca), b.alias(cb)),
         columns=[ca, cb],
         column_domain=False,
+        value_format="pair",
     )
 
 
@@ -291,6 +321,7 @@ def _multi_kernel(kwargs: dict[str, Any], ok: Column) -> MapKernel:
         value=F.struct(*[c.alias(n) for c, n in zip(cols, names)]),
         columns=names,
         column_domain=False,
+        value_format="record",
     )
 
 

@@ -90,12 +90,16 @@ def ks_sf(d: float, n_eff: float) -> float:
 
 
 def chisquare_test(observed: np.ndarray, expected: np.ndarray) -> tuple[float, float]:
-    """Pearson chi-square statistic and p-value (df = k-1)."""
+    """Pearson chi-square statistic and p-value, df = k-1
+    (scipy.stats.chisquare semantics: zero expected with nonzero observed
+    → infinite statistic → p=0)."""
     observed = np.asarray(observed, dtype=float)
     expected = np.asarray(expected, dtype=float)
+    if np.any((expected <= 0) & (observed > 0)):
+        return float("inf"), 0.0
     mask = expected > 0
     stat = float(np.sum((observed[mask] - expected[mask]) ** 2 / expected[mask]))
-    df = int(mask.sum()) - 1
+    df = len(observed) - 1
     return stat, chi2_sf(stat, max(df, 1))
 
 
@@ -116,6 +120,126 @@ def kl_divergence(pk: np.ndarray, qk: np.ndarray) -> float:
     if np.any(qk[nz] <= 0):
         return float("inf")
     return float(np.sum(pk[nz] * np.log(pk[nz] / qk[nz])))
+
+
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the incomplete beta (Lentz's algorithm —
+    standard public numerical method)."""
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, 300):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-14:
+            break
+    return h
+
+
+def betainc_reg(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a,b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log(1.0 - x)
+    )
+    front = math.exp(ln_front)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def gammainc_lower_reg(a: float, x: float) -> float:
+    """Regularized lower incomplete gamma P(a,x)."""
+    if x <= 0:
+        return 0.0
+    if x < a + 1.0:
+        return max(0.0, min(1.0, _gammainc_lower_series(a, x)))
+    return max(0.0, min(1.0, 1.0 - _gammainc_upper_cf(a, x)))
+
+
+def norm_cdf(x: np.ndarray, loc: float = 0.0, scale: float = 1.0) -> np.ndarray:
+    z = (np.asarray(x, dtype=float) - loc) / (scale * math.sqrt(2.0))
+    return np.array([0.5 * (1.0 + math.erf(v)) for v in z])
+
+
+def dist_cdf(name: str, args: tuple, x: np.ndarray) -> np.ndarray:
+    """CDF of a named distribution with GE/scipy positional args
+    (norm(loc,scale), beta(a,b,loc,scale), gamma(a,loc,scale),
+    chi2(df,loc,scale), expon(loc,scale), uniform(loc,scale))."""
+    x = np.asarray(x, dtype=float)
+    if name == "norm":
+        loc = args[0] if len(args) > 0 else 0.0
+        scale = args[1] if len(args) > 1 else 1.0
+        return norm_cdf(x, loc, scale)
+    if name == "uniform":
+        loc = args[0] if len(args) > 0 else 0.0
+        scale = args[1] if len(args) > 1 else 1.0
+        return np.clip((x - loc) / scale, 0.0, 1.0)
+    if name == "expon":
+        loc = args[0] if len(args) > 0 else 0.0
+        scale = args[1] if len(args) > 1 else 1.0
+        z = np.maximum((x - loc) / scale, 0.0)
+        return 1.0 - np.exp(-z)
+    if name == "beta":
+        a, b = args[0], args[1]
+        loc = args[2] if len(args) > 2 else 0.0
+        scale = args[3] if len(args) > 3 else 1.0
+        z = np.clip((x - loc) / scale, 0.0, 1.0)
+        return np.array([betainc_reg(a, b, v) for v in z])
+    if name == "gamma":
+        a = args[0]
+        loc = args[1] if len(args) > 1 else 0.0
+        scale = args[2] if len(args) > 2 else 1.0
+        z = np.maximum((x - loc) / scale, 0.0)
+        return np.array([gammainc_lower_reg(a, v) for v in z])
+    if name == "chi2":
+        df = args[0]
+        loc = args[1] if len(args) > 1 else 0.0
+        scale = args[2] if len(args) > 2 else 1.0
+        z = np.maximum((x - loc) / scale, 0.0)
+        return np.array([gammainc_lower_reg(df / 2.0, v / 2.0) for v in z])
+    raise ValueError(f"unsupported distribution {name!r}")
+
+
+def ks_test_named(sample: np.ndarray, name: str, args: tuple) -> tuple[float, float]:
+    """One-sample two-sided KS test against a named distribution
+    (scipy.stats.kstest semantics): D = sup|ECDF - CDF|, asymptotic p."""
+    s = np.sort(np.asarray(sample, dtype=float))
+    n = len(s)
+    if n == 0:
+        return 0.0, 1.0
+    cdf = dist_cdf(name, args, s)
+    ecdf_hi = np.arange(1, n + 1) / n
+    ecdf_lo = np.arange(0, n) / n
+    d = float(max(np.max(ecdf_hi - cdf), np.max(cdf - ecdf_lo)))
+    return d, ks_sf(d, n)
 
 
 def cramers_phi(contingency: np.ndarray) -> float:

@@ -52,8 +52,16 @@ class Options:
 
     approx_distinct: bool = False
     percentile_accuracy: int = 10000
+    # exact rank-based quantiles via approxQuantile(..., 0) — own Spark job;
+    # False folds a GK sketch into the fused pass (10^12-row mode)
+    exact_quantiles: bool = True
     complete_list_cap: int = 100_000
     distinct_set_cap: int = 100_000
+    # exact interpolated median (F.percentile: buffers the column per
+    # partition — fine to ~10^8, switch off at 10^12 for the GK sketch)
+    exact_median: bool = True
+    # parameterized-KS sample bound (scipy runs on the driver)
+    ks_sample_cap: int = 100_000
 
 
 Metrics = Mapping[str, Any]
@@ -89,6 +97,11 @@ class CompileError(ValueError):
 
 def compile_expectation(config: ExpectationConfiguration, options: Options) -> Compiled:
     et = config.expectation_type
+    m = config.kwargs.get("mostly")
+    if m is not None:
+        m = float(m)
+        if not 0 <= m <= 1:
+            raise CompileError("mostly must be between 0 and 1")
     if et in COMPILERS:
         return COMPILERS[et](config, options)
     if et in MAP_KERNELS:
@@ -151,7 +164,25 @@ def _between_success(value: Any, kwargs: dict[str, Any]) -> bool:
     lo, hi = kwargs.get("min_value"), kwargs.get("max_value")
     strict_min = bool(kwargs.get("strict_min", False))
     strict_max = bool(kwargs.get("strict_max", False))
+    import datetime as _dt
+
+    def bound(b):
+        # datetime observed vs string bound: parse the bound (reference
+        # accepts ISO strings for timestamp columns)
+        if isinstance(value, (_dt.datetime, _dt.date)) and isinstance(b, str):
+            try:
+                parsed = _dt.datetime.fromisoformat(b)
+            except ValueError:
+                from dateutil import parser as _p
+
+                parsed = _p.parse(b)
+            if isinstance(value, _dt.datetime):
+                return parsed
+            return parsed.date()
+        return b
+
     try:
+        lo, hi = bound(lo), bound(hi)
         if lo is not None and (value <= lo if strict_min else value < lo):
             return False
         if hi is not None and (value >= hi if strict_max else value > hi):
@@ -162,11 +193,18 @@ def _between_success(value: Any, kwargs: dict[str, Any]) -> bool:
 
 
 def _py(v: Any) -> Any:
-    """Normalize JVM/numpy scalars to plain Python for JSON-able EVRs."""
+    """Normalize JVM/numpy scalars to plain Python for JSON-able EVRs.
+    Datetimes serialize to ISO strings (reference EVR JSON convention)."""
+    import datetime as _dt
+
     if isinstance(v, (np.integer,)):
         return int(v)
     if isinstance(v, (np.floating,)):
         return float(v)
+    if isinstance(v, _dt.datetime):
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
     if hasattr(v, "asDict"):
         return {k: _py(x) for k, x in v.asDict().items()}
     if isinstance(v, list):
@@ -175,6 +213,13 @@ def _py(v: Any) -> Any:
 
 
 # -------------------------------------------------------- map expectations
+
+
+# expectations whose reference implementation requires a string-typed column
+_STRING_ONLY_MAP_TYPES = {
+    "expect_column_values_to_match_strftime_format",
+    "expect_column_values_to_be_dateutil_parseable",
+}
 
 
 def _compile_map(config: ExpectationConfiguration, options: Options) -> Compiled:
@@ -193,7 +238,11 @@ def _compile_map(config: ExpectationConfiguration, options: Options) -> Compiled
     k_elem = _cnt_key(rcid)
     k_missing = f"missing|{config.id}"
     k_unexp = f"unexpected_count|{config.id}"
-    unexpected = kernel.include & ~F.coalesce(kernel.ok, F.lit(False))
+    # NULL ok is NOT unexpected (reference spark semantics: the unexpected
+    # filter keeps rows where the negated condition is literally TRUE, so
+    # three-valued NULL comparisons fall out — e.g. isin over a set
+    # containing None)
+    unexpected = kernel.include & F.coalesce(~kernel.ok, F.lit(False))
     aggs = {
         k_elem: _count_agg(rc),
         k_missing: _bool_sum(_guard(~kernel.include, rc) if rc is not None else ~kernel.include),
@@ -201,6 +250,16 @@ def _compile_map(config: ExpectationConfiguration, options: Options) -> Compiled
     }
 
     def finalize(metrics: Metrics) -> EVR:
+        if config.expectation_type in _STRING_ONLY_MAP_TYPES:
+            schema = metrics.get("__schema__")
+            c = kwargs.get("column")
+            if schema is not None and c in schema.fieldNames():
+                if not isinstance(schema[c].dataType, T.StringType):
+                    raise ValueError(
+                        f"Values passed to {config.expectation_type} must be of "
+                        "type string.\nIf you want to validate a column of dates "
+                        "or timestamps, please call the expectation before "
+                        "converting from string format.")
         return _map_finalize(config, metrics, k_elem, k_missing, k_unexp)
 
     return Compiled(config=config, finalize=finalize, aggs=aggs, kernel=kernel)
@@ -257,23 +316,59 @@ def _map_finalize(
 # --------------------------------------------- column aggregate expectations
 
 
+def _count_keys_aggs(c: str, kwargs: dict[str, Any], rc: Column | None):
+    """element/missing count metrics every column-aggregate EVR carries
+    (reference aggregate results include element_count/missing_count)."""
+    rcid = _rc_id(kwargs)
+    k_total = _cnt_key(rcid)
+    k_nn = f"column.nonnull|{c}|{rcid}"
+    return (k_total, k_nn), {
+        k_total: _count_agg(rc),
+        k_nn: F.count(_guard(F.col(c), rc)),
+    }
+
+
+def _with_counts(result: dict, metrics: Metrics, k_total: str, k_nn: str) -> dict:
+    total = int(metrics.get(k_total) or 0)
+    nn = int(metrics.get(k_nn) or 0)
+    missing = total - nn
+    result.update({
+        "element_count": total,
+        "missing_count": missing,
+        "missing_percent": (100.0 * missing / total) if total else None,
+    })
+    return result
+
+
 def _agg_between(
-    name: str, agg_builder: Callable[[dict[str, Any], Column | None, Options], Column]
+    name: str,
+    agg_builder: Callable[[dict[str, Any], Column | None, Options], Column],
+    require_numeric: bool = False,
 ):
     @compiler(name)
     def _c(config: ExpectationConfiguration, options: Options) -> Compiled:
         kwargs = config.kwargs
         rc = _row_condition(kwargs)
-        col = F.col(kwargs["column"])
-        key = f"{name}|{kwargs['column']}|{_rc_id(kwargs)}"
-        aggs = {key: agg_builder(kwargs, _guard(col, rc), options)}
+        c = kwargs["column"]
+        col = F.col(c)
+        key = f"{name}|{c}|{_rc_id(kwargs)}"
+        (k_total, k_nn), count_aggs = _count_keys_aggs(c, kwargs, rc)
+        aggs = {key: agg_builder(kwargs, _guard(col, rc), options), **count_aggs}
 
         def finalize(metrics: Metrics) -> EVR:
+            if require_numeric:
+                schema = metrics.get("__schema__")
+                if (schema is not None and c in schema.fieldNames()
+                        and not isinstance(schema[c].dataType, T.NumericType)):
+                    # reference column_mean.py:31-36 requires a numeric dtype
+                    raise ValueError(
+                        f"{name} requires a numeric column, got "
+                        f"{schema[c].dataType.simpleString()}")
             obs = _py(metrics.get(key))
             return EVR(
                 success=_between_success(obs, kwargs),
                 expectation_config=config,
-                result={"observed_value": obs},
+                result=_with_counts({"observed_value": obs}, metrics, k_total, k_nn),
             )
 
         return Compiled(config=config, finalize=finalize, aggs=aggs)
@@ -281,16 +376,22 @@ def _agg_between(
     return _c
 
 
-_agg_between("expect_column_mean_to_be_between", lambda k, c, o: F.mean(c))
+_agg_between("expect_column_mean_to_be_between", lambda k, c, o: F.mean(c),
+             require_numeric=True)
 _agg_between("expect_column_sum_to_be_between", lambda k, c, o: F.sum(c))
 _agg_between("expect_column_min_to_be_between", lambda k, c, o: F.min(c))
 _agg_between("expect_column_max_to_be_between", lambda k, c, o: F.max(c))
 _agg_between("expect_column_stdev_to_be_between", lambda k, c, o: F.stddev_samp(c))
 _agg_between(
     "expect_column_median_to_be_between",
-    # reference column_median.py:90-121 uses exact approxQuantile; we keep the
-    # sketch inside the fused pass (percentile_approx = Greenwald-Khanna)
-    lambda k, c, o: F.percentile_approx(c, 0.5, o.percentile_accuracy),
+    # reference column_median.py:90-121 averages the two middle elements on
+    # even counts (exact approxQuantile) — F.percentile interpolates the
+    # same way; GK sketch variant for 10^12-row runs via exact_median=False
+    lambda k, c, o: (
+        F.percentile(c, F.lit(0.5))
+        if o.exact_median
+        else F.percentile_approx(c, 0.5, o.percentile_accuracy)
+    ),
 )
 
 
@@ -358,13 +459,27 @@ def _quantiles(config: ExpectationConfiguration, options: Options) -> Compiled:
     if len(quantiles) != len(ranges):
         raise CompileError("quantiles and value_ranges must have equal length")
     accuracy = options.percentile_accuracy
+    exact = options.exact_quantiles
     if kwargs.get("allow_relative_error") not in (None, False):
         err = kwargs["allow_relative_error"]
         if isinstance(err, (int, float)) and err > 0:
             accuracy = max(1, int(1.0 / float(err)))
-    key = f"column.quantiles|{c}|{quantiles}|{accuracy}|{_rc_id(kwargs)}"
+            exact = False
+    key = f"column.quantiles|{c}|{quantiles}|{accuracy}|{exact}|{_rc_id(kwargs)}"
     col = _guard(F.col(c), rc)
-    aggs = {key: F.percentile_approx(col, quantiles, accuracy)}
+    (k_total, k_nn), count_aggs = _count_keys_aggs(c, kwargs, rc)
+    aggs = dict(count_aggs)
+    eager = None
+    if exact:
+        # reference Spark quantiles: df.approxQuantile(col, q, 0) = exact
+        # rank-based values (column_quantile_values.py:177-209); own job
+        def eager(df: DataFrame, metrics: Metrics) -> dict[str, Any]:
+            d = df.where(F.col(c).isNotNull())
+            if rc is not None:
+                d = d.where(rc)
+            return {key: d.stat.approxQuantile(c, [float(q) for q in quantiles], 0.0)}
+    else:
+        aggs[key] = F.percentile_approx(col, quantiles, accuracy)
 
     def finalize(metrics: Metrics) -> EVR:
         values = _py(metrics.get(key)) or [None] * len(quantiles)
@@ -375,10 +490,12 @@ def _quantiles(config: ExpectationConfiguration, options: Options) -> Compiled:
         return EVR(
             success=ok,
             expectation_config=config,
-            result={"observed_value": {"quantiles": quantiles, "values": values}},
+            result=_with_counts(
+                {"observed_value": {"quantiles": quantiles, "values": values}},
+                metrics, k_total, k_nn),
         )
 
-    return Compiled(config=config, finalize=finalize, aggs=aggs)
+    return Compiled(config=config, finalize=finalize, aggs=aggs, eager=eager)
 
 
 def _collect_distinct_agg(c: str, rc: Column | None) -> tuple[str, Column]:
@@ -391,18 +508,23 @@ def _distinct_set_compiler(name: str, check: Callable[[set, set], bool]):
     def _c(config: ExpectationConfiguration, options: Options) -> Compiled:
         kwargs = config.kwargs
         rc = _row_condition(kwargs)
-        key, agg = _collect_distinct_agg(kwargs["column"], rc)
+        c = kwargs["column"]
+        key, agg = _collect_distinct_agg(c, rc)
+        vacuous = kwargs.get("value_set") is None
         expected = set(kwargs.get("value_set") or [])
+        (k_total, k_nn), count_aggs = _count_keys_aggs(c, kwargs, rc)
 
         def finalize(metrics: Metrics) -> EVR:
             observed = set(_py(metrics.get(key)) or [])
             return EVR(
-                success=check(observed, expected),
+                success=True if vacuous else check(observed, expected),
                 expectation_config=config,
-                result={"observed_value": sorted(observed, key=lambda x: (str(type(x)), str(x)))},
+                result=_with_counts(
+                    {"observed_value": sorted(observed, key=lambda x: (str(type(x)), str(x)))},
+                    metrics, k_total, k_nn),
             )
 
-        return Compiled(config=config, finalize=finalize, aggs={key: agg})
+        return Compiled(config=config, finalize=finalize, aggs={key: agg, **count_aggs})
 
     return _c
 
@@ -437,19 +559,28 @@ def _most_common(config: ExpectationConfiguration, options: Options) -> Compiled
             gb.unpersist()
         return {key: sorted(modes, key=str)}
 
+    rc = _row_condition(kwargs)
+    (k_total, k_nn), count_aggs = _count_keys_aggs(c, kwargs, rc)
+
     def finalize(metrics: Metrics) -> EVR:
         modes = _py(metrics.get(key)) or []
         expected = set(kwargs["value_set"])
         ties_ok = bool(kwargs.get("ties_okay", False))
-        in_set = [m in expected for m in modes]
-        success = all(in_set) if not ties_ok else any(in_set)
+        if ties_ok:
+            # reference: any intersection suffices when ties are allowed
+            success = any(m in expected for m in modes)
+        else:
+            # a tie (multiple modes) fails outright without ties_okay
+            success = len(modes) == 1 and modes[0] in expected
         if not modes:
             success = True
         return EVR(
-            success=success, expectation_config=config, result={"observed_value": modes}
+            success=success,
+            expectation_config=config,
+            result=_with_counts({"observed_value": modes}, metrics, k_total, k_nn),
         )
 
-    return Compiled(config=config, finalize=finalize, eager=eager)
+    return Compiled(config=config, finalize=finalize, aggs=count_aggs, eager=eager)
 
 
 # -------------------------------------------------------------- table-level
@@ -545,19 +676,29 @@ def _col_exists(kwargs: dict[str, Any], schema: T.StructType):
 
 
 _schema_compiler("expect_column_to_exist", _col_exists)
-_schema_compiler(
-    "expect_table_columns_to_match_set",
-    lambda k, s: (
+
+
+def _columns_match_set(k, s):
+    # None column_set: vacuous truth — EXCEPT under exact_match=True, where
+    # the reference fails (a None set cannot exactly match real columns)
+    if k.get("column_set") is None:
+        return not bool(k.get("exact_match", True)), sorted(s.fieldNames())
+    ok = (
         set(s.fieldNames()) == set(k["column_set"])
         if bool(k.get("exact_match", True))
-        else set(k["column_set"]).issubset(set(s.fieldNames())),
-        sorted(s.fieldNames()),
-    ),
-)
-_schema_compiler(
-    "expect_table_columns_to_match_ordered_list",
-    lambda k, s: (s.fieldNames() == list(k["column_list"]), s.fieldNames()),
-)
+        else set(k["column_set"]).issubset(set(s.fieldNames()))
+    )
+    return ok, sorted(s.fieldNames())
+
+
+def _columns_match_ordered(k, s):
+    if k.get("column_list") is None:
+        return True, s.fieldNames()
+    return s.fieldNames() == list(k["column_list"]), s.fieldNames()
+
+
+_schema_compiler("expect_table_columns_to_match_set", _columns_match_set)
+_schema_compiler("expect_table_columns_to_match_ordered_list", _columns_match_ordered)
 _schema_compiler(
     "expect_table_column_count_to_equal",
     lambda k, s: (len(s.fields) == int(k["value"]), len(s.fields)),
@@ -616,6 +757,8 @@ def _in_type_list(kwargs: dict[str, Any], schema: T.StructType):
     if c not in schema.fieldNames():
         return False, None
     actual = _type_of(schema, c)
+    if kwargs.get("type_list") is None:
+        return True, actual  # None type_list → vacuous placeholder
     wanted = {_normalize_type(str(t)) for t in kwargs["type_list"]}
     return actual in wanted, actual
 
@@ -638,11 +781,18 @@ def _uniqueness_compiler(name: str, cols_fn: Callable[[dict[str, Any]], list[str
         k_missing = f"missing|{config.id}"
         k_unexp = f"unexpected_count|{config.id}"
         single = len(cols) == 1
-        include = (
-            F.col(cols[0]).isNotNull()
-            if single
-            else F.lit(True)
-        )
+        if single:
+            include = F.col(cols[0]).isNotNull()
+        else:
+            # multicolumn ignore_row_if semantics (reference default
+            # "all_values_are_missing", sparkdf_execution_engine.py:557-618)
+            from great_expectations_spark.functions.conditions import _multi_include
+
+            include = _multi_include(
+                [F.col(x) for x in cols],
+                kwargs.get("ignore_row_if", "all_values_are_missing"),
+            )
+        base_include = include
         if rc is not None:
             include = include & rc
         aggs = {
@@ -658,8 +808,7 @@ def _uniqueness_compiler(name: str, cols_fn: Callable[[dict[str, Any]], list[str
             d = df
             if rc is not None:
                 d = d.filter(rc)
-            if single:
-                d = d.filter(F.col(cols[0]).isNotNull())
+            d = d.filter(base_include)
             counts = d.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n"))
             dup = counts.where(F.col("__n") > 1).agg(
                 F.coalesce(F.sum("__n"), F.lit(0)).alias("dup_rows"),
@@ -679,6 +828,7 @@ def _uniqueness_compiler(name: str, cols_fn: Callable[[dict[str, Any]], list[str
             value=F.col(cols[0]) if single else key_struct,
             columns=list(cols),
             column_domain=single,
+            value_format="scalar" if single else "record",
         )
         return Compiled(config=config, finalize=finalize, aggs=aggs, eager=eager, kernel=kernel)
 
@@ -806,9 +956,13 @@ def _monotonic_compiler(name: str, increasing: bool):
                 bad = (col <= prev) if strictly else (col < prev)
             else:
                 bad = (col >= prev) if strictly else (col > prev)
-            flagged = d.select((prev.isNotNull() & bad).alias("__bad"))
+            flagged = d.select(col.alias("__value"), (prev.isNotNull() & bad).alias("__bad"))
+            vdf = flagged.where(F.col("__bad")).select("__value")
             unexp = flagged.agg(_bool_sum(F.col("__bad")).alias("u")).first()["u"]
-            return {k_unexp: int(unexp or 0)}
+            return {
+                k_unexp: int(unexp or 0),
+                f"__violations_df__|{config.id}": vdf,
+            }
 
         def finalize(metrics: Metrics) -> EVR:
             return _map_finalize(config, metrics, k_elem, k_missing, k_unexp)
@@ -853,16 +1007,92 @@ def _kl_divergence(config: ExpectationConfiguration, options: Options) -> Compil
     c = kwargs["column"]
     po = kwargs["partition_object"]
     threshold = kwargs.get("threshold")
-    tail_holdout = float(kwargs.get("tail_weight_holdout", 0.0))
-    internal_holdout = float(kwargs.get("internal_weight_holdout", 0.0))
+    tail_holdout = kwargs.get("tail_weight_holdout", 0.0)
+    internal_holdout = kwargs.get("internal_weight_holdout", 0.0)
     col = F.col(c)
     k_nonnull = f"column.nonnull|{c}|"
     aggs: dict[str, Column] = {k_nonnull: F.count(col)}
     eager = None
 
+    # ---- auto-partition: no partition_object → profile the column
+    # (reference two-phase plan, expect_column_kl_divergence...py:230-288:
+    # column.partition bins='auto' + histogram; observed == expected → KL 0)
+    if po is None:
+        if not kwargs.get("bucketize_data", True):
+            raise CompileError(
+                "KL Divergence cannot be computed with a continuous partition "
+                "object and the bucketize_data parameter set to false.")
+        if threshold is not None and (
+            not isinstance(threshold, (int, float)) or threshold < 0
+        ):
+            raise CompileError(
+                "Threshold must be specified, greater than or equal to zero.")
+        k_auto = f"kl_auto|{config.id}"
+        cap = options.ks_sample_cap
+
+        def eager_auto(df: DataFrame, metrics: Metrics) -> dict[str, Any]:
+            rows = df.where(col.isNotNull()).select(c).limit(cap).collect()
+            return {k_auto: [float(r[0]) for r in rows]}
+
+        def finalize_auto(metrics: Metrics) -> EVR:
+            sample = np.array(metrics.get(k_auto) or [], dtype=float)
+            if len(sample) == 0:
+                return EVR(success=True, expectation_config=config,
+                           result={"observed_value": None})
+            edges = np.histogram_bin_edges(sample, bins="auto")
+            hist, _ = np.histogram(sample, edges)
+            w = (hist / len(sample)).tolist()
+            tail = (1 - sum(w)) / 2
+            # observed partition IS the expected partition → KL = 0
+            part = {"bins": edges.tolist(), "weights": w, "tail_weights": [tail, tail]}
+            kl = 0.0
+            success = True if threshold is None else kl <= float(threshold)
+            return EVR(success=bool(success), expectation_config=config,
+                       result={"observed_value": kl,
+                               "details": {"observed_partition": part,
+                                           "expected_partition": part}})
+
+        return Compiled(config=config, finalize=finalize_auto, eager=eager_auto)
+
+    # ---- kwarg validation (reference _validate raises ValueError) ----------
+    if not isinstance(po, dict):
+        raise CompileError("Invalid partition object.")
+    if threshold is not None and (
+        not isinstance(threshold, (int, float)) or threshold < 0
+    ):
+        raise CompileError("Threshold must be specified, greater than or equal to zero.")
+    for name, h in (("tail_weight_holdout", tail_holdout),
+                    ("internal_weight_holdout", internal_holdout)):
+        if not isinstance(h, (int, float)) or h < 0 or h > 1:
+            raise CompileError(f"{name} must be between zero and one.")
+    tail_holdout = float(tail_holdout)
+    internal_holdout = float(internal_holdout)
+    if tail_holdout != 0 and "tail_weights" in po:
+        raise CompileError(
+            "tail_weight_holdout must be 0 when using tail_weights in partition object")
+
+    def _valid_weights(p: dict) -> bool:
+        w = list(p.get("weights") or [])
+        if "tail_weights" in p:
+            if len(p["tail_weights"]) != 2:
+                return False
+            w = list(p["tail_weights"]) + w
+        return bool(np.allclose(np.sum(w), 1))
+
     if "bins" in po:
+        if len(po["bins"]) != len(po["weights"]) + 1 or not _valid_weights(po):
+            raise CompileError("Invalid partition object.")
         bins = [float(b) for b in po["bins"]]
         weights = [float(w) for w in po["weights"]]
+        left_inf, right_inf = math.isinf(bins[0]), math.isinf(bins[-1])
+        if (left_inf or right_inf) and "tail_weights" in po:
+            raise CompileError(
+                "There can be no tail weights for partitions with one or both "
+                "endpoints at infinity")
+        if left_inf and right_inf and tail_holdout > 0:
+            raise CompileError(
+                "tail_weight_holdout cannot be used for partitions with infinite "
+                "endpoints.")
         aggs.update(_hist_aggs(col, bins, config.id))
         keys = _hist_keys(config.id, len(bins) - 1)
 
@@ -873,37 +1103,73 @@ def _kl_divergence(config: ExpectationConfiguration, options: Options) -> Compil
             if nonnull == 0:
                 return EVR(success=True, expectation_config=config,
                            result={"observed_value": None})
-            pk = [h / nonnull for h in hist] + [below / nonnull, above / nonnull]
-            scale = 1.0 - tail_holdout - internal_holdout
-            qk = [w * scale for w in weights]
-            if internal_holdout and any(w == 0 for w in weights):
-                nzero = sum(1 for w in weights if w == 0)
-                qk = [
-                    (w * scale) if w > 0 else internal_holdout / nzero
-                    for w in weights
-                ]
-            qk = qk + [tail_holdout / 2.0, tail_holdout / 2.0]
-            kl = stats.kl_divergence(np.array(pk), np.array(qk))
-            success = threshold is not None and kl < float(threshold)
+            ow = np.array(hist, dtype=float) / nonnull  # observed weights per bin
+            ew = np.array(weights, dtype=float) * (1 - tail_holdout - internal_holdout)
+            if internal_holdout > 0:
+                zero = int(len(ew) - np.count_nonzero(ew))
+                if zero > 0:
+                    ew = np.where(ew == 0, internal_holdout / zero, ew)
+            bf, af = below / nonnull, above / nonnull
+            # branch mirrors the reference's inf-endpoint cases
+            if left_inf and right_inf:
+                expected_bins = bins[1:-1]
+                comb_e, e_tail, e_main = ew, [ew[0], ew[-1]], ew[1:-1]
+                comb_o, o_tail, o_main = ow, [ow[0], ow[-1]], ow[1:-1]
+            elif left_inf:
+                expected_bins = bins[1:]
+                comb_e = np.concatenate((ew, [tail_holdout]))
+                e_tail, e_main = [ew[0], tail_holdout], ew[1:]
+                comb_o = np.concatenate((ow, [af]))
+                o_tail, o_main = [ow[0], af], ow[1:]
+            elif right_inf:
+                expected_bins = bins[:-1]
+                comb_e = np.concatenate(([tail_holdout], ew))
+                e_tail, e_main = [tail_holdout, ew[-1]], ew[:-1]
+                comb_o = np.concatenate(([bf], ow))
+                o_tail, o_main = [bf, ow[-1]], ow[:-1]
+            else:
+                expected_bins = bins
+                if "tail_weights" in po:
+                    tw = [float(t) for t in po["tail_weights"]]
+                    comb_e = np.concatenate(([tw[0]], ew, [tw[1]]))
+                    e_tail = tw
+                else:
+                    comb_e = np.concatenate(([tail_holdout / 2], ew, [tail_holdout / 2]))
+                    e_tail = [tail_holdout / 2, tail_holdout / 2]
+                e_main = ew
+                comb_o = np.concatenate(([bf], ow, [af]))
+                o_tail, o_main = [bf, af], ow
+
+            kl = stats.kl_divergence(comb_o, comb_e)
+            bad = math.isinf(kl) or math.isnan(kl)
+            success = True if threshold is None else (not bad and kl <= float(threshold))
             return EVR(
                 success=bool(success),
                 expectation_config=config,
                 result={
-                    "observed_value": None if math.isinf(kl) else kl,
+                    "observed_value": None if bad else kl,
                     "details": {
                         "observed_partition": {
-                            "bins": bins,
-                            "weights": [h / nonnull for h in hist],
-                            "tail_weights": [below / nonnull, above / nonnull],
+                            "bins": expected_bins,
+                            "weights": np.asarray(o_main, dtype=float).tolist(),
+                            "tail_weights": [float(x) for x in o_tail],
                         },
-                        "expected_partition": po,
+                        "expected_partition": {
+                            "bins": expected_bins,
+                            "weights": np.asarray(e_main, dtype=float).tolist(),
+                            "tail_weights": [float(x) for x in e_tail],
+                        },
                     },
                 },
             )
 
-    else:  # categorical
+    elif "values" in po:  # categorical
+        if internal_holdout > 0:
+            raise CompileError("Internal weight holdout cannot be used for discrete data.")
         values = list(po["values"])
         weights = [float(w) for w in po["weights"]]
+        if len(values) != len(weights) or not np.allclose(np.sum(weights), 1):
+            raise CompileError("Invalid partition object.")
         k_counts = f"value_counts|{config.id}"
 
         def eager(df: DataFrame, metrics: Metrics) -> dict[str, Any]:
@@ -921,35 +1187,43 @@ def _kl_divergence(config: ExpectationConfiguration, options: Options) -> Compil
             if nonnull == 0:
                 return EVR(success=True, expectation_config=config,
                            result={"observed_value": None})
-            qk = {v: w for v, w in zip(values, weights)}
-            extra_mass = sum(n for v, n in counts.items() if v not in qk) / nonnull
-            if extra_mass > 0 and tail_holdout == 0:
-                kl = float("inf")
-            else:
-                pk_list, qk_list = [], []
-                for v in values:
-                    pk_list.append(counts.get(v, 0) / nonnull)
-                    qk_list.append(qk[v] * (1.0 - tail_holdout))
-                if extra_mass > 0:
-                    pk_list.append(extra_mass)
-                    qk_list.append(tail_holdout)
-                kl = stats.kl_divergence(np.array(pk_list), np.array(qk_list))
-            success = threshold is not None and kl < float(threshold)
-            observed_weights = {str(v): counts.get(v, 0) / nonnull for v in values}
+            expected = {v: w for v, w in zip(values, weights)}
+            # union index, expected order first then unseen observed values
+            # (reference pd.concat axis=1 alignment)
+            index = values + sorted(
+                (v for v in counts if v not in expected), key=str)
+            n_extra = sum(1 for v in index if v not in expected)
+            pk, qk = [], []
+            for v in index:
+                pk.append(counts.get(v, 0) / nonnull)
+                if v in expected:
+                    qk.append(expected[v] * (1 - tail_holdout) if n_extra else expected[v])
+                else:
+                    # reference fills unseen-expected NAs with holdout/n_extra
+                    qk.append(tail_holdout / n_extra if tail_holdout else 0.0)
+            kl = stats.kl_divergence(np.array(pk), np.array(qk))
+            bad = math.isinf(kl) or math.isnan(kl)
+            success = True if threshold is None else (not bad and kl <= float(threshold))
             return EVR(
                 success=bool(success),
                 expectation_config=config,
                 result={
-                    "observed_value": None if math.isinf(kl) else kl,
+                    "observed_value": None if bad else kl,
                     "details": {
                         "observed_partition": {
-                            "values": values,
-                            "weights": [observed_weights[str(v)] for v in values],
+                            "values": index,
+                            "weights": pk,
                         },
-                        "expected_partition": po,
+                        "expected_partition": {
+                            "values": index,
+                            "weights": qk,
+                        },
                     },
                 },
             )
+
+    else:
+        raise CompileError("Invalid partition object.")
 
     return Compiled(config=config, finalize=finalize, aggs=aggs, eager=eager)
 
@@ -971,66 +1245,185 @@ def _chisquare(config: ExpectationConfiguration, options: Options) -> Compiled:
         )
         return {k_counts: {r[c]: int(r["__n"]) for r in rows}}
 
+    tail_holdout = float(kwargs.get("tail_weight_holdout", 0.0))
+
     def finalize(metrics: Metrics) -> EVR:
         counts: dict[Any, int] = metrics.get(k_counts) or {}
         nonnull = int(metrics.get(k_nonnull) or 0)
         values = list(po["values"])
         weights = [float(w) for w in po["weights"]]
-        observed = np.array([counts.get(v, 0) for v in values], dtype=float)
-        expected = np.array(weights, dtype=float) * nonnull
+        # union index: expected values first, then unseen observed values
+        # (reference dataset.py:3783-3830 pd.concat alignment)
+        index = values + sorted((v for v in counts if v not in set(values)), key=str)
+        n_extra = len(index) - len(values)
+        expected_map = {v: w * nonnull for v, w in zip(values, weights)}
+        if n_extra > 0:
+            expected_map = {v: e * (1 - tail_holdout) for v, e in expected_map.items()}
+            fill = nonnull * (tail_holdout / n_extra)
+            for v in index[len(values):]:
+                expected_map[v] = fill
+        observed = np.array([counts.get(v, 0) for v in index], dtype=float)
+        expected = np.array([expected_map[v] for v in index], dtype=float)
         stat, p = stats.chisquare_test(observed, expected)
+        e_sum, o_sum = expected.sum(), observed.sum()
         return EVR(
             success=p > p_threshold,
             expectation_config=config,
-            result={"observed_value": p, "details": {"chi_squared": stat}},
+            result={
+                "observed_value": p,
+                "element_count": nonnull,
+                "missing_count": None,
+                "missing_percent": None,
+                "details": {
+                    "observed_partition": {
+                        "values": index,
+                        "weights": (observed / o_sum).tolist() if o_sum else [0.0] * len(index),
+                    },
+                    "expected_partition": {
+                        "values": index,
+                        "weights": (expected / e_sum).tolist() if e_sum else [0.0] * len(index),
+                    },
+                    "chi_squared": stat,
+                },
+            },
         )
 
     return Compiled(config=config, finalize=finalize, aggs=aggs, eager=eager)
 
 
-def _ks_compiler(name: str):
-    @compiler(name)
-    def _c(config: ExpectationConfiguration, options: Options) -> Compiled:
-        """KS test of the column against a continuous partition_object,
-        computed from fused histogram counts (ECDF at bin edges) — a
-        sketch-based variant of the reference's sample-based test
-        (column_bootstrapped_ks_test_p_value.py, pandas-only there)."""
-        kwargs = config.kwargs
-        c = kwargs["column"]
-        po = kwargs["partition_object"]
-        p_threshold = float(kwargs.get("p", 0.05))
-        col = F.col(c)
-        bins = [float(b) for b in po["bins"]]
-        weights = [float(w) for w in po["weights"]]
-        k_nonnull = f"column.nonnull|{c}|"
-        aggs = {k_nonnull: F.count(col)}
-        aggs.update(_hist_aggs(col, bins, config.id))
-        keys = _hist_keys(config.id, len(bins) - 1)
+@compiler("expect_column_bootstrapped_ks_test_p_value_to_be_greater_than")
+def _bootstrapped_ks(config: ExpectationConfiguration, options: Options) -> Compiled:
+    """Bootstrapped KS test against a continuous partition_object
+    (reference column_bootstrapped_ks_test_p_value.py:33-115, pandas-only
+    there): observed_value = fraction of ``bootstrap_samples`` small
+    resamples whose KS p-value vs the partition's interpolated CDF
+    exceeds ``p``. The small resample size (2x bins) deliberately
+    desensitizes the test to partition compression. The resampling runs on
+    a bounded driver-side sample; the column itself never leaves Spark
+    unsampled."""
+    kwargs = config.kwargs
+    c = kwargs["column"]
+    po = kwargs["partition_object"]
+    p_threshold = float(kwargs.get("p", 0.05))
 
-        def finalize(metrics: Metrics) -> EVR:
-            nonnull = int(metrics.get(k_nonnull) or 0)
-            counts = [int(metrics.get(k) or 0) for k in keys]
-            below, hist = counts[0], counts[1:-1]
-            if nonnull == 0:
-                return EVR(success=True, expectation_config=config,
-                           result={"observed_value": None})
-            ecdf = np.cumsum([below] + hist) / nonnull
-            expected_cdf = np.cumsum([0.0] + weights)
-            d = float(np.max(np.abs(ecdf - expected_cdf)))
-            p = stats.ks_sf(d, nonnull)
-            return EVR(
-                success=p > p_threshold,
-                expectation_config=config,
-                result={"observed_value": p, "details": {"ks_d": d}},
-            )
+    def _valid_continuous(p_obj) -> bool:
+        if not isinstance(p_obj, dict) or "bins" not in p_obj or "weights" not in p_obj:
+            return False
+        w = list(p_obj["weights"])
+        if "tail_weights" in p_obj:
+            if len(p_obj["tail_weights"]) != 2:
+                return False
+            w = list(p_obj["tail_weights"]) + w
+        return len(p_obj["bins"]) == len(p_obj["weights"]) + 1 and bool(
+            np.allclose(np.sum(w), 1))
 
-        return Compiled(config=config, finalize=finalize, aggs=aggs)
+    if not _valid_continuous(po):
+        raise CompileError("Invalid continuous partition object.")
+    bins = [float(b) for b in po["bins"]]
+    if math.isinf(bins[0]) or math.isinf(bins[-1]):
+        raise CompileError("Partition endpoints must be finite.")
+    if "tail_weights" in po and np.sum(po["tail_weights"]) > 0:
+        raise CompileError(
+            "Partition cannot have tail weights -- endpoints must be finite.")
+    weights = [float(w) for w in po["weights"]]
+    n_boot = int(kwargs.get("bootstrap_samples") or 1000)
+    sample_size = int(kwargs.get("bootstrap_sample_size") or len(weights) * 2)
+    k_sample = f"ks_boot_sample|{config.id}"
+    cap = options.ks_sample_cap
 
-    return _c
+    def eager(df: DataFrame, metrics: Metrics) -> dict[str, Any]:
+        rows = df.where(F.col(c).isNotNull()).select(c).limit(cap).collect()
+        return {k_sample: [float(r[0]) for r in rows]}
+
+    def finalize(metrics: Metrics) -> EVR:
+        sample = np.array(metrics.get(k_sample) or [], dtype=float)
+        if len(sample) == 0:
+            return EVR(success=True, expectation_config=config,
+                       result={"observed_value": None})
+        test_cdf = np.append([0.0], np.cumsum(weights))
+
+        def est_cdf(x):
+            return np.interp(x, bins, test_cdf)
+
+        rng = np.random.default_rng(42)  # deterministic replay
+        hits = 0
+        for _ in range(n_boot):
+            resample = rng.choice(sample, size=sample_size)
+            s = np.sort(resample)
+            cdf = est_cdf(s)
+            n = len(s)
+            d = float(max(np.max(np.arange(1, n + 1) / n - cdf),
+                          np.max(cdf - np.arange(0, n) / n)))
+            if stats.ks_sf(d, n) >= p_threshold:
+                hits += 1
+        test_result = (1 + hits) / (n_boot + 1)
+        return EVR(
+            success=bool(test_result > p_threshold),
+            expectation_config=config,
+            result={"observed_value": float(test_result),
+                    "details": {"bootstrap_samples": n_boot,
+                                "bootstrap_sample_size": sample_size}},
+        )
+
+    return Compiled(config=config, finalize=finalize, eager=eager)
 
 
-_ks_compiler("expect_column_bootstrapped_ks_test_p_value_to_be_greater_than")
-_ks_compiler("expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than")
+def _scipy_args(distribution: str, params) -> tuple:
+    """Positional scipy args from GE's named-parameter convention
+    (reference dataset/util.py validate_distribution_parameters /
+    _scipy_distribution_positional_args_from_dict)."""
+    if params is None:
+        raise CompileError("params is required for parameterized KS test")
+    if isinstance(params, (list, tuple)):
+        return tuple(params)
+    p = params
+    if distribution == "norm":
+        return (p.get("mean", 0), p.get("std_dev", 1))
+    if distribution == "beta":
+        return (p["alpha"], p["beta"], p.get("loc", 0), p.get("scale", 1))
+    if distribution == "gamma":
+        return (p["alpha"], p.get("loc", 0), p.get("scale", 1))
+    if distribution == "uniform":
+        return (p.get("min", 0), p.get("max", 1))
+    if distribution == "chi2":
+        return (p["df"], p.get("loc", 0), p.get("scale", 1))
+    if distribution in ("expon", "exponential"):
+        return (p.get("loc", 0), p.get("scale", 1))
+    raise CompileError(f"unsupported distribution {distribution!r}")
+
+
+@compiler("expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than")
+def _parameterized_ks(config: ExpectationConfiguration, options: Options) -> Compiled:
+    """KS test of the column against a NAMED scipy distribution
+    (reference expect_column_parameterized_distribution_ks_test...py,
+    pandas-only there): bounded sample → driver-side scipy.stats.kstest.
+    At 10^12 rows the sample bound keeps the driver transfer constant."""
+    kwargs = config.kwargs
+    c = kwargs["column"]
+    distribution = kwargs["distribution"]
+    p_threshold = float(kwargs.get("p_value", 0.05))
+    args = _scipy_args(distribution, kwargs.get("params"))
+    dist_name = "expon" if distribution == "exponential" else distribution
+    k_sample = f"ks_sample|{config.id}"
+    cap = options.ks_sample_cap
+
+    def eager(df: DataFrame, metrics: Metrics) -> dict[str, Any]:
+        rows = df.where(F.col(c).isNotNull()).select(c).limit(cap).collect()
+        return {k_sample: [float(r[0]) for r in rows]}
+
+    def finalize(metrics: Metrics) -> EVR:
+        sample = metrics.get(k_sample) or []
+        if not sample:
+            return EVR(success=True, expectation_config=config,
+                       result={"observed_value": None})
+        stat, p = stats.ks_test_named(np.array(sample), dist_name, args)
+        return EVR(
+            success=bool(p > p_threshold),
+            expectation_config=config,
+            result={"observed_value": float(p), "details": {"ks_d": float(stat)}},
+        )
+
+    return Compiled(config=config, finalize=finalize, eager=eager)
 
 
 @compiler("expect_column_pair_cramers_phi_value_to_be_less_than")

@@ -1,0 +1,121 @@
+"""Iceberg table source/sink for the production deployment shape.
+
+The north rule targets Iceberg tables of Common-Crawl-style web pages at
+10^12 rows. This module is the thin, catalog-aware boundary: everything
+else in the engine operates on plain DataFrames, so local tests run on
+parquet while production reads ``spark.read.format("iceberg")``.
+
+No Iceberg runtime jar ships in this sandbox — every entry point degrades
+with a clear error (or falls back to parquet when given a path), and
+``iceberg_available()`` lets callers branch.
+
+Production session configs (documented here, applied by get_spark
+``extra_conf`` when a catalog is configured):
+
+    spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog
+    spark.sql.catalog.<name>.type = hive | hadoop | rest
+    spark.sql.extensions = org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions
+
+Why Iceberg matters to THIS engine at 10^12 rows:
+  * partition transforms (e.g. ``days(warc_ts)``, ``bucket(N, url)``)
+    line up with Splitter.date_part / hashed_column — a checkpoint chunk
+    prunes to its own files instead of rescanning the table;
+  * min/max column stats skip files for range expectations before a
+    single row is read;
+  * snapshot ids give the validation run a stable input ("validate
+    snapshot S"), recorded in the lineage rows;
+  * the results table is an append-only Iceberg table partitioned by
+    (run_id) — concurrent chunk writers never conflict.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff an Iceberg catalog implementation is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, table_or_path: str, snapshot_id: int | None = None) -> DataFrame:
+    """Read an Iceberg table by catalog name, or fall back to parquet for
+    a filesystem path (the local test shape).
+
+    ``snapshot_id`` pins time travel for reproducible validation runs.
+    """
+    if "/" in table_or_path or table_or_path.endswith(".parquet"):
+        return spark.read.parquet(table_or_path)
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "Iceberg runtime not on classpath; pass a parquet path for local "
+            "runs or add iceberg-spark-runtime to spark.jars.packages"
+        )
+    reader = spark.read.format("iceberg")
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", str(snapshot_id))
+    return reader.load(table_or_path)
+
+
+def current_snapshot_id(spark: SparkSession, table: str) -> int | None:
+    """Snapshot id recorded into checkpoint lineage (None for parquet)."""
+    if not iceberg_available(spark):
+        return None
+    row = spark.sql(
+        f"SELECT snapshot_id FROM {table}.snapshots ORDER BY committed_at DESC LIMIT 1"
+    ).first()
+    return int(row[0]) if row else None
+
+
+def write_results(
+    df: DataFrame,
+    table_or_path: str,
+    mode: str = "append",
+    partition_by: tuple[str, ...] = ("run_id",),
+) -> None:
+    """Append validation-result rows; Iceberg table when available, else
+    partitioned parquet with an identical layout."""
+    spark = df.sparkSession
+    if "/" in table_or_path:
+        df.write.mode(mode).partitionBy(*partition_by).parquet(table_or_path)
+        return
+    if not iceberg_available(spark):
+        raise RuntimeError("Iceberg runtime not on classpath")
+    df.writeTo(table_or_path).append() if mode == "append" else df.writeTo(
+        table_or_path
+    ).createOrReplace()
+
+
+def plan_table_ddl(results_table: str) -> str:
+    """DDL for the production results table (documentation + bootstrap)."""
+    return f"""
+CREATE TABLE IF NOT EXISTS {results_table} (
+  run_id string, chunk_id string, chunk_predicate string,
+  expectation_index int, expectation_type string, kwargs_json string,
+  success boolean, element_count bigint, missing_count bigint,
+  unexpected_count bigint, observed_value_json string,
+  raised_exception boolean, rows_scanned bigint, wall_time_s double,
+  finished_at double, snapshot_id bigint
+) USING iceberg
+PARTITIONED BY (run_id)
+"""
+
+
+def session_conf_for_catalog(name: str, catalog_type: str = "hadoop",
+                             warehouse: str | None = None) -> dict[str, Any]:
+    """extra_conf dict for sources.session.get_spark on a real cluster."""
+    conf = {
+        f"spark.sql.catalog.{name}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{name}.type": catalog_type,
+        "spark.sql.extensions":
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+    }
+    if warehouse:
+        conf[f"spark.sql.catalog.{name}.warehouse"] = warehouse
+    return conf

@@ -22,9 +22,14 @@ def get_spark(
 ) -> SparkSession:
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = f"local[{cores}]"
+    # a full master URL ("local-cluster[2,4,4096]", "spark://...") passes through
+    master = cores if isinstance(cores, str) and not cores.lstrip("*").isdigit() and cores != "*" \
+        else f"local[{cores}]"
     if shuffle_partitions is None:
-        shuffle_partitions = 32 if cores in ("*",) else max(int(cores) * 2, 4)
+        try:
+            shuffle_partitions = max(int(cores) * 2, 4)
+        except (TypeError, ValueError):
+            shuffle_partitions = 32
     b = (
         SparkSession.builder.master(master)
         .appName(app)

@@ -52,10 +52,12 @@ def webpage_suite(with_referential: bool = True) -> ExpectationSuite:
     s.add("expect_column_value_z_scores_to_be_less_than", column="text_len",
           threshold=6, double_sided=True, mostly=0.999)
     # distribution drift: lang share should track the generator's mixture
+    # weights MUST sum to 1 (reference is_valid_partition_object); the
+    # ~0.5% invalid-lang tail is absorbed via tail_weight_holdout
     s.add("expect_column_kl_divergence_to_be_less_than", column="lang",
           partition_object={
               "values": LANGS,
-              "weights": [0.60, 0.15, 0.08, 0.06, 0.04, 0.03, 0.02, 0.015],
+              "weights": [0.605, 0.15, 0.08, 0.06, 0.04, 0.03, 0.02, 0.015],
           },
           threshold=0.1, tail_weight_holdout=0.01)
     if with_referential:

@@ -59,6 +59,10 @@ _SCHEMA_TYPES_WITH_OWN_CHECK = {
     "expect_column_to_exist",
     "expect_column_values_to_be_of_type",
     "expect_column_values_to_be_in_type_list",
+    # table-level column-list comparisons: the kwargs name EXPECTED columns,
+    # which may legitimately be absent (that's the failure being tested)
+    "expect_table_columns_to_match_set",
+    "expect_table_columns_to_match_ordered_list",
 }
 
 
@@ -145,8 +149,19 @@ class SparkValidator:
             for config, comp, err in compiled:
                 if comp is None or err is not None:
                     continue
-                unexp = metrics.get(f"unexpected_count|{config.id}")
-                if not unexp:
+                k_unexp = f"unexpected_count|{config.id}"
+                if k_unexp not in metrics:
+                    continue  # not a map-style expectation
+                if not metrics.get(k_unexp):
+                    # clean result: the reference still emits EMPTY lists at
+                    # each tier (expectation.py:3411-3555) — no Spark job
+                    metrics[f"partial_unexpected_list|{config.id}"] = []
+                    if self.rf.at_least("SUMMARY"):
+                        metrics[f"partial_unexpected_counts|{config.id}"] = []
+                    if self.rf.at_least("COMPLETE"):
+                        metrics[f"unexpected_list|{config.id}"] = []
+                        if self.rf.unexpected_index_column_names:
+                            metrics[f"unexpected_index_list|{config.id}"] = []
                     continue
                 try:
                     metrics.update(self._collect_violations(config, comp, metrics))
@@ -223,7 +238,7 @@ class SparkValidator:
         if vdf_key in metrics:  # referential: anti-join already built the frame
             vdf = metrics[vdf_key].withColumnRenamed("__value", "__v")
         elif kernel is not None:
-            unexpected = kernel.include & ~F.coalesce(kernel.ok, F.lit(False))
+            unexpected = kernel.include & F.coalesce(~kernel.ok, F.lit(False))
             index_cols = [c for c in self.rf.unexpected_index_column_names]
             sel = [kernel.value.alias("__v"), unexpected.alias("__u")] + [
                 F.col(c) for c in index_cols
@@ -232,8 +247,17 @@ class SparkValidator:
         else:
             return out
 
+        # reference value shapes (fixture corpus contract): column-pair
+        # domains emit each unexpected value as a LIST [a, b]; multicolumn
+        # domains emit a dict {col: value}; columns stay scalars
+        def fmt(v):
+            v = _py(v)
+            if kernel is not None and kernel.value_format == "pair" and isinstance(v, dict):
+                return [v.get(c) for c in kernel.columns]
+            return v
+
         rows = vdf.limit(k).collect()
-        out[f"partial_unexpected_list|{config.id}"] = [_py(r["__v"]) for r in rows]
+        out[f"partial_unexpected_list|{config.id}"] = [fmt(r["__v"]) for r in rows]
 
         if self.rf.at_least("SUMMARY"):
             counts = (
@@ -244,12 +268,12 @@ class SparkValidator:
                 .collect()
             )
             out[f"partial_unexpected_counts|{config.id}"] = [
-                {"value": _py(r["__v"]), "count": int(r["__n"])} for r in counts
+                {"value": fmt(r["__v"]), "count": int(r["__n"])} for r in counts
             ]
 
         if self.rf.at_least("COMPLETE"):
             full = vdf.limit(cap).collect()
-            out[f"unexpected_list|{config.id}"] = [_py(r["__v"]) for r in full]
+            out[f"unexpected_list|{config.id}"] = [fmt(r["__v"]) for r in full]
             if self.rf.unexpected_index_column_names:
                 out[f"unexpected_index_list|{config.id}"] = [
                     {c: _py(r[c]) for c in self.rf.unexpected_index_column_names} for r in full

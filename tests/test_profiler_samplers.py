@@ -1,0 +1,115 @@
+"""Profiler, samplers, and streaming-module tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+# ----------------------------------------------------------------- profiler
+
+
+def test_profile_one_row_per_column(spark, docs):
+    from great_expectations_spark.profiler import profile
+
+    prof = {r.column: r for r in profile(docs).collect()}
+    assert set(prof) == set(docs.columns)
+    n = docs.count()
+    assert prof["doc_id"].n_rows == n
+    assert prof["doc_id"].kind == "numeric"
+    assert prof["text"].kind == "string"
+    assert prof["lang"].cardinality_band in ("very_few", "few")
+    # exact cross-check of a couple of facts
+    assert prof["text"].n_null == docs.where(F.col("text").isNull()).count()
+    assert prof["n_chars"].min == docs.agg(F.min("n_chars")).first()[0]
+
+
+def test_suggested_suite_passes_on_its_own_data(spark, docs):
+    from great_expectations_spark import validate
+    from great_expectations_spark.profiler import suggest_suite
+
+    suite = suggest_suite(docs)
+    assert len(suite.expectations) >= 5
+    res = validate(docs, suite, result_format="BOOLEAN_ONLY")
+    assert all(r.success for r in res.results), [
+        (r.expectation_config.expectation_type, r.result) for r in res.results if not r.success
+    ]
+
+
+# ----------------------------------------------------------------- samplers
+
+
+def test_hash_sampler_partitions_rows(spark, docs):
+    from great_expectations_spark.sources.samplers import sample_hash
+
+    total = docs.count()
+    got = sum(sample_hash(docs, "doc_id", buckets=4, keep=k).count() for k in range(4))
+    assert got == total
+
+
+def test_mod_and_list_samplers(spark, docs):
+    from great_expectations_spark.sources.samplers import sample_mod, sample_value_list
+
+    m = sample_mod(docs, "doc_id", 10, 3)
+    assert m.where(F.col("doc_id") % 10 != 3).count() == 0
+    v = sample_value_list(docs, "lang", ["en"])
+    assert v.select("lang").distinct().collect() == [("en",)]
+
+
+def test_random_sampler_deterministic_seed(spark, docs):
+    from great_expectations_spark.sources.samplers import sample_random
+
+    a = sample_random(docs, 0.5, seed=7).count()
+    b = sample_random(docs, 0.5, seed=7).count()
+    assert a == b and 0 < a < docs.count()
+
+
+# ---------------------------------------------------------------- streaming
+
+
+def test_validate_stream_microbatches(spark, docs, tmp_path):
+    from great_expectations_spark import ExpectationSuite
+    from great_expectations_spark.streaming import validate_stream
+
+    src = str(tmp_path / "src")
+    docs.limit(100).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    suite = (
+        ExpectationSuite(name="stream")
+        .add("expect_column_values_to_not_be_null", column="doc_id")
+        .add("expect_column_values_to_not_be_null", column="text", mostly=0.8)
+    )
+    results = str(tmp_path / "results")
+    q = validate_stream(stream, suite, results, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(results)
+    rows = out.collect()
+    assert len(rows) == 2  # one batch x two expectations
+    assert {r.chunk_id for r in rows} == {"batch-0"}
+    assert out.where(F.col("expectation_index") == 0).first().element_count == 100
+
+
+def test_windowed_condition_rates_batch_semantics(spark, tmp_path):
+    """The windowed aggregation is valid for batch frames too — verify the
+    arithmetic there (streaming execution covered by validate_stream)."""
+    from great_expectations_spark.streaming import windowed_condition_rates
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:05", "en"), ("2024-01-01 00:00:20", None),
+         ("2024-01-01 00:01:10", "de")],
+        "ts string, lang string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = windowed_condition_rates(df, "ts", {"lang_known": F.col("lang").isNotNull()},
+                                   window_seconds=60).orderBy("window_start").collect()
+    assert [r.element_count for r in out] == [2, 1]
+    assert out[0].lang_known__pass == 1 and out[0].lang_known__rate == 0.5
