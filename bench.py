@@ -43,9 +43,18 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    from great_expectations_spark import ExpectationSuite, validate
+    from great_expectations_spark import ExpectationSuite, validate as _validate
+    from great_expectations_spark.plans.compiler import Options
     from great_expectations_spark.sources.session import get_spark
     from great_expectations_spark.sources.webpages import webpages
+
+    # scale mode: HLL++ distincts, GK quantile/median sketches fused into
+    # the single pass (exact variants are the correctness-gate defaults)
+    SCALE = Options(approx_distinct=True, exact_quantiles=False, exact_median=False)
+
+    def validate(df, suite, result_format="BASIC", tables=None):
+        return _validate(df, suite, result_format=result_format, tables=tables,
+                         options=SCALE)
 
     spark = get_spark(app="ges-bench")
 

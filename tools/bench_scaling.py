@@ -40,17 +40,28 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_ROWS = 192_000_000
+N_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", 192_000_000))
 MAX_TOKENS = 60
 PARTITIONS = 256
 REPS = 3
-CALIB_ROWS = 16_000_000_000
-DATA_DIR = "/tmp/ges_scaling_pages"
+CALIB_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_CALIB_ROWS", 16_000_000_000))
+DATA_DIR = f"/tmp/ges_scaling_pages_{N_ROWS}"
 
-MASTERS = {
-    "N": ("local-cluster[2,4,4096]", 8),
-    "4N": ("local-cluster[8,4,4096]", 32),
+# two N->4N pairs: "small" (2->8 busy threads) sits where this VM's vCPU
+# scheduling still scales ~linearly; "large" (8->32) probes the host's own
+# saturation region (see hardware ceiling in the report)
+PAIRS = {
+    "small": {
+        "N": ("local-cluster[1,2,4096]", 2),
+        "4N": ("local-cluster[4,2,4096]", 8),
+    },
+    "large": {
+        "N": ("local-cluster[2,4,4096]", 8),
+        "4N": ("local-cluster[8,4,4096]", 32),
+    },
 }
+PAIR = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "large")
+MASTERS = PAIRS[PAIR]
 
 
 def _gen_data() -> None:
@@ -79,7 +90,7 @@ def _session(label: str):
     # each executor JVM must size its GC/JIT/common pools for ITS 4 cores,
     # not the 32 host vCPUs — otherwise 8 executors spawn ~200 service
     # threads and the 4N cluster loses to the N cluster on this one box
-    exec_opts = "-XX:ActiveProcessorCount=4"
+    exec_opts = f"-XX:ActiveProcessorCount={MASTERS['N'][0].split(',')[1]}"
     return get_spark(cores=master, app=f"scaling-{label}",
                      shuffle_partitions=cores * 2,
                      extra_conf={"spark.executor.extraJavaOptions": exec_opts,
