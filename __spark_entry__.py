@@ -805,6 +805,66 @@ def _p12(spark, sf):
     return frame_sample(pay, "doc_id", "payload", k=4)
 
 
+# ---- profiler ---------------------------------------------------------------
+
+
+@_q("profile_documents", """
+SELECT 'doc_id' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END),0) AS BIGINT) AS n_null,
+       CAST(min(doc_id) AS DOUBLE) AS min, CAST(max(doc_id) AS DOUBLE) AS max,
+       round(avg(doc_id), 6) AS mean
+FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),0) AS BIGINT),
+       CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+       round(avg(n_chars), 6)
+FROM documents
+""")
+def _prof1(spark, sf):
+    from great_expectations_spark.profiler import profile
+
+    docs = _tbl(spark, sf, "documents")
+    prof = profile(docs, columns=["doc_id", "n_chars"])
+    return prof.select(
+        "column", "n_rows", "n_null", "min", "max",
+        F.round(F.col("mean"), 6).alias("mean"))
+
+
+# ---- query-metric escape hatch ----------------------------------------------
+
+
+@_q("query_metric_lang_counts", """
+SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+WHERE lang IS NOT NULL GROUP BY lang
+""")
+def _qm1(spark, sf):
+    from great_expectations_spark.functions.querymetrics import run_query
+
+    docs = _tbl(spark, sf, "documents")
+    return run_query(
+        docs,
+        "SELECT {column} AS lang, CAST(count(*) AS BIGINT) AS n FROM {active_batch} "
+        "WHERE {column} IS NOT NULL GROUP BY {column}",
+        column="lang",
+    )
+
+
+# ---- skew-safe aggregation ---------------------------------------------------
+
+
+@_q("salted_value_counts_lang", """
+SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+WHERE lang IS NOT NULL GROUP BY lang
+""")
+def _sk1(spark, sf):
+    from great_expectations_spark.functions.skew import skew_safe_value_counts
+
+    docs = _tbl(spark, sf, "documents")
+    return skew_safe_value_counts(docs, "lang").select(
+        "lang", F.col("n").cast("long").alias("n"))
+
+
 # ---- checkpointed (per-partition lineage) validation ------------------------
 
 
