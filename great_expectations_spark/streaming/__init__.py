@@ -12,9 +12,10 @@ extension for continuously-arriving web crawl data. Two shapes:
     incremental state, for always-on drift monitors.
 """
 
+from great_expectations_spark.streaming.stateful import cumulative_condition_rate
 from great_expectations_spark.streaming.validate_stream import (
     validate_stream,
     windowed_condition_rates,
 )
 
-__all__ = ["validate_stream", "windowed_condition_rates"]
+__all__ = ["validate_stream", "windowed_condition_rates", "cumulative_condition_rate"]

@@ -113,3 +113,48 @@ def test_windowed_condition_rates_batch_semantics(spark, tmp_path):
                                    window_seconds=60).orderBy("window_start").collect()
     assert [r.element_count for r in out] == [2, 1]
     assert out[0].lang_known__pass == 1 and out[0].lang_known__rate == 0.5
+
+
+def test_stateful_cumulative_rate(spark, docs, tmp_path):
+    """applyInPandasWithState: totals accumulate ACROSS micro-batches."""
+    from great_expectations_spark.streaming.stateful import cumulative_condition_rate
+
+    src = str(tmp_path / "src2")
+    half = docs.limit(200)
+    half.limit(100).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ok", F.col("text").isNotNull())
+    )
+    rates = cumulative_condition_rate(stream, "lang", "ok")
+    q = (
+        rates.writeStream.format("memory")
+        .queryName("cumrates")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r.key: r.n_total
+            for r in spark.sql(
+                "SELECT key, max(n_total) AS n_total FROM cumrates GROUP BY key"
+            ).collect()
+        }
+        # second batch arrives -> totals must GROW past the first 100 rows
+        half.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        final = {
+            r.key: r.n_total
+            for r in spark.sql(
+                "SELECT key, max(n_total) AS n_total FROM cumrates GROUP BY key"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    assert sum(first.values()) == 100
+    assert sum(final.values()) == 300  # 100 + 200 cumulative, state carried
+    assert all(final[k] >= v for k, v in first.items())
