@@ -95,6 +95,25 @@ class CompileError(ValueError):
     pass
 
 
+# Compiled records are DataFrame-independent (unresolved Column exprs +
+# pure finalize closures), so identical (expectation, options) pairs are
+# reused — checkpoint chunks and streaming micro-batches revalidate the
+# same suite hundreds of times without re-building expression trees.
+_COMPILE_CACHE: dict[tuple, Compiled] = {}
+_COMPILE_CACHE_MAX = 4096
+
+
+def _cache_key(config: ExpectationConfiguration, options: Options):
+    import json
+
+    try:
+        kw = json.dumps(config.kwargs, sort_keys=True, default=repr)
+    except Exception:
+        return None
+    return (config.expectation_type, kw,
+            tuple(sorted(options.__dict__.items())))
+
+
 def compile_expectation(config: ExpectationConfiguration, options: Options) -> Compiled:
     et = config.expectation_type
     m = config.kwargs.get("mostly")
@@ -102,11 +121,20 @@ def compile_expectation(config: ExpectationConfiguration, options: Options) -> C
         m = float(m)
         if not 0 <= m <= 1:
             raise CompileError("mostly must be between 0 and 1")
+    key = _cache_key(config, options)
+    if key is not None and key in _COMPILE_CACHE:
+        return _COMPILE_CACHE[key]
     if et in COMPILERS:
-        return COMPILERS[et](config, options)
-    if et in MAP_KERNELS:
-        return _compile_map(config, options)
-    raise CompileError(f"unknown expectation_type: {et}")
+        compiled = COMPILERS[et](config, options)
+    elif et in MAP_KERNELS:
+        compiled = _compile_map(config, options)
+    else:
+        raise CompileError(f"unknown expectation_type: {et}")
+    if key is not None:
+        if len(_COMPILE_CACHE) >= _COMPILE_CACHE_MAX:
+            _COMPILE_CACHE.clear()
+        _COMPILE_CACHE[key] = compiled
+    return compiled
 
 
 def supported_expectations() -> list[str]:
