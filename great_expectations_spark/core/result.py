@@ -41,6 +41,28 @@ class ExpectationValidationResult:
             "meta": self.meta,
         }
 
+    def get_metric(self, metric_name: str, **kwargs: Any) -> Any:
+        """Expose expectation-defined metrics for URN chaining — mirrors the
+        reference's EVR.get_metric (core/expectation_validation_result.py:
+        332-377): ``<expectation_type>.success`` or
+        ``<expectation_type>.result.<field>``; kwargs (e.g. column=...) must
+        match this EVR's configuration."""
+        parts = metric_name.split(".")
+        if parts[0] != self.expectation_config.expectation_type:
+            raise KeyError(f"metric {metric_name} does not match this result")
+        for k, v in kwargs.items():
+            if str(self.expectation_config.kwargs.get(k)) != str(v):
+                raise KeyError(
+                    f"metric kwargs {kwargs} do not match this result's configuration")
+        if len(parts) == 2 and parts[1] == "success":
+            return self.success
+        if len(parts) >= 3 and parts[1] == "result":
+            if len(parts) == 3:
+                return self.result.get(parts[2])
+            if parts[2] == "details":
+                return self.result["details"].get(parts[3])
+        raise KeyError(f"unrecognized metric name {metric_name}")
+
     @classmethod
     def exception(
         cls, config: ExpectationConfiguration, message: str, traceback: str | None = None
@@ -87,6 +109,22 @@ class SuiteValidationResult:
             statistics=stats,
             meta=meta or {},
         )
+
+    def get_metric(self, metric_name: str, **kwargs: Any) -> Any:
+        """Suite-level metric lookup for cross-suite URN chaining — mirrors
+        ExpectationSuiteValidationResult.get_metric (reference
+        core/expectation_validation_result.py:560-598): ``statistics.<name>``
+        or the first matching expectation's EVR metric."""
+        parts = metric_name.split(".")
+        if parts[0] == "statistics" and len(parts) == 2:
+            return self.statistics.get(parts[1])
+        if parts[0].startswith("expect_"):
+            for r in self.results:
+                try:
+                    return r.get_metric(metric_name, **kwargs)
+                except KeyError:
+                    continue
+        raise KeyError(f"metric {metric_name} (kwargs={kwargs}) not available in suite result")
 
     def to_dict(self) -> dict[str, Any]:
         return {

@@ -291,6 +291,12 @@ def _pair_greater(kwargs: dict[str, Any]) -> MapKernel:
     return _pair_kernel(kwargs, ok)
 
 
+# legacy capitalized registration — the reference's own fixture corpus and
+# docs use this casing (tests/test_definitions/column_pair_map_expectations/
+# expect_column_pair_values_a_to_be_greater_than_b.json "expectation_type")
+MAP_KERNELS["expect_column_pair_values_A_to_be_greater_than_B"] = _pair_greater
+
+
 @register("expect_column_pair_values_to_be_in_set")
 def _pair_in_set(kwargs: dict[str, Any]) -> MapKernel:
     a, b = F.col(kwargs["column_A"]), F.col(kwargs["column_B"])

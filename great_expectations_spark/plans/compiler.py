@@ -156,10 +156,15 @@ def _row_condition(kwargs: dict[str, Any]) -> Column | None:
     if parser not in ("spark", "great_expectations__experimental__"):
         raise CompileError(f"unsupported condition_parser {parser!r}")
     if parser == "great_expectations__experimental__":
-        # GE mini-DSL: col("x") <op> literal — rewrite to SQL
-        # (reference expectations/row_conditions.py:45-70)
+        # GE mini-DSL: col("x") <op> literal | col("x").notnull() — rewrite
+        # to SQL (reference expectations/row_conditions.py:45-70; .notnull()
+        # grammar at :66-69, case-insensitive)
         import re
 
+        rc = re.sub(
+            r'col\("([^"]+)"\)\s*\.notnull\(\)', r"`\1` IS NOT NULL", rc,
+            flags=re.IGNORECASE,
+        )
         rc = re.sub(r'col\("([^"]+)"\)', r"`\1`", rc)
     return F.expr(rc)
 
@@ -392,11 +397,15 @@ def _agg_between(
                     raise ValueError(
                         f"{name} requires a numeric column, got "
                         f"{schema[c].dataType.simpleString()}")
-            obs = _py(metrics.get(key))
+            # success is judged on the RAW metric value so datetime observed
+            # values compare against parsed datetime bounds
+            # (reference expectation.py:2392-2410); _py only shapes the
+            # JSON-able result payload
+            raw = metrics.get(key)
             return EVR(
-                success=_between_success(obs, kwargs),
+                success=_between_success(raw, kwargs),
                 expectation_config=config,
-                result=_with_counts({"observed_value": obs}, metrics, k_total, k_nn),
+                result=_with_counts({"observed_value": _py(raw)}, metrics, k_total, k_nn),
             )
 
         return Compiled(config=config, finalize=finalize, aggs=aggs)
@@ -421,6 +430,32 @@ _agg_between(
         else F.percentile_approx(c, 0.5, o.percentile_accuracy)
     ),
 )
+
+
+def _bounded_group_counts(
+    df: DataFrame, group_cols: list[str], cap: int, where: Column | None = None
+) -> list:
+    """groupBy value-counts with a hard driver-transfer bound: collects at
+    most ``cap + 1`` groups and raises (→ exception_info) when the column's
+    cardinality exceeds ``Options.distinct_set_cap``. Keeps the KL/chi-square/
+    Cramér eager paths from shipping an unbounded count table to the driver
+    (the reference shares this flaw — dataset.py value_counts collects all)."""
+    d = df
+    if where is not None:
+        d = d.where(where)
+    rows = (
+        d.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        raise ValueError(
+            f"column(s) {group_cols} have more than {cap} distinct groups; "
+            "categorical distribution tests are not meaningful at this "
+            "cardinality — raise Options.distinct_set_cap or bucket the column "
+            "first")
+    return rows
 
 
 def _distinct_count_agg(kwargs: dict[str, Any], col: Column, options: Options) -> Column:
@@ -526,9 +561,20 @@ def _quantiles(config: ExpectationConfiguration, options: Options) -> Compiled:
     return Compiled(config=config, finalize=finalize, aggs=aggs, eager=eager)
 
 
-def _collect_distinct_agg(c: str, rc: Column | None) -> tuple[str, Column]:
-    key = f"column.distinct_values|{c}|{str(rc)}"
-    return key, F.collect_set(_guard(F.col(c), rc))
+def _collect_distinct_aggs(c: str, rc: Column | None, cap: int) -> tuple[str, str, dict[str, Column]]:
+    """Bounded distinct-set collection: the collect_set result is sliced to
+    ``cap + 1`` elements before leaving the executors (bounds the driver
+    transfer) and an HLL++ guard rides the same fused agg so finalize can
+    fail loudly — with exception_info, never an OOM — when the column's
+    cardinality exceeds ``Options.distinct_set_cap``. The reference collects
+    the full distinct set unconditionally (column_distinct_values.py:79-104)."""
+    key = f"column.distinct_values|{c}|{str(rc)}|{cap}"
+    k_guard = f"column.distinct_guard|{c}|{str(rc)}"
+    col = _guard(F.col(c), rc)
+    return key, k_guard, {
+        key: F.slice(F.collect_set(col), 1, cap + 1),
+        k_guard: F.approx_count_distinct(col),
+    }
 
 
 def _distinct_set_compiler(name: str, check: Callable[[set, set], bool]):
@@ -537,13 +583,22 @@ def _distinct_set_compiler(name: str, check: Callable[[set, set], bool]):
         kwargs = config.kwargs
         rc = _row_condition(kwargs)
         c = kwargs["column"]
-        key, agg = _collect_distinct_agg(c, rc)
+        cap = options.distinct_set_cap
+        key, k_guard, distinct_aggs = _collect_distinct_aggs(c, rc, cap)
         vacuous = kwargs.get("value_set") is None
         expected = set(kwargs.get("value_set") or [])
         (k_total, k_nn), count_aggs = _count_keys_aggs(c, kwargs, rc)
 
         def finalize(metrics: Metrics) -> EVR:
-            observed = set(_py(metrics.get(key)) or [])
+            observed_list = _py(metrics.get(key)) or []
+            if len(observed_list) > cap:
+                raise ValueError(
+                    f"column {c!r} has more than distinct_set_cap={cap} distinct "
+                    f"values (~{int(metrics.get(k_guard) or 0)} by HLL++ estimate); "
+                    "distinct-set expectations are not meaningful at this "
+                    "cardinality — raise Options.distinct_set_cap or use "
+                    "expect_column_unique_value_count_to_be_between")
+            observed = set(observed_list)
             return EVR(
                 success=True if vacuous else check(observed, expected),
                 expectation_config=config,
@@ -552,7 +607,7 @@ def _distinct_set_compiler(name: str, check: Callable[[set, set], bool]):
                     metrics, k_total, k_nn),
             )
 
-        return Compiled(config=config, finalize=finalize, aggs={key: agg, **count_aggs})
+        return Compiled(config=config, finalize=finalize, aggs={**distinct_aggs, **count_aggs})
 
     return _c
 
@@ -576,13 +631,23 @@ def _most_common(config: ExpectationConfiguration, options: Options) -> Compiled
 
     def eager(df: DataFrame, metrics: Metrics) -> dict[str, Any]:
         col = F.col(c)
+        cap = options.distinct_set_cap
         gb = df.where(col.isNotNull()).groupBy(c).agg(F.count(F.lit(1)).alias("__n"))
         gb = gb.persist()
         try:
             top = gb.orderBy(F.desc("__n")).first()
             if top is None:
                 return {key: []}
-            modes = [r[c] for r in gb.where(F.col("__n") == top["__n"]).collect()]
+            # tied modes are collected bounded: >cap ties means the column is
+            # effectively unique-valued and the mode is meaningless — fail
+            # loudly instead of shipping the whole value set to the driver
+            mode_rows = gb.where(F.col("__n") == top["__n"]).limit(cap + 1).collect()
+            if len(mode_rows) > cap:
+                raise ValueError(
+                    f"column {c!r} has more than {cap} tied most-common values; "
+                    "most_common_value is not meaningful at this cardinality — "
+                    "raise Options.distinct_set_cap")
+            modes = [r[c] for r in mode_rows]
         finally:
             gb.unpersist()
         return {key: sorted(modes, key=str)}
@@ -964,32 +1029,80 @@ def _monotonic_compiler(name: str, increasing: bool):
         kwargs = config.kwargs
         c = kwargs["column"]
         strictly = bool(kwargs.get("strictly", False))
-        order_by = kwargs.get("order_by")  # engine extension; reference uses
-        # encounter order via a single-partition constant-literal window
-        # (column_values_increasing.py:140-145) — catastrophic at scale.
+        order_by = kwargs.get("order_by")  # engine extension; reference only
+        # has encounter order via a single-partition constant-literal window
+        # (column_values_increasing.py:140-145) — whole table on one task.
         k_elem = _cnt_key("")
         k_missing = f"missing|{config.id}"
         k_unexp = f"unexpected_count|{config.id}"
         col = F.col(c)
         aggs = {k_elem: F.count(F.lit(1)), k_missing: _bool_sum(col.isNull())}
 
-        def eager(df: DataFrame, metrics: Metrics) -> dict[str, Any]:
-            d = df.where(col.isNotNull())
-            if order_by:
-                w = Window.orderBy(F.col(order_by))
-            else:
-                w = Window.orderBy(F.monotonically_increasing_id())
-            prev = F.lag(col).over(w)
+        def _violates(cur: Column, prev: Column) -> Column:
             if increasing:
-                bad = (col <= prev) if strictly else (col < prev)
+                return (cur <= prev) if strictly else (cur < prev)
+            return (cur >= prev) if strictly else (cur > prev)
+
+        def eager(df: DataFrame, metrics: Metrics) -> dict[str, Any]:
+            """Distributed monotonicity (SURVEY §7): lag WITHIN partitions +
+            one boundary row per partition pair, instead of the reference's
+            global single-partition window.
+
+            order_by mode: range-repartition on the sort key so each task
+            holds one contiguous key range; encounter-order mode: no shuffle
+            at all — monotonically_increasing_id() already orders rows as
+            (partition_id, position-in-partition). Either way the per-row
+            lag runs under Window.partitionBy(partition id) (parallel, one
+            task per partition) and the P partition boundaries are checked
+            on the driver from a P-row aggregate."""
+            if order_by:
+                keep = [c] if order_by == c else [c, order_by]
+                d = df.where(col.isNotNull()).select(*keep)
+                d = d.repartitionByRange(F.col(order_by))
+                okey = F.col(order_by)
             else:
-                bad = (col >= prev) if strictly else (col > prev)
-            flagged = d.select(col.alias("__value"), (prev.isNotNull() & bad).alias("__bad"))
-            vdf = flagged.where(F.col("__bad")).select("__value")
+                d = df.where(col.isNotNull()).select(c)
+                okey = F.monotonically_increasing_id()
+            d = d.withColumn("__ok", okey).withColumn("__pid", F.spark_partition_id())
+            w = Window.partitionBy("__pid").orderBy("__ok")
+            prev = F.lag(col).over(w)
+
+            # per-partition boundary stats: P rows, map-side combinable
+            bounds = (
+                d.groupBy("__pid")
+                .agg(
+                    F.min("__ok").alias("__lo"),
+                    F.min_by(col, F.col("__ok")).alias("__first"),
+                    F.max_by(col, F.col("__ok")).alias("__last"),
+                )
+                .collect()
+            )
+            bounds.sort(key=lambda r: r["__lo"])
+            # previous partition's last value, keyed by partition id
+            prev_last = [
+                (bounds[i]["__pid"], bounds[i - 1]["__last"])
+                for i in range(1, len(bounds))
+            ]
+            if prev_last:
+                spark = df.sparkSession
+                schema = T.StructType([
+                    T.StructField("__pid", T.IntegerType()),
+                    T.StructField("__prev_last", d.schema[c].dataType),
+                ])
+                pl_df = F.broadcast(spark.createDataFrame(prev_last, schema))
+                d = d.join(pl_df, on="__pid", how="left")
+            else:
+                d = d.withColumn("__prev_last", F.lit(None).cast(d.schema[c].dataType))
+
+            # first row of each partition compares against the previous
+            # partition's last value; all other rows against their lag
+            eff_prev = F.coalesce(prev, F.col("__prev_last"))
+            bad = eff_prev.isNotNull() & _violates(col, eff_prev)
+            flagged = d.select(col.alias("__value"), bad.alias("__bad"))
             unexp = flagged.agg(_bool_sum(F.col("__bad")).alias("u")).first()["u"]
             return {
                 k_unexp: int(unexp or 0),
-                f"__violations_df__|{config.id}": vdf,
+                f"__violations_df__|{config.id}": flagged.where(F.col("__bad")).select("__value"),
             }
 
         def finalize(metrics: Metrics) -> EVR:
@@ -1201,12 +1314,8 @@ def _kl_divergence(config: ExpectationConfiguration, options: Options) -> Compil
         k_counts = f"value_counts|{config.id}"
 
         def eager(df: DataFrame, metrics: Metrics) -> dict[str, Any]:
-            rows = (
-                df.where(col.isNotNull())
-                .groupBy(c)
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .collect()
-            )
+            rows = _bounded_group_counts(
+                df, [c], options.distinct_set_cap, where=col.isNotNull())
             return {k_counts: {r[c]: int(r["__n"]) for r in rows}}
 
         def finalize(metrics: Metrics) -> EVR:
@@ -1268,9 +1377,8 @@ def _chisquare(config: ExpectationConfiguration, options: Options) -> Compiled:
     aggs = {k_nonnull: F.count(col)}
 
     def eager(df: DataFrame, metrics: Metrics) -> dict[str, Any]:
-        rows = (
-            df.where(col.isNotNull()).groupBy(c).agg(F.count(F.lit(1)).alias("__n")).collect()
-        )
+        rows = _bounded_group_counts(
+            df, [c], options.distinct_set_cap, where=col.isNotNull())
         return {k_counts: {r[c]: int(r["__n"]) for r in rows}}
 
     tail_holdout = float(kwargs.get("tail_weight_holdout", 0.0))
@@ -1462,12 +1570,9 @@ def _cramers_phi(config: ExpectationConfiguration, options: Options) -> Compiled
     k_phi = f"cramers_phi|{config.id}"
 
     def eager(df: DataFrame, metrics: Metrics) -> dict[str, Any]:
-        rows = (
-            df.where(F.col(ca).isNotNull() & F.col(cb).isNotNull())
-            .groupBy(ca, cb)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .collect()
-        )
+        rows = _bounded_group_counts(
+            df, [ca, cb], options.distinct_set_cap,
+            where=F.col(ca).isNotNull() & F.col(cb).isNotNull())
         a_vals = sorted({r[ca] for r in rows}, key=str)
         b_vals = sorted({r[cb] for r in rows}, key=str)
         table = np.zeros((len(a_vals), len(b_vals)))

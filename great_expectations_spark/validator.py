@@ -74,12 +74,47 @@ class SparkValidator:
         result_format: Any = "BASIC",
         tables: dict[str, DataFrame] | None = None,
         options: Options | None = None,
+        evaluation_parameters: dict[str, Any] | None = None,
+        validation_results: dict[str, Any] | None = None,
     ) -> None:
         self.df = df
         self.suite = suite
         self.rf = ResultFormat.parse(result_format)
         self.tables = tables or {}
         self.options = options or Options()
+        # runtime parameters override suite-level ones (reference priority,
+        # validator/validator.py:1682-1706: provided > suite > context store)
+        self.evaluation_parameters = {
+            **(suite.evaluation_parameters or {}),
+            **(evaluation_parameters or {}),
+        }
+        self.validation_results = validation_results or {}
+
+    def _bind_parameters(self, config: ExpectationConfiguration) -> ExpectationConfiguration:
+        """$PARAMETER substitution + URN chaining (reference
+        core/evaluation_parameters.py:226-267; validations URNs resolve
+        against prior SuiteValidationResults passed as validation_results)."""
+        import json as _json
+
+        if "$PARAMETER" not in _json.dumps(config.kwargs, default=str):
+            return config
+        from great_expectations_spark.core.evaluation_parameters import (
+            build_evaluation_parameters,
+            make_validations_resolver,
+        )
+
+        resolver = (
+            make_validations_resolver(self.validation_results)
+            if self.validation_results
+            else None
+        )
+        new_kwargs, substituted = build_evaluation_parameters(
+            config.kwargs, self.evaluation_parameters, resolver)
+        meta = dict(config.meta)
+        if substituted:
+            meta["substituted_parameters"] = {k: str(v) for k, v in substituted.items()}
+        return ExpectationConfiguration(
+            expectation_type=config.expectation_type, kwargs=new_kwargs, meta=meta)
 
     # ------------------------------------------------------------------ run
 
@@ -93,6 +128,11 @@ class SparkValidator:
         known = set(supported_expectations())
         compiled: list[tuple[ExpectationConfiguration, Compiled | None, EVR | None]] = []
         for config in self.suite.expectations:
+            try:
+                config = self._bind_parameters(config)
+            except Exception as e:
+                compiled.append((config, None, EVR.exception(config, str(e))))
+                continue
             if config.expectation_type not in known:
                 compiled.append(
                     (config, None,
@@ -287,8 +327,13 @@ def validate(
     result_format: Any = "BASIC",
     tables: dict[str, DataFrame] | None = None,
     options: Options | None = None,
+    evaluation_parameters: dict[str, Any] | None = None,
+    validation_results: dict[str, Any] | None = None,
 ) -> SuiteValidationResult:
-    return SparkValidator(df, suite, result_format, tables, options).validate()
+    return SparkValidator(
+        df, suite, result_format, tables, options,
+        evaluation_parameters, validation_results,
+    ).validate()
 
 
 def suite_result_to_df(spark: SparkSession, result: SuiteValidationResult) -> DataFrame:

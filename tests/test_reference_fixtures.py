@@ -68,8 +68,6 @@ def _has_unsupported(kwargs: dict) -> str | None:
     for k in kwargs:
         if k in _UNSUPPORTED_KWARGS:
             return k
-    if json.dumps(kwargs).find("$PARAMETER") >= 0:
-        return "$PARAMETER"
     return None
 
 
