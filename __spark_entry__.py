@@ -910,6 +910,144 @@ def _cp1(spark, sf):
         "unexpected_count", "success")
 
 
+# ---- round-2 additions: caps, URN chaining, splitters, table.head ----------
+
+
+@_q("distinct_values_overflow", """
+SELECT (count(DISTINCT doc_id) > 100) AS overflowed,
+       CAST(least(count(DISTINCT doc_id), 200) > 100 AS BOOLEAN) AS guard_consistent
+FROM documents
+""")
+def _r2a(spark, sf):
+    # cap guard: >cap distinct values must fail with exception_info, never
+    # ship the set to the driver (Options.distinct_set_cap applied via
+    # F.slice + HLL++ guard in the fused agg)
+    from great_expectations_spark.plans.compiler import Options
+
+    docs = _tbl(spark, sf, "documents")
+    suite = ExpectationSuite("ov").add(
+        "expect_column_distinct_values_to_be_in_set", column="doc_id", value_set=[1])
+    res = validate(docs, suite, options=Options(distinct_set_cap=100))
+    evr = res.results[0]
+    overflowed = bool(evr.exception_info["raised_exception"])
+    return spark.createDataFrame(
+        [(overflowed, overflowed)], "overflowed boolean, guard_consistent boolean")
+
+
+@_q("eval_param_chain", """
+WITH c AS (SELECT count(*) AS n FROM customer),
+     o AS (SELECT count(*) AS n FROM orders)
+SELECT CAST(o.n AS BIGINT) AS observed,
+       (o.n >= c.n * 0.1 AND o.n <= c.n * 100) AS success
+FROM c, o
+""")
+def _r2b(spark, sf):
+    # cross-suite URN chaining: orders row count judged against bounds
+    # computed from the customer suite's observed row count
+    customer = _tbl(spark, sf, "customer")
+    orders = _tbl(spark, sf, "orders")
+    up = validate(customer, ExpectationSuite("customer_suite").add(
+        "expect_table_row_count_to_be_between", min_value=0))
+    urn = ("urn:great_expectations:validations:customer_suite:"
+           "expect_table_row_count_to_be_between.result.observed_value")
+    down_suite = ExpectationSuite("orders_suite").add(
+        "expect_table_row_count_to_be_between",
+        min_value={"$PARAMETER": f"{urn} * 0.1"},
+        max_value={"$PARAMETER": f"{urn} * 100"})
+    down = validate(orders, down_suite, validation_results={"customer_suite": up})
+    r = down.results[0]
+    return spark.createDataFrame(
+        [(int(r.result["observed_value"]), bool(r.success))],
+        "observed long, success boolean")
+
+
+@_q("checkpoint_mod_chunks", """
+WITH base AS (
+  SELECT CAST(doc_id % 4 AS INT) AS bucket, count(*) AS ec,
+         coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS nulls
+  FROM documents GROUP BY 1
+)
+SELECT 'doc_id%4=' || bucket AS chunk_id,
+       CAST(ec AS BIGINT) AS element_count,
+       CAST(nulls AS BIGINT) AS unexpected_count,
+       CASE WHEN ec <= 0 THEN TRUE
+            ELSE (CAST(ec - nulls AS DOUBLE) / ec) >= 0.9 END AS success
+FROM base
+""")
+def _r2c(spark, sf):
+    import tempfile
+
+    from great_expectations_spark.checkpoint import Splitter, run_checkpoint
+
+    docs = _tbl(spark, sf, "documents")
+    suite = ExpectationSuite("cp_mod").add(
+        "expect_column_values_to_not_be_null", column="text", mostly=0.9)
+    path = tempfile.mkdtemp(prefix="ges_cpm_") + "/results"
+    res = run_checkpoint(docs, suite, Splitter.mod_integer("doc_id", 4), path, run_id="q")
+    return res.results_df.select(
+        "chunk_id", "element_count", "unexpected_count", "success")
+
+
+@_q("rollup_whole_table", """
+WITH s AS (
+  SELECT count(*) AS ec,
+         coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS mc,
+         coalesce(sum(CASE WHEN text IS NOT NULL
+                       AND NOT (length(text) BETWEEN 48 AND 300) THEN 1 ELSE 0 END), 0) AS uc
+  FROM documents)
+SELECT CAST(ec AS BIGINT) AS element_count, CAST(mc AS BIGINT) AS missing_count,
+       CAST(uc AS BIGINT) AS unexpected_count,
+       CASE WHEN ec - mc <= 0 THEN TRUE
+            ELSE (CAST(ec - mc - uc AS DOUBLE) / (ec - mc)) >= 0.5 END AS success
+FROM s
+""")
+def _r2d(spark, sf):
+    # rollup re-derives the map-expectation verdict from SUMMED per-chunk
+    # counts (whole-table semantics), matching an unchunked oracle exactly
+    import tempfile
+
+    from great_expectations_spark.checkpoint import Splitter, run_checkpoint
+
+    docs = _tbl(spark, sf, "documents")
+    suite = ExpectationSuite("cp_roll").add(
+        "expect_column_value_lengths_to_be_between",
+        column="text", min_value=48, max_value=300, mostly=0.5)
+    path = tempfile.mkdtemp(prefix="ges_cpr_") + "/results"
+    res = run_checkpoint(docs, suite, Splitter.column_value(docs, "lang"), path, run_id="q")
+    return res.rollup().select(
+        "element_count", "missing_count", "unexpected_count", "success")
+
+
+@_q("table_head_docs", """
+SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 5
+""")
+def _r2e(spark, sf):
+    from great_expectations_spark.sources.readers import table_head
+
+    docs = _tbl(spark, sf, "documents")
+    rows = table_head(docs.orderBy("doc_id").select("doc_id", "lang"), n_rows=5)
+    return spark.createDataFrame(
+        [(r["doc_id"], r["lang"]) for r in rows], "doc_id long, lang string")
+
+
+def _lsh_bucket_stats_oracle() -> str:
+    # same signature pipeline as the minhash oracle, aggregated per bucket
+    base = _minhash_oracle()
+    head, _sep, _tail = base.rpartition("SELECT DISTINCT")
+    return head + """
+SELECT band, bucket, CAST(count(*) AS BIGINT) AS n_docs
+FROM bands GROUP BY band, bucket HAVING count(*) >= 2
+"""
+
+
+@_q("pipeline_lsh_bucket_stats", _lsh_bucket_stats_oracle())
+def _r2f(spark, sf):
+    from great_expectations_spark.pipeline.dedup import lsh_hot_buckets
+
+    return lsh_hot_buckets(_tbl(spark, sf, "documents"), "doc_id", "text",
+                           min_bucket_size=2)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

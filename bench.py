@@ -189,6 +189,28 @@ def main() -> None:
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
         cosine_topk(emb, queries_df, k=10).select(F.count(F.lit(1))).first()
 
+    # Zipf-skewed uniqueness: deterministic heavy-head key (top key covers a
+    # large fraction of rows) driven through the engine's two-stage groupBy
+    # uniqueness — proves the skew-safe path the salted design exists for.
+    # Materialized OUTSIDE the timed block; appended AFTER the r1 workloads
+    # so per-query timings stay comparable round-over-round.
+    n_zipf = max(n_li, 100_000)
+    u = (F.pmod(F.xxhash64("id"), F.lit(1_000_000)) + 1) / 1_000_000.0
+    zipf = spark.range(0, n_zipf, 1, 32).select(
+        F.least(F.floor(F.pow(1.0 / u, F.lit(1.0 / 1.1))), F.lit(10 ** 6))
+        .cast("long").alias("k")).persist()
+    zipf.count()
+
+    @timed("uniq_zipf")
+    def _q8():
+        suite = ExpectationSuite(name="zipf").add(
+            "expect_column_values_to_be_unique", column="k", mostly=0.01)
+        validate(zipf, suite, result_format="BOOLEAN_ONLY")
+
+    # NOT counted in rows_validated: throughput stays defined over the
+    # suite_* workloads exactly as in round 1
+    zipf.unpersist()
+
     total = round(sum(timings.values()), 4)
     suite_secs = sum(timings[k] for k in timings if k.startswith("suite_"))
     throughput = round(rows_validated / suite_secs, 2) if suite_secs > 0 else 0.0

@@ -87,6 +87,82 @@ class Splitter:
         chunks = [(f"{part}({column})={v}", fn(F.col(column)) == v) for v in values]
         return Splitter(f"date_part({part},{column})", chunks)
 
+    @staticmethod
+    def mod_integer(column: str, mod: int) -> "Splitter":
+        """``mod`` chunks by ``column % mod`` — the reference's
+        ``split_on_mod_integer`` (sparkdf_data_splitter.py:269-278). Chunk
+        count is known statically; no scan needed to enumerate."""
+        chunks = [
+            (f"{column}%{mod}={i}", (F.col(column) % mod).cast("int") == i)
+            for i in range(mod)
+        ]
+        return Splitter(f"mod_integer({column},{mod})", chunks)
+
+    @staticmethod
+    def divided_integer(df: DataFrame, column: str, divisor: int,
+                        max_chunks: int = 10_000) -> "Splitter":
+        """One chunk per distinct ``int(column / divisor)`` quotient — the
+        reference's ``split_on_divided_integer`` (sparkdf_data_splitter.py:
+        251-263, true division cast to int). Quotients are enumerated with
+        one bounded distinct scan."""
+        q = (F.col(column) / divisor).cast("int")
+        vals = [r[0] for r in (
+            df.select(q.alias("__q")).distinct().limit(max_chunks + 1).collect())]
+        if len(vals) > max_chunks:
+            raise ValueError(
+                f"column {column} / {divisor} has >{max_chunks} distinct quotients")
+        chunks = [
+            (f"{column}/{divisor}={v}",
+             q.isNull() if v is None else q == v)
+            for v in sorted(vals, key=lambda x: (x is None, x))
+        ]
+        return Splitter(f"divided_integer({column},{divisor})", chunks)
+
+    @staticmethod
+    def multi_column_values(df: DataFrame, columns: list[str],
+                            max_chunks: int = 10_000) -> "Splitter":
+        """One chunk per distinct combination of ``columns`` — the
+        reference's ``split_on_multi_column_values``
+        (sparkdf_data_splitter.py:280-292)."""
+        rows = df.select(*columns).distinct().limit(max_chunks + 1).collect()
+        if len(rows) > max_chunks:
+            raise ValueError(f"columns {columns} have >{max_chunks} distinct combinations")
+        chunks = []
+        for r in sorted(rows, key=lambda r: tuple(str(r[c]) for c in columns)):
+            pred = None
+            for c in columns:
+                p = F.col(c).eqNullSafe(F.lit(r[c]))
+                pred = p if pred is None else (pred & p)
+            cid = ",".join(f"{c}={r[c]}" for c in columns)
+            chunks.append((cid, pred))
+        return Splitter(f"multi_column_values({','.join(columns)})", chunks)
+
+    @staticmethod
+    def converted_datetime(df: DataFrame, column: str,
+                           date_format: str = "yyyy-MM-dd",
+                           max_chunks: int = 10_000) -> "Splitter":
+        """One chunk per distinct formatted datetime string — the reference's
+        ``split_on_converted_datetime`` (sparkdf_data_splitter.py:220-249,
+        ``from_unixtime`` on an epoch-seconds column). Timestamp/date columns
+        format directly via ``date_format``; numeric columns are treated as
+        epoch seconds exactly like the reference."""
+        dt = dict(df.dtypes).get(column, "")
+        if dt in ("timestamp", "date") or dt.startswith("timestamp"):
+            conv = F.date_format(F.col(column), date_format)
+        else:
+            conv = F.from_unixtime(F.col(column), date_format)
+        vals = [r[0] for r in (
+            df.select(conv.alias("__d")).distinct().limit(max_chunks + 1).collect())]
+        if len(vals) > max_chunks:
+            raise ValueError(
+                f"column {column} has >{max_chunks} distinct {date_format} values")
+        chunks = [
+            (f"{column}~{date_format}={v}",
+             conv.isNull() if v is None else conv == v)
+            for v in sorted(vals, key=lambda x: (x is None, str(x)))
+        ]
+        return Splitter(f"converted_datetime({column},{date_format})", chunks)
+
 
 @dataclass
 class CheckpointResult:
@@ -98,16 +174,24 @@ class CheckpointResult:
     def rollup(self) -> DataFrame:
         """Suite-level verdict per expectation, merged across chunks.
 
-        Count metrics sum exactly (monoid); success is re-derived as
-        all-chunks-succeeded AND no exceptions. ``chunk_scoped`` marks
-        expectations whose observed value cannot be merged (aggregates).
+        Map-expectation counts are commutative monoids, so their suite
+        verdict is re-derived from the SUMMED element/missing/unexpected
+        counts against ``mostly`` — a mostly-expectation that fails in one
+        skewed chunk still passes the rollup when the whole-table ratio
+        clears the bar (whole-table semantics, not AND-of-chunks).
+        Non-mergeable expectations (aggregates — ``chunk_scoped`` true) keep
+        the conservative AND-of-chunks verdict.
         """
         r = self.results_df.where(F.col("run_id") == self.run_id)
-        return (
+        mostly = F.coalesce(
+            F.get_json_object(F.col("kwargs_json"), "$.mostly").cast("double"),
+            F.lit(1.0),
+        )
+        agg = (
             r.groupBy("expectation_index", "expectation_type", "kwargs_json")
             .agg(
                 F.count(F.lit(1)).alias("n_chunks"),
-                F.min(F.col("success").cast("int")).cast("boolean").alias("success"),
+                F.min(F.col("success").cast("int")).cast("boolean").alias("all_chunks_success"),
                 *[F.sum(k).alias(k) for k in _COUNT_KEYS],
                 F.max(F.col("raised_exception").cast("int")).cast("boolean").alias(
                     "raised_exception"
@@ -116,6 +200,26 @@ class CheckpointResult:
                 .cast("boolean")
                 .alias("chunk_scoped"),
             )
+        )
+        nonmissing = F.col("element_count") - F.col("missing_count")
+        map_success = F.when(nonmissing <= 0, F.lit(True)).otherwise(
+            (nonmissing - F.col("unexpected_count")).cast("double") / nonmissing
+            >= mostly
+        )
+        is_map = F.col("unexpected_count").isNotNull()
+        # row-scoped conditions merge exactly; chunk-RELATIVE conditions
+        # (uniqueness: cross-chunk dups are invisible per chunk; ordering:
+        # chunk boundaries hide inversions) stay AND-of-chunks
+        chunk_relative = F.col("expectation_type").rlike(
+            "unique|increasing|decreasing|in_other_table")
+        return (
+            agg.withColumn(
+                "success",
+                F.when(F.col("raised_exception"), F.lit(False))
+                .when(is_map & ~F.col("chunk_scoped") & ~chunk_relative, map_success)
+                .otherwise(F.col("all_chunks_success")),
+            )
+            .drop("all_chunks_success")
             .orderBy("expectation_index")
         )
 

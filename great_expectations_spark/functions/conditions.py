@@ -126,6 +126,23 @@ def _not_in_set(kwargs: dict[str, Any]) -> MapKernel:
 def _between(col: Column, kwargs: dict[str, Any]) -> Column:
     lo = kwargs.get("min_value")
     hi = kwargs.get("max_value")
+    if kwargs.get("parse_strings_as_datetimes"):
+        # legacy kwarg (deprecated in the reference since 0.13.41): on the
+        # spark backend ONLY the bounds are parsed — the column is compared
+        # natively (column_values_between.py:315-356 _spark). in_set and
+        # increasing deliberately ignore the flag there too
+        # (column_values_in_set.py:111 "compare the strings as is").
+        from dateutil import parser as _p
+
+        def _parse(b):
+            if isinstance(b, str):
+                try:
+                    return _p.parse(b)
+                except (ValueError, OverflowError):
+                    return b
+            return b
+
+        lo, hi = _parse(lo), _parse(hi)
     strict_min = bool(kwargs.get("strict_min", False))
     strict_max = bool(kwargs.get("strict_max", False))
     conds: list[Column] = []

@@ -178,11 +178,20 @@ def minhash_lsh_candidates(
     k: int = 12,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) sharing any LSH bucket.
 
     Signature → ``bands`` bands of ``k/bands`` rows each; band bucket =
     md5 of the concatenated rows. Only (band, bucket, id) triples shuffle.
+
+    ``max_bucket_size`` is the hot-bucket guard for boilerplate-heavy
+    corpora: a bucket of B members emits B*(B-1)/2 pairs, so one degenerate
+    bucket (cookie banners, license headers) turns the self-join quadratic.
+    Buckets larger than the cap are dropped from pairing — their members
+    are near-identical to ENOUGH other docs that any dedup policy treats
+    them as one group anyway; enumerate them with ``lsh_hot_buckets`` and
+    handle the group wholesale instead of pairwise.
     """
     r = k // bands
     base = (
@@ -206,6 +215,15 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select("__id", F.col("bb.band").alias("band"), F.col("bb.__bucket").alias("bucket"))
 
+    if max_bucket_size is not None:
+        sizes = exploded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__bsz"))
+        exploded = (
+            exploded.join(sizes, on=["band", "bucket"])
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -213,6 +231,47 @@ def minhash_lsh_candidates(
         .where(F.col("a.__id") < F.col("b.__id"))
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_hot_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_bucket_size: int,
+    k: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Report of LSH buckets at/above ``min_bucket_size``: (band, bucket,
+    n_docs). The companion to ``minhash_lsh_candidates(max_bucket_size=...)``
+    — what the cap dropped, so a pipeline can log it or dedup those groups
+    wholesale (keep-one-per-bucket) instead of pairwise."""
+    r = k // bands
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
+        .where(F.size("__t") >= shingle_n)
+        .select("__id", hashed_tokens(F.col("__t")).alias("__th"))
+        .select("__id", hashed_shingles(F.col("__th"), shingle_n).alias("__h"))
+        .select("__id", minhash_from_hashes(F.col("__h"), k).alias("__sig"))
+    )
+    band_cols = [
+        _md5(F.concat_ws("|", *[F.col("__sig")[b * r + j] for j in range(r)])).alias("__bucket")
+        for b in range(bands)
+    ]
+    exploded = base.select(
+        "__id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(F.col("bb.band").alias("band"), F.col("bb.__bucket").alias("bucket"))
+    return (
+        exploded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= min_bucket_size)
     )
 
 

@@ -108,9 +108,13 @@ def _cache_key(config: ExpectationConfiguration, options: Options):
 
     try:
         kw = json.dumps(config.kwargs, sort_keys=True, default=repr)
+        # finalize closures capture the whole config object, so meta is part
+        # of the cached record's identity: same kwargs + different meta must
+        # not share EVRs
+        meta = json.dumps(config.meta, sort_keys=True, default=repr)
     except Exception:
         return None
-    return (config.expectation_type, kw,
+    return (config.expectation_type, kw, meta,
             tuple(sorted(options.__dict__.items())))
 
 
@@ -586,7 +590,20 @@ def _distinct_set_compiler(name: str, check: Callable[[set, set], bool]):
         cap = options.distinct_set_cap
         key, k_guard, distinct_aggs = _collect_distinct_aggs(c, rc, cap)
         vacuous = kwargs.get("value_set") is None
-        expected = set(kwargs.get("value_set") or [])
+        # legacy parse_strings_as_datetimes: value_set AND observed strings
+        # are dateutil-parsed before the set comparison (reference
+        # expect_column_distinct_values_to_contain_set.py:246-268 +
+        # metrics/util.py parse_value_set)
+        parse_dt = bool(kwargs.get("parse_strings_as_datetimes"))
+
+        def _maybe_parse(v):
+            if parse_dt and isinstance(v, str):
+                from dateutil import parser as _p
+
+                return _p.parse(v)
+            return v
+
+        expected = {_maybe_parse(v) for v in (kwargs.get("value_set") or [])}
         (k_total, k_nn), count_aggs = _count_keys_aggs(c, kwargs, rc)
 
         def finalize(metrics: Metrics) -> EVR:
@@ -598,12 +615,14 @@ def _distinct_set_compiler(name: str, check: Callable[[set, set], bool]):
                     "distinct-set expectations are not meaningful at this "
                     "cardinality — raise Options.distinct_set_cap or use "
                     "expect_column_unique_value_count_to_be_between")
-            observed = set(observed_list)
+            observed = {_maybe_parse(v) for v in observed_list}
             return EVR(
                 success=True if vacuous else check(observed, expected),
                 expectation_config=config,
                 result=_with_counts(
-                    {"observed_value": sorted(observed, key=lambda x: (str(type(x)), str(x)))},
+                    {"observed_value": [
+                        _py(x) for x in sorted(observed, key=lambda x: (str(type(x)), str(x)))
+                    ]},
                     metrics, k_total, k_nn),
             )
 

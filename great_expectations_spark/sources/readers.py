@@ -1,0 +1,122 @@
+"""File readers: csv / tsv / parquet / delta → DataFrame.
+
+Mirrors the reference's Spark reader surface
+(execution_engine/sparkdf_execution_engine.py:427-492: reader_method
+csv/tsv/parquet/delta with reader_options and an optional serialized
+schema). The engine itself only ever sees DataFrames — these are the thin
+boundary for users who bring file paths instead.
+
+``schema`` accepts a StructType, a DDL string ("a int, b string"), or a
+StructType.jsonValue() dict (the reference's serialized-schema convention,
+sparkdf_execution_engine.py:346-361).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def _resolve_schema(schema: Any) -> T.StructType | str | None:
+    if schema is None or isinstance(schema, (T.StructType, str)):
+        return schema
+    if isinstance(schema, dict):
+        return T.StructType.fromJson(schema)
+    raise TypeError(f"unsupported schema spec: {type(schema).__name__}")
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    infer_schema: bool = True,
+    schema: Any = None,
+    sep: str = ",",
+    **reader_options: Any,
+) -> DataFrame:
+    """CSV reader (reference reader_method="csv"). An explicit ``schema``
+    disables the inference pass — at scale always pass one: inference is a
+    full extra scan of the files."""
+    reader = spark.read.options(header=header, sep=sep, **reader_options)
+    resolved = _resolve_schema(schema)
+    if resolved is not None:
+        reader = reader.schema(resolved)
+    elif infer_schema:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_tsv(spark: SparkSession, path: str, **kwargs: Any) -> DataFrame:
+    """TSV = CSV with a tab separator (reference maps .tsv the same way)."""
+    kwargs.setdefault("sep", "\t")
+    return read_csv(spark, path, **kwargs)
+
+
+def read_parquet(spark: SparkSession, path: str, **reader_options: Any) -> DataFrame:
+    return spark.read.options(**reader_options).parquet(path)
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """True iff the Delta Lake runtime is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.spark.sql.delta.DeltaLog")
+        return True
+    except Exception:
+        return False
+
+
+def read_delta(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp: str | None = None,
+    **reader_options: Any,
+) -> DataFrame:
+    """Delta reader (reference reader.format("delta").load,
+    sparkdf_execution_engine.py:478-486) with time travel. Degrades with a
+    clear error when delta-spark is not on the classpath (this sandbox)."""
+    if not delta_available(spark):
+        raise RuntimeError(
+            "Delta Lake runtime not on classpath; add io.delta:delta-spark to "
+            "spark.jars.packages or read the table as parquet")
+    reader = spark.read.format("delta").options(**reader_options)
+    if version is not None:
+        reader = reader.option("versionAsOf", version)
+    if timestamp is not None:
+        reader = reader.option("timestampAsOf", timestamp)
+    return reader.load(path)
+
+
+def read_any(spark: SparkSession, path: str, reader_method: str | None = None,
+             **kwargs: Any) -> DataFrame:
+    """Dispatch on explicit reader_method or file extension (the reference's
+    path-suffix guessing, sparkdf_execution_engine.py:427-445)."""
+    method = (reader_method or "").lower()
+    if not method:
+        lowered = path.lower()
+        for ext, m in ((".csv", "csv"), (".tsv", "tsv"), (".parquet", "parquet")):
+            if lowered.endswith(ext) or f"{ext}." in lowered:
+                method = m
+                break
+        else:
+            raise ValueError(f"cannot guess reader_method from path {path!r}")
+    dispatch = {
+        "csv": read_csv,
+        "tsv": read_tsv,
+        "parquet": read_parquet,
+        "delta": read_delta,
+    }
+    if method not in dispatch:
+        raise ValueError(f"unsupported reader_method {method!r}")
+    return dispatch[method](spark, path, **kwargs)
+
+
+def table_head(df: DataFrame, n_rows: int = 5, fetch_all: bool = False) -> list[dict[str, Any]]:
+    """``table.head`` metric (reference table_metrics/table_head.py:
+    df.limit(n).toPandas() / fetch_all): first ``n_rows`` rows as dicts.
+    Stays a bounded limit-collect — never a full materialization unless
+    fetch_all is explicitly requested."""
+    d = df if fetch_all else df.limit(n_rows)
+    return [row.asDict(recursive=True) for row in d.collect()]

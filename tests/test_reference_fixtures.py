@@ -30,8 +30,9 @@ import pytest
 FIXTURE_GLOB = "/root/reference/tests/test_definitions/*/*.json"
 
 # legacy kwargs this engine deliberately does not implement
+# (parse_strings_as_datetimes IS handled, matching the reference spark
+# backend: bounds parsed for between, strings compared as-is elsewhere)
 _UNSUPPORTED_KWARGS = {
-    "parse_strings_as_datetimes",
     "output_strftime_format",
     "utc_offset",
 }

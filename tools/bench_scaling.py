@@ -135,6 +135,33 @@ def _engine_run(label: str) -> dict:
             "rows_per_sec": round(N_ROWS / best, 2)}
 
 
+def _mono_run(label: str) -> dict:
+    """Increasing-check scaling: the round-2 distributed monotonicity plan
+    (range repartition + lag within partitions + P boundary rows) over the
+    same parquet, ordered by warc_ts_epoch. The round-1 plan (global
+    single-partition window) could not scale at all — every row through one
+    task; this one must track executor count."""
+    from great_expectations_spark import ExpectationSuite, validate
+
+    spark, cores = _session(label)
+    df = spark.read.parquet(DATA_DIR)
+    df.selectExpr("sum(warc_ts_epoch)").first()  # warm page cache
+
+    suite = ExpectationSuite(name="mono").add(
+        "expect_column_values_to_be_increasing",
+        column="warc_ts_epoch", order_by="warc_ts_epoch")
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.time()
+        res = validate(df, suite, result_format="BOOLEAN_ONLY")
+        best = min(best, time.time() - t0)
+        assert not res.results[0].exception_info["raised_exception"]
+    spark.stop()
+    return {"label": label, "master": MASTERS[label][0], "cores": cores,
+            "rows": N_ROWS, "best_sec": round(best, 4),
+            "rows_per_sec": round(N_ROWS / best, 2)}
+
+
 def _calib_run(label: str) -> dict:
     """Host scaling ceiling: embarrassingly-parallel codegen aggregation."""
     from pyspark.sql import functions as F
@@ -168,13 +195,15 @@ def _spawn(label: str, kind: str) -> dict:
 
 def main() -> None:
     _gen_data()
+    kinds = ("engine", "mono") if os.environ.get("SPARK_GRAFT_SCALING_MONO") else ("engine",)
     best: dict = {}
     for _round in range(3):  # alternating rounds damp host noise
-        for label in ("N", "4N"):
-            r = _spawn(label, "engine")
-            prev = best.get(("engine", label))
-            if prev is None or r["best_sec"] < prev["best_sec"]:
-                best[("engine", label)] = r
+        for kind in kinds:
+            for label in ("N", "4N"):
+                r = _spawn(label, kind)
+                prev = best.get((kind, label))
+                if prev is None or r["best_sec"] < prev["best_sec"]:
+                    best[(kind, label)] = r
     for label in ("N", "4N"):
         best[("calib", label)] = _spawn(label, "calib")
 
@@ -182,7 +211,7 @@ def main() -> None:
     c_n, c_4n = best[("calib", "N")], best[("calib", "4N")]
     eng_eff = round(e_4n["rows_per_sec"] / (4 * e_n["rows_per_sec"]), 4)
     hw_eff = round(c_4n["rows_per_sec"] / (4 * c_n["rows_per_sec"]), 4)
-    print(json.dumps({
+    report = {
         "workload": f"9-expectation fused suite over {N_ROWS}-row web-page parquet",
         "topology": {k: v[0] for k, v in MASTERS.items()},
         "engine_N": e_n, "engine_4N": e_4n,
@@ -191,12 +220,19 @@ def main() -> None:
         "hardware_ceiling_efficiency": hw_eff,
         "engine_vs_ceiling": round(eng_eff / hw_eff, 4) if hw_eff else None,
         "meets_north_rule_0.8": eng_eff >= 0.8,
-    }, indent=2))
+    }
+    if ("mono", "N") in best:
+        m_n, m_4n = best[("mono", "N")], best[("mono", "4N")]
+        report["monotonic_N"] = m_n
+        report["monotonic_4N"] = m_4n
+        report["monotonic_scaling_efficiency"] = round(
+            m_4n["rows_per_sec"] / (4 * m_n["rows_per_sec"]), 4)
+    print(json.dumps(report, indent=2))
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 3 and sys.argv[1] == "--worker":
-        fn = _engine_run if sys.argv[3] == "engine" else _calib_run
+        fn = {"engine": _engine_run, "mono": _mono_run, "calib": _calib_run}[sys.argv[3]]
         print(json.dumps(fn(sys.argv[2])))
     else:
         main()
