@@ -22,6 +22,9 @@ class ResultFormat:
     partial_unexpected_count: int = 20
     unexpected_index_column_names: tuple[str, ...] = ()
     include_unexpected_rows: bool = False
+    # COMPLETE-tier df.filter(F.expr(...)) string (reference
+    # map_metric_provider.py:2957-2961 honors this opt-out)
+    return_unexpected_index_query: bool = True
 
     def __post_init__(self) -> None:
         if self.tier not in TIERS:
@@ -50,5 +53,7 @@ class ResultFormat:
                     rf.get("unexpected_index_column_names", ()) or ()
                 ),
                 include_unexpected_rows=bool(rf.get("include_unexpected_rows", False)),
+                return_unexpected_index_query=bool(
+                    rf.get("return_unexpected_index_query", True)),
             )
         raise ValueError(f"cannot parse result_format: {rf!r}")

@@ -344,6 +344,8 @@ def _map_finalize(
         "partial_unexpected_counts",
         "unexpected_list",
         "unexpected_index_list",
+        "unexpected_index_query",
+        "unexpected_rows",
     ):
         if f"{extra}|{config.id}" in metrics:
             result[extra] = metrics[f"{extra}|{config.id}"]
@@ -922,27 +924,30 @@ def _uniqueness_compiler(name: str, cols_fn: Callable[[dict[str, Any]], list[str
                 d = d.filter(rc)
             d = d.filter(base_include)
             counts = d.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n"))
-            dup = counts.where(F.col("__n") > 1).agg(
+            dup_keys_df = counts.where(F.col("__n") > 1)
+            dup = dup_keys_df.agg(
                 F.coalesce(F.sum("__n"), F.lit(0)).alias("dup_rows"),
                 F.count(F.lit(1)).alias("dup_keys"),
             ).first()
-            return {k_unexp: int(dup["dup_rows"]), f"dup_keys|{config.id}": int(dup["dup_keys"])}
+            # violation frame for pass 2: LEFT SEMI join of the rows against
+            # the duplicated keys — reuses the dup-key frame the count path
+            # already built; unlike a Window.partitionBy(key) sample, a
+            # skewed dup key never funnels through one task
+            key_struct = F.struct(*[F.col(c).alias(c) for c in cols])
+            vdf = (
+                d.join(dup_keys_df.select(*cols), on=list(cols), how="left_semi")
+                .select((F.col(cols[0]) if single else key_struct).alias("__value"))
+            )
+            return {
+                k_unexp: int(dup["dup_rows"]),
+                f"dup_keys|{config.id}": int(dup["dup_keys"]),
+                f"__violations_df__|{config.id}": vdf,
+            }
 
         def finalize(metrics: Metrics) -> EVR:
             return _map_finalize(config, metrics, k_elem, k_missing, k_unexp)
 
-        # violation pass: rows whose key occurs >1 times — expressed as a
-        # window kernel only for the bounded pass-2 sample (never pass 1)
-        key_struct = F.struct(*[F.col(c) for c in cols])
-        kernel = MapKernel(
-            include=include,
-            ok=F.count(F.lit(1)).over(Window.partitionBy(*[F.col(c) for c in cols])) <= 1,
-            value=F.col(cols[0]) if single else key_struct,
-            columns=list(cols),
-            column_domain=single,
-            value_format="scalar" if single else "record",
-        )
-        return Compiled(config=config, finalize=finalize, aggs=aggs, eager=eager, kernel=kernel)
+        return Compiled(config=config, finalize=finalize, aggs=aggs, eager=eager)
 
     return _c
 
@@ -1064,16 +1069,22 @@ def _monotonic_compiler(name: str, increasing: bool):
 
         def eager(df: DataFrame, metrics: Metrics) -> dict[str, Any]:
             """Distributed monotonicity (SURVEY §7): lag WITHIN partitions +
-            one boundary row per partition pair, instead of the reference's
+            one boundary value per partition pair, instead of the reference's
             global single-partition window.
 
             order_by mode: range-repartition on the sort key so each task
             holds one contiguous key range; encounter-order mode: no shuffle
             at all — monotonically_increasing_id() already orders rows as
-            (partition_id, position-in-partition). Either way the per-row
-            lag runs under Window.partitionBy(partition id) (parallel, one
-            task per partition) and the P partition boundaries are checked
-            on the driver from a P-row aggregate."""
+            (partition_id, position-in-partition).
+
+            The COUNT is one Spark job: the per-row lag runs under
+            Window.partitionBy(partition id), and the immediately following
+            groupBy on the same partition id reuses the window's hash
+            partitioning (no second shuffle), folding each partition to ONE
+            row (within-partition violations, first/last value). The P
+            partition boundaries are then checked on the driver. The
+            violation DataFrame (pass 2) is built lazily and only executes
+            for violated expectations at result_format >= BASIC."""
             if order_by:
                 keep = [c] if order_by == c else [c, order_by]
                 d = df.where(col.isNotNull()).select(*keep)
@@ -1085,22 +1096,38 @@ def _monotonic_compiler(name: str, increasing: bool):
             d = d.withColumn("__ok", okey).withColumn("__pid", F.spark_partition_id())
             w = Window.partitionBy("__pid").orderBy("__ok")
             prev = F.lag(col).over(w)
+            bad_within = prev.isNotNull() & _violates(col, prev)
 
-            # per-partition boundary stats: P rows, map-side combinable
-            bounds = (
-                d.groupBy("__pid")
+            per = (
+                d.select("__pid", "__ok", col.alias("__v"), bad_within.alias("__bad"))
+                .groupBy("__pid")
                 .agg(
+                    _bool_sum(F.col("__bad")).alias("__nbad"),
                     F.min("__ok").alias("__lo"),
-                    F.min_by(col, F.col("__ok")).alias("__first"),
-                    F.max_by(col, F.col("__ok")).alias("__last"),
+                    F.min_by("__v", F.col("__ok")).alias("__first"),
+                    F.max_by("__v", F.col("__ok")).alias("__last"),
                 )
                 .collect()
             )
-            bounds.sort(key=lambda r: r["__lo"])
-            # previous partition's last value, keyed by partition id
+            per.sort(key=lambda r: r["__lo"])
+
+            def _py_violates(cur, prv) -> bool:
+                if increasing:
+                    return (cur <= prv) if strictly else (cur < prv)
+                return (cur >= prv) if strictly else (cur > prv)
+
+            unexp = sum(int(r["__nbad"] or 0) for r in per)
+            boundary_bad_pids = [
+                per[i]["__pid"]
+                for i in range(1, len(per))
+                if _py_violates(per[i]["__first"], per[i - 1]["__last"])
+            ]
+            unexp += len(boundary_bad_pids)
+
+            # lazy violation frame: within-partition violators + the first
+            # row of each boundary-violating partition
             prev_last = [
-                (bounds[i]["__pid"], bounds[i - 1]["__last"])
-                for i in range(1, len(bounds))
+                (per[i]["__pid"], per[i - 1]["__last"]) for i in range(1, len(per))
             ]
             if prev_last:
                 spark = df.sparkSession
@@ -1108,20 +1135,17 @@ def _monotonic_compiler(name: str, increasing: bool):
                     T.StructField("__pid", T.IntegerType()),
                     T.StructField("__prev_last", d.schema[c].dataType),
                 ])
-                pl_df = F.broadcast(spark.createDataFrame(prev_last, schema))
-                d = d.join(pl_df, on="__pid", how="left")
+                dj = d.join(F.broadcast(spark.createDataFrame(prev_last, schema)),
+                            on="__pid", how="left")
             else:
-                d = d.withColumn("__prev_last", F.lit(None).cast(d.schema[c].dataType))
-
-            # first row of each partition compares against the previous
-            # partition's last value; all other rows against their lag
+                dj = d.withColumn("__prev_last", F.lit(None).cast(d.schema[c].dataType))
             eff_prev = F.coalesce(prev, F.col("__prev_last"))
             bad = eff_prev.isNotNull() & _violates(col, eff_prev)
-            flagged = d.select(col.alias("__value"), bad.alias("__bad"))
-            unexp = flagged.agg(_bool_sum(F.col("__bad")).alias("u")).first()["u"]
+            vdf = dj.select(col.alias("__value"), bad.alias("__bad")).where(
+                F.col("__bad")).select("__value")
             return {
-                k_unexp: int(unexp or 0),
-                f"__violations_df__|{config.id}": flagged.where(F.col("__bad")).select("__value"),
+                k_unexp: int(unexp),
+                f"__violations_df__|{config.id}": vdf,
             }
 
         def finalize(metrics: Metrics) -> EVR:

@@ -284,6 +284,23 @@ class SparkValidator:
                 F.col(c) for c in index_cols
             ]
             vdf = self.df.select(*sel).where(F.col("__u")).drop("__u")
+            if self.rf.include_unexpected_rows:
+                # reference result_format.include_unexpected_rows: the FULL
+                # source rows for unexpected values, bounded like the lists
+                limit = cap if self.rf.at_least("COMPLETE") else k
+                full_rows = (
+                    self.df.withColumn("__u", unexpected)
+                    .where(F.col("__u")).drop("__u").limit(limit).collect()
+                )
+                out[f"unexpected_rows|{config.id}"] = [
+                    {c: _py(v) for c, v in r.asDict().items()} for r in full_rows
+                ]
+            if self.rf.at_least("COMPLETE") and self.rf.return_unexpected_index_query:
+                # reference _spark_map_condition_index_query
+                # (map_metric_provider.py:2936-2977): the unexpected condition
+                # rendered as a runnable df.filter(F.expr(...)) string
+                cond = str(unexpected).replace("Column<'(", "").replace(")'>", "")
+                out[f"unexpected_index_query|{config.id}"] = f"df.filter(F.expr({cond}))"
         else:
             return out
 
