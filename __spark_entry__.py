@@ -965,7 +965,7 @@ def _r2b(spark, sf):
 WITH base AS (
   SELECT CAST(doc_id % 4 AS INT) AS bucket, count(*) AS ec,
          coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS nulls
-  FROM documents GROUP BY 1
+  FROM documents WHERE doc_id IS NOT NULL GROUP BY 1
 )
 SELECT 'doc_id%4=' || bucket AS chunk_id,
        CAST(ec AS BIGINT) AS element_count,
@@ -973,6 +973,12 @@ SELECT 'doc_id%4=' || bucket AS chunk_id,
        CASE WHEN ec <= 0 THEN TRUE
             ELSE (CAST(ec - nulls AS DOUBLE) / ec) >= 0.9 END AS success
 FROM base
+UNION ALL
+SELECT 'doc_id%4=__null__',
+       CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+       TRUE
+FROM documents WHERE doc_id IS NULL
 """)
 def _r2c(spark, sf):
     import tempfile

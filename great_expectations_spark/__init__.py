@@ -23,8 +23,12 @@ from great_expectations_spark.core.result import (
     SuiteValidationResult,
 )
 from great_expectations_spark.validator import SparkValidator, validate
+from great_expectations_spark.functions.conditions import (
+    register_regex_expectation,
+    register_set_expectation,
+)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "ExpectationConfiguration",
@@ -33,4 +37,6 @@ __all__ = [
     "SuiteValidationResult",
     "SparkValidator",
     "validate",
+    "register_regex_expectation",
+    "register_set_expectation",
 ]

@@ -90,6 +90,8 @@ class UpdateDataDocsAction:
     docs_dir: str
 
     def run(self, result: SuiteValidationResult, run_id: str) -> dict[str, Any]:
+        import html as _html
+
         os.makedirs(self.docs_dir, exist_ok=True)
         rows = []
         for evr in result.results:
@@ -97,20 +99,21 @@ class UpdateDataDocsAction:
             status = "EXC" if evr.exception_info.get("raised_exception") else (
                 "PASS" if evr.success else "FAIL")
             obs = res.get("observed_value", res.get("unexpected_count"))
+            kw = _html.escape(json.dumps(evr.expectation_config.kwargs, default=str))
             rows.append(
                 f"<tr class={status.lower()!r}><td>{status}</td>"
-                f"<td>{evr.expectation_config.expectation_type}</td>"
-                f"<td><code>{json.dumps(evr.expectation_config.kwargs, default=str)}</code></td>"
-                f"<td>{json.dumps(obs, default=str)}</td></tr>")
+                f"<td>{_html.escape(evr.expectation_config.expectation_type)}</td>"
+                f"<td><code>{kw}</code></td>"
+                f"<td>{_html.escape(json.dumps(obs, default=str))}</td></tr>")
         stats = result.statistics
         html = (
             "<!doctype html><meta charset='utf-8'>"
-            f"<title>{result.suite_name} — {run_id}</title>"
+            f"<title>{_html.escape(result.suite_name)} — {_html.escape(run_id)}</title>"
             "<style>body{font-family:sans-serif;margin:2em}"
             "table{border-collapse:collapse}td{border:1px solid #ccc;padding:4px 8px}"
             ".pass td:first-child{color:green}.fail td:first-child{color:red}"
             ".exc td:first-child{color:orange}</style>"
-            f"<h1>{result.suite_name}</h1>"
+            f"<h1>{_html.escape(result.suite_name)}</h1>"
             f"<p>run_id={run_id} · success={result.success} · "
             f"{stats.get('successful_expectations')}/{stats.get('evaluated_expectations')} "
             f"passed ({stats.get('success_percent')}%)</p>"

@@ -89,13 +89,16 @@ class Splitter:
 
     @staticmethod
     def mod_integer(column: str, mod: int) -> "Splitter":
-        """``mod`` chunks by ``column % mod`` — the reference's
-        ``split_on_mod_integer`` (sparkdf_data_splitter.py:269-278). Chunk
-        count is known statically; no scan needed to enumerate."""
-        chunks = [
-            (f"{column}%{mod}={i}", (F.col(column) % mod).cast("int") == i)
+        """``mod`` chunks by ``pmod(column, mod)`` plus a NULL chunk — the
+        reference's ``split_on_mod_integer`` (sparkdf_data_splitter.py:
+        269-278) made total: Spark's ``%`` keeps the dividend sign and
+        NULL % n is NULL, either of which would silently drop rows from
+        every chunk. Chunk count is known statically; no scan needed."""
+        chunks: list[tuple[str, Any]] = [
+            (f"{column}%{mod}={i}", F.pmod(F.col(column), F.lit(mod)).cast("int") == i)
             for i in range(mod)
         ]
+        chunks.append((f"{column}%{mod}=__null__", F.col(column).isNull()))
         return Splitter(f"mod_integer({column},{mod})", chunks)
 
     @staticmethod
@@ -209,9 +212,13 @@ class CheckpointResult:
         is_map = F.col("unexpected_count").isNotNull()
         # row-scoped conditions merge exactly; chunk-RELATIVE conditions
         # (uniqueness: cross-chunk dups are invisible per chunk; ordering:
-        # chunk boundaries hide inversions) stay AND-of-chunks
+        # chunk boundaries hide inversions) stay AND-of-chunks. Anchored so
+        # select_column_values_to_be_unique_WITHIN_RECORD (row-scoped — the
+        # condition only reads its own row) merges like any map condition.
         chunk_relative = F.col("expectation_type").rlike(
-            "unique|increasing|decreasing|in_other_table")
+            "(column_values_to_be_unique$)|compound_columns_to_be_unique"
+            "|multicolumn_values_to_be_unique|unique_value_count"
+            "|to_be_increasing|to_be_decreasing|in_other_table")
         return (
             agg.withColumn(
                 "success",

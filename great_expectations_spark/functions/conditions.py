@@ -357,6 +357,58 @@ def _multicolumn_sum_equal(kwargs: dict[str, Any]) -> MapKernel:
     return _multi_kernel(kwargs, total == F.lit(kwargs["sum_total"]))
 
 
+# ------------------------------------------------- plugin expectation bases
+
+
+def _register_plugin(name: str, builder: KernelBuilder) -> None:
+    """(Re-)register a plugin kernel and invalidate any cached Compiled
+    records for the name — re-registering with a new regex/set must not
+    serve the stale kernel out of the compile cache."""
+    MAP_KERNELS[name] = builder
+    from great_expectations_spark.plans import compiler
+
+    compiler.invalidate_cache(name)
+
+
+def register_regex_expectation(name: str, regex: str, match: bool = True) -> None:
+    """Plugin base: declare a new column-map expectation from a regex —
+    the engine-native form of the reference's
+    ``RegexBasedColumnMapExpectation`` (expectations/
+    regex_based_column_map_expectation.py: subclass carries ``regex_`` +
+    camel name; here one call registers the kernel). ``match=False``
+    asserts values do NOT match.
+
+    Example::
+
+        register_regex_expectation(
+            "expect_column_values_to_be_hex_color", r"^#[0-9a-fA-F]{6}$")
+    """
+    if not name.startswith("expect_"):
+        raise ValueError("expectation name must start with 'expect_'")
+
+    def build(kwargs: dict[str, Any]) -> MapKernel:
+        cond = F.col(kwargs["column"]).rlike(regex)
+        return _col_kernel(kwargs, cond if match else ~cond)
+
+    _register_plugin(name, build)
+
+
+def register_set_expectation(name: str, value_set: list, in_set: bool = True) -> None:
+    """Plugin base: declare a new column-map expectation from a fixed value
+    set — the engine-native ``SetBasedColumnMapExpectation``
+    (set_based_column_map_expectation.py)."""
+    if not name.startswith("expect_"):
+        raise ValueError("expectation name must start with 'expect_'")
+    frozen = list(value_set)
+
+    def build(kwargs: dict[str, Any]) -> MapKernel:
+        col = F.col(kwargs["column"])
+        cond = col.isin(frozen) if frozen else F.lit(False)
+        return _col_kernel(kwargs, cond if in_set else ~cond)
+
+    _register_plugin(name, build)
+
+
 @register("expect_select_column_values_to_be_unique_within_record")
 def _unique_within_record(kwargs: dict[str, Any]) -> MapKernel:
     # pairwise all-distinct within the row

@@ -171,6 +171,40 @@ def minhash_from_hashes(hashes: Column, k: int = 12) -> Column:
     return F.array(*[F.array_min(F.transform(hashes, perm(a, b))) for a, b in minhash_params(k)])
 
 
+def _band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(__id, band, bucket) triples of the MinHash-LSH banding pipeline —
+    the single definition candidate pairing AND hot-bucket reporting share,
+    so the reported buckets are exactly the ones the pairing saw."""
+    r = k // bands
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
+        .where(F.size("__t") >= shingle_n)
+        .select("__id", hashed_tokens(F.col("__t")).alias("__th"))
+        .select("__id", hashed_shingles(F.col("__th"), shingle_n).alias("__h"))
+        .select("__id", minhash_from_hashes(F.col("__h"), k).alias("__sig"))
+    )
+    band_cols = [
+        _md5(F.concat_ws("|", *[F.col("__sig")[b * r + j] for j in range(r)])).alias("__bucket")
+        for b in range(bands)
+    ]
+    return base.select(
+        "__id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.__bucket").alias("bucket"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -193,27 +227,7 @@ def minhash_lsh_candidates(
     them as one group anyway; enumerate them with ``lsh_hot_buckets`` and
     handle the group wholesale instead of pairwise.
     """
-    r = k // bands
-    base = (
-        df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
-        .where(F.size("__t") >= shingle_n)
-        .select("__id", hashed_tokens(F.col("__t")).alias("__th"))
-        .select("__id", hashed_shingles(F.col("__th"), shingle_n).alias("__h"))
-        .select("__id", minhash_from_hashes(F.col("__h"), k).alias("__sig"))
-    )
-    band_cols = [
-        _md5(F.concat_ws("|", *[F.col("__sig")[b * r + j] for j in range(r)])).alias("__bucket")
-        for b in range(bands)
-    ]
-    exploded = base.select(
-        "__id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.__bucket").alias("bucket"))
+    exploded = _band_buckets(df, id_col, text_col, k, bands, shingle_n)
 
     if max_bucket_size is not None:
         sizes = exploded.groupBy("band", "bucket").agg(
@@ -246,30 +260,12 @@ def lsh_hot_buckets(
     """Report of LSH buckets at/above ``min_bucket_size``: (band, bucket,
     n_docs). The companion to ``minhash_lsh_candidates(max_bucket_size=...)``
     — what the cap dropped, so a pipeline can log it or dedup those groups
-    wholesale (keep-one-per-bucket) instead of pairwise."""
-    r = k // bands
-    base = (
-        df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
-        .where(F.size("__t") >= shingle_n)
-        .select("__id", hashed_tokens(F.col("__t")).alias("__th"))
-        .select("__id", hashed_shingles(F.col("__th"), shingle_n).alias("__h"))
-        .select("__id", minhash_from_hashes(F.col("__h"), k).alias("__sig"))
-    )
-    band_cols = [
-        _md5(F.concat_ws("|", *[F.col("__sig")[b * r + j] for j in range(r)])).alias("__bucket")
-        for b in range(bands)
-    ]
-    exploded = base.select(
-        "__id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(F.col("bb.band").alias("band"), F.col("bb.__bucket").alias("bucket"))
+    wholesale (keep-one-per-bucket) instead of pairwise. Shares
+    ``_band_buckets`` with the pairing, so the buckets line up exactly
+    (call with the same k/bands/shingle_n)."""
     return (
-        exploded.groupBy("band", "bucket")
+        _band_buckets(df, id_col, text_col, k, bands, shingle_n)
+        .groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .where(F.col("n_docs") >= min_bucket_size)
     )

@@ -145,6 +145,13 @@ def supported_expectations() -> list[str]:
     return sorted(set(COMPILERS) | set(MAP_KERNELS))
 
 
+def invalidate_cache(expectation_type: str) -> None:
+    """Drop cached Compiled records for one expectation type (plugin
+    re-registration changes the kernel behind the same cache key)."""
+    for key in [k for k in _COMPILE_CACHE if k[0] == expectation_type]:
+        del _COMPILE_CACHE[key]
+
+
 # --------------------------------------------------------------------- utils
 
 
@@ -932,11 +939,21 @@ def _uniqueness_compiler(name: str, cols_fn: Callable[[dict[str, Any]], list[str
             # violation frame for pass 2: LEFT SEMI join of the rows against
             # the duplicated keys — reuses the dup-key frame the count path
             # already built; unlike a Window.partitionBy(key) sample, a
-            # skewed dup key never funnels through one task
+            # skewed dup key never funnels through one task. NULL-SAFE join
+            # keys (groupBy treats NULL as a value, so the list must too)
+            # and full source rows kept so index columns /
+            # include_unexpected_rows still resolve downstream.
             key_struct = F.struct(*[F.col(c).alias(c) for c in cols])
+            dk = dup_keys_df.select(
+                *[F.col(c).alias(f"__dk_{c}") for c in cols])
+            join_cond = None
+            for c in cols:
+                p = F.col(c).eqNullSafe(F.col(f"__dk_{c}"))
+                join_cond = p if join_cond is None else (join_cond & p)
             vdf = (
-                d.join(dup_keys_df.select(*cols), on=list(cols), how="left_semi")
-                .select((F.col(cols[0]) if single else key_struct).alias("__value"))
+                d.join(dk, on=join_cond, how="left_semi")
+                .withColumn(
+                    "__value", F.col(cols[0]) if single else key_struct)
             )
             return {
                 k_unexp: int(dup["dup_rows"]),
@@ -1094,6 +1111,20 @@ def _monotonic_compiler(name: str, increasing: bool):
                 d = df.where(col.isNotNull()).select(c)
                 okey = F.monotonically_increasing_id()
             d = d.withColumn("__ok", okey).withColumn("__pid", F.spark_partition_id())
+            # When a violation pass can follow (result_format > BOOLEAN_ONLY),
+            # persist so the lazy violation frame sees the SAME partition
+            # assignment the boundary map was computed from — re-executing
+            # repartitionByRange/monotonically_increasing_id in a second job
+            # could re-sample different range bounds. The validator
+            # unpersists via the __persist__ handle after pass 2.
+            # BOOLEAN_ONLY stays a pure one-job count with zero cache cost.
+            persisted = False
+            rf = metrics.get("__rf__")
+            if rf is None or rf.at_least("BASIC"):
+                from pyspark import StorageLevel
+
+                d = d.persist(StorageLevel.MEMORY_AND_DISK)
+                persisted = True
             w = Window.partitionBy("__pid").orderBy("__ok")
             prev = F.lag(col).over(w)
             bad_within = prev.isNotNull() & _violates(col, prev)
@@ -1143,10 +1174,13 @@ def _monotonic_compiler(name: str, increasing: bool):
             bad = eff_prev.isNotNull() & _violates(col, eff_prev)
             vdf = dj.select(col.alias("__value"), bad.alias("__bad")).where(
                 F.col("__bad")).select("__value")
-            return {
+            out: dict[str, Any] = {
                 k_unexp: int(unexp),
                 f"__violations_df__|{config.id}": vdf,
             }
+            if persisted:
+                out[f"__persist__|{config.id}"] = d
+            return out
 
         def finalize(metrics: Metrics) -> EVR:
             return _map_finalize(config, metrics, k_elem, k_missing, k_unexp)

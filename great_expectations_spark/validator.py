@@ -121,7 +121,9 @@ class SparkValidator:
     def validate(self) -> SuiteValidationResult:
         t0 = time.time()
         schema = self.df.schema
-        metrics: dict[str, Any] = {"__schema__": schema, "__tables__": self.tables}
+        metrics: dict[str, Any] = {
+            "__schema__": schema, "__tables__": self.tables, "__rf__": self.rf,
+        }
 
         from great_expectations_spark.plans.compiler import supported_expectations
 
@@ -208,6 +210,14 @@ class SparkValidator:
                 except Exception:
                     pass  # lists are best-effort detail; counts already exact
 
+        # release any frames eager ops persisted for pass-2 consistency
+        for key, v in list(metrics.items()):
+            if key.startswith("__persist__|"):
+                try:
+                    v.unpersist()
+                except Exception:
+                    pass
+
         # ---- finalize ------------------------------------------------------
         results: list[EVR] = []
         for config, comp, err in compiled:
@@ -275,8 +285,22 @@ class SparkValidator:
         if kernel is None and comp.kernel2 is not None:
             kernel = comp.kernel2(metrics)
 
-        if vdf_key in metrics:  # referential: anti-join already built the frame
+        if vdf_key in metrics:  # eager op (uniqueness/referential/monotonic)
+            # already built the violation frame; when it carries the source
+            # columns (uniqueness does), index columns and unexpected_rows
+            # resolve from it directly
             vdf = metrics[vdf_key].withColumnRenamed("__value", "__v")
+            src_cols = [c for c in vdf.columns
+                        if c != "__v" and not c.startswith("__")]
+            if self.rf.include_unexpected_rows and src_cols:
+                limit = cap if self.rf.at_least("COMPLETE") else k
+                full_rows = vdf.select(*src_cols).limit(limit).collect()
+                out[f"unexpected_rows|{config.id}"] = [
+                    {c: _py(v) for c, v in r.asDict().items()} for r in full_rows
+                ]
+            keep = ["__v"] + [c for c in self.rf.unexpected_index_column_names
+                              if c in src_cols]
+            vdf = vdf.select(*keep)
         elif kernel is not None:
             unexpected = kernel.include & F.coalesce(~kernel.ok, F.lit(False))
             index_cols = [c for c in self.rf.unexpected_index_column_names]
@@ -298,8 +322,16 @@ class SparkValidator:
             if self.rf.at_least("COMPLETE") and self.rf.return_unexpected_index_query:
                 # reference _spark_map_condition_index_query
                 # (map_metric_provider.py:2936-2977): the unexpected condition
-                # rendered as a runnable df.filter(F.expr(...)) string
-                cond = str(unexpected).replace("Column<'(", "").replace(")'>", "")
+                # rendered for DataDocs display. NOTE (same caveat as the
+                # reference, whose implementation this mirrors exactly):
+                # str(Column) prints string literals unquoted, so the string
+                # is a human-readable description of the filter, not always
+                # directly executable.
+                cond = str(unexpected)
+                if cond.startswith("Column<'") and cond.endswith("'>"):
+                    cond = cond[len("Column<'"):-len("'>")]
+                if cond.startswith("(") and cond.endswith(")"):
+                    cond = cond[1:-1]
                 out[f"unexpected_index_query|{config.id}"] = f"df.filter(F.expr({cond}))"
         else:
             return out
@@ -331,9 +363,11 @@ class SparkValidator:
         if self.rf.at_least("COMPLETE"):
             full = vdf.limit(cap).collect()
             out[f"unexpected_list|{config.id}"] = [fmt(r["__v"]) for r in full]
-            if self.rf.unexpected_index_column_names:
+            index_cols = [c for c in self.rf.unexpected_index_column_names
+                          if c in vdf.columns]
+            if index_cols:
                 out[f"unexpected_index_list|{config.id}"] = [
-                    {c: _py(r[c]) for c in self.rf.unexpected_index_column_names} for r in full
+                    {c: _py(r[c]) for c in index_cols} for r in full
                 ]
         return out
 

@@ -23,9 +23,15 @@ def docs(spark):
 class TestSplitters:
     def test_mod_integer_partitions_everything(self, spark, docs):
         sp = Splitter.mod_integer("doc_id", 4)
-        assert len(sp.chunks) == 4
+        assert len(sp.chunks) == 5  # 4 residues + NULL chunk
         total = sum(docs.where(pred).count() for _, pred in sp.chunks)
         assert total == docs.count()
+
+    def test_mod_integer_covers_negatives_and_nulls(self, spark):
+        df = spark.createDataFrame([(-5,), (-1,), (0,), (7,), (None,)], "k int")
+        sp = Splitter.mod_integer("k", 4)
+        total = sum(df.where(pred).count() for _, pred in sp.chunks)
+        assert total == 5  # pmod keeps negatives in range; NULL chunk catches NULL
 
     def test_divided_integer_quotients(self, spark, docs):
         sp = Splitter.divided_integer(docs, "doc_id", 100)
@@ -69,7 +75,7 @@ class TestSplitters:
             "expect_column_values_to_not_be_null", column="text", mostly=0.9)
         sp = Splitter.mod_integer("doc_id", 4)
         res = run_checkpoint(docs, suite, sp, str(tmp_path / "r"), run_id="m1")
-        assert len(res.completed_chunks) == 4
+        assert len(res.completed_chunks) == 5  # 4 residues + NULL chunk
         total = res.results_df.agg(F.sum("element_count")).first()[0]
         assert total == docs.count()
 
