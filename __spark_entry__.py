@@ -1036,6 +1036,24 @@ def _r2e(spark, sf):
         [(r["doc_id"], r["lang"]) for r in rows], "doc_id long, lang string")
 
 
+@_q("pipeline_token_counts", r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+            AS INT) AS n_bpe_tokens
+FROM documents WHERE text IS NOT NULL
+""")
+def _r2g(spark, sf):
+    from great_expectations_spark.pipeline.textstats import token_count, token_count_bpe
+
+    docs = _tbl(spark, sf, "documents").where(F.col("text").isNotNull())
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        token_count_bpe(F.col("text")).alias("n_bpe_tokens"))
+
+
 def _lsh_bucket_stats_oracle() -> str:
     # same signature pipeline as the minhash oracle, aggregated per bucket
     base = _minhash_oracle()

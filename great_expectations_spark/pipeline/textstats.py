@@ -30,6 +30,26 @@ def token_count(text: Column) -> Column:
     return F.when(text.isNull(), F.lit(None).cast("int")).otherwise(F.size(tokens(text)))
 
 
+# GPT-2-style pre-tokenization regex (the split step every BPE vocabulary
+# applies before merges): contraction suffixes, letter runs, digit runs,
+# punctuation runs — each optionally preceded by one space — then leftover
+# whitespace. Restricted to RE2-compatible syntax (no lookahead) so the
+# exact same pattern runs in Spark (Java regex) and any RE2 engine.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: occurrences of the GPT-2 pre-tokenizer pattern.
+
+    A training-data pipeline budgeting a tokenizer's context windows needs
+    a cheap per-doc token estimate; pre-tokenizer piece count is the
+    standard proxy (actual BPE merges only split pieces further, never
+    across pieces). Pure ``regexp_count`` codegen — no UDF."""
+    return F.when(
+        text.isNull(), F.lit(None).cast("int")
+    ).otherwise(F.regexp_count(text, F.lit(BPE_SPLIT_PATTERN)).cast("int"))
+
+
 def filler_ratio(text: Column, fillers: list[str] | None = None) -> Column:
     """Fraction of tokens (with multiplicity) that are filler words."""
     f = fillers or FILLER_WORDS

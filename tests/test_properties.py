@@ -1,0 +1,147 @@
+"""Property-based tests (hypothesis) — randomized semantics checks the
+reference's own suite lacks (SURVEY §5: "No property-based/randomized
+testing" there).
+
+Driver-side properties run hundreds of examples; Spark round-trip
+properties are capped at a handful of examples each (session round-trips
+are ~0.5 s) and assert against brute-force Python over the same rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from great_expectations_spark.core.evaluation_parameters import (
+    parse_evaluation_parameter,
+)
+from great_expectations_spark.plans.compiler import _between_success
+
+SPARK_EXAMPLES = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+class TestDriverSideProperties:
+    @given(
+        a=st.integers(-1000, 1000),
+        b=st.integers(-1000, 1000),
+        c=st.integers(1, 50),
+        op=st.sampled_from(["+", "-", "*"]),
+    )
+    def test_eval_param_arithmetic_matches_python(self, a, b, c, op):
+        expr = f"({a} {op} {b}) * {c} + x"
+        expected = eval(f"({a} {op} {b}) * {c}") + 7  # noqa: S307 - test oracle
+        assert parse_evaluation_parameter(expr, {"x": 7}) == expected
+
+    @given(
+        value=st.one_of(st.none(), st.integers(-100, 100),
+                        st.floats(-100, 100, allow_nan=False)),
+        lo=st.one_of(st.none(), st.integers(-100, 100)),
+        hi=st.one_of(st.none(), st.integers(-100, 100)),
+        strict_min=st.booleans(),
+        strict_max=st.booleans(),
+    )
+    def test_between_success_matches_bruteforce(self, value, lo, hi, strict_min, strict_max):
+        kwargs = {"min_value": lo, "max_value": hi,
+                  "strict_min": strict_min, "strict_max": strict_max}
+        got = _between_success(value, kwargs)
+        if value is None:
+            assert got is False
+            return
+        ok = True
+        if lo is not None:
+            ok = ok and (value > lo if strict_min else value >= lo)
+        if hi is not None:
+            ok = ok and (value < hi if strict_max else value <= hi)
+        assert got == ok
+
+    @given(st.integers(0, 10_000), st.integers(0, 10_000), st.floats(0, 1))
+    def test_mostly_ratio_monotone(self, nonmissing, unexpected, mostly):
+        # the mostly verdict is monotone: fewer unexpected can never flip
+        # success -> failure
+        unexpected = min(unexpected, nonmissing)
+
+        def verdict(u):
+            if nonmissing <= 0:
+                return True
+            return (nonmissing - u) / nonmissing >= mostly
+
+        assert (not verdict(unexpected)) or verdict(max(unexpected - 1, 0))
+
+
+class TestSparkProperties:
+    @SPARK_EXAMPLES
+    @given(
+        rows=st.lists(st.one_of(st.none(), st.integers(-50, 50)),
+                      min_size=1, max_size=60),
+        lo=st.integers(-30, 0),
+        hi=st.integers(1, 30),
+    )
+    def test_between_counts_match_bruteforce(self, spark, rows, lo, hi):
+        from great_expectations_spark import ExpectationSuite, validate
+
+        df = spark.createDataFrame([(v,) for v in rows], "x int")
+        suite = ExpectationSuite("p").add(
+            "expect_column_values_to_be_between", column="x",
+            min_value=lo, max_value=hi)
+        res = validate(df, suite)
+        r = res.results[0].result
+        nonnull = [v for v in rows if v is not None]
+        expected_unexp = sum(1 for v in nonnull if not (lo <= v <= hi))
+        assert r["element_count"] == len(rows)
+        assert r["missing_count"] == len(rows) - len(nonnull)
+        assert r["unexpected_count"] == expected_unexp
+
+    @SPARK_EXAMPLES
+    @given(rows=st.lists(st.integers(-20, 20), min_size=2, max_size=50))
+    def test_increasing_matches_adjacent_pairs(self, spark, rows):
+        from great_expectations_spark import ExpectationSuite, validate
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(rows)], "k int, v int"
+        ).repartition(4)
+        suite = ExpectationSuite("p").add(
+            "expect_column_values_to_be_increasing", column="v", order_by="k")
+        res = validate(df, suite, result_format="BOOLEAN_ONLY")
+        expected = sum(1 for a, b in zip(rows, rows[1:]) if b < a)
+        assert res.results[0].result["unexpected_count"] == expected
+
+    @SPARK_EXAMPLES
+    @given(rows=st.lists(st.integers(0, 8), min_size=1, max_size=60))
+    def test_uniqueness_matches_bruteforce(self, spark, rows):
+        from collections import Counter
+
+        from great_expectations_spark import ExpectationSuite, validate
+
+        df = spark.createDataFrame([(v,) for v in rows], "x int").repartition(4)
+        suite = ExpectationSuite("p").add(
+            "expect_column_values_to_be_unique", column="x")
+        res = validate(df, suite, result_format="BOOLEAN_ONLY")
+        expected = sum(n for n in Counter(rows).values() if n > 1)
+        assert res.results[0].result["unexpected_count"] == expected
+
+    @SPARK_EXAMPLES
+    @given(
+        rows=st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+            min_size=1, max_size=50),
+    )
+    def test_mean_sum_match_math(self, spark, rows):
+        from great_expectations_spark import ExpectationSuite, validate
+
+        df = spark.createDataFrame([(float(v),) for v in rows], "x double")
+        suite = (
+            ExpectationSuite("p")
+            .add("expect_column_mean_to_be_between", column="x")
+            .add("expect_column_sum_to_be_between", column="x")
+        )
+        res = validate(df, suite)
+        got_mean = res.results[0].result["observed_value"]
+        got_sum = res.results[1].result["observed_value"]
+        assert math.isclose(got_mean, sum(rows) / len(rows),
+                            rel_tol=1e-9, abs_tol=1e-6)
+        assert math.isclose(got_sum, sum(rows), rel_tol=1e-9, abs_tol=1e-6)
