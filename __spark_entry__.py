@@ -756,6 +756,65 @@ def _p9(spark, sf):
     return ann_topk_lsh(emb, q, dims=64, k=10, planes=6, tables=4)
 
 
+def _ann_ivf_oracle(n_centroids: int = 8, n_probe: int = 3, k: int = 10) -> str:
+    """IVF is fully deterministic (seed bucket = vec_id % n, centroid =
+    per-dim mean, round-6 assignment), so DuckDB can recompute the whole
+    codebook + probe + rerank path itself."""
+    cos_ec = ("list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c) / "
+              "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
+              "sqrt(list_dot_product(c.c, c.c)))")
+    cos_ap = ("list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(p.qv AS DOUBLE[])) / "
+              "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
+              "sqrt(list_dot_product(CAST(p.qv AS DOUBLE[]), CAST(p.qv AS DOUBLE[]))))")
+    return f"""
+WITH exp AS (
+  SELECT vec_id % {n_centroids} AS cid,
+         generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS d,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT cid, list(m ORDER BY d) AS c
+  FROM (SELECT cid, d, avg(x) AS m FROM exp GROUP BY cid, d) GROUP BY cid
+),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cid, round({cos_ec}, 6) AS s
+  FROM embeddings e CROSS JOIN cent c
+),
+asgn AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM sims) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, embedding AS qv, cid FROM (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM sims WHERE vec_id < 8) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.q_id, a.vec_id, round({cos_ap}, 4) AS sim
+  FROM asgn a JOIN probes p ON a.cid = p.cid
+  WHERE a.vec_id <> p.q_id
+),
+r AS (SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      FROM cand)
+SELECT q_id, vec_id, sim, CAST(rank AS INT) AS rank FROM r WHERE rank <= {k}
+"""
+
+
+@_q("pipeline_ann_ivf", _ann_ivf_oracle())
+def _p9b(spark, sf):
+    from great_expectations_spark.pipeline.similarity import ann_topk_ivf
+
+    emb = _tbl(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return ann_topk_ivf(emb, q, dims=64, k=10, n_centroids=8, n_probe=3)
+
+
 @_q("pipeline_embedding_neardup", f"""
 SELECT id_a, id_b, cosine FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_SQL}, 6) AS cosine

@@ -113,6 +113,33 @@ def test_ann_lsh_recall_vs_exact(spark, emb):
     assert recall >= 0.3  # 4 planes / random embeddings: modest but nonzero
 
 
+def test_ann_ivf_full_probe_equals_exact(spark, emb):
+    """Probing every IVF cell degenerates to the exact scan, so the
+    result must equal brute-force top-k bit-for-bit (same rounding and
+    tiebreak)."""
+    from great_expectations_spark.pipeline.similarity import ann_topk_ivf, cosine_topk
+
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = {tuple(r) for r in cosine_topk(emb, q, k=5).collect()}
+    full = {tuple(r) for r in
+            ann_topk_ivf(emb, q, dims=64, k=5, n_centroids=4, n_probe=4).collect()}
+    assert full == exact
+
+
+def test_ann_ivf_partial_probe_recall(spark, emb):
+    from great_expectations_spark.pipeline.similarity import ann_topk_ivf, cosine_topk
+
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = {(r.q_id, r.vec_id) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = ann_topk_ivf(emb, q, dims=64, k=5, n_centroids=8, n_probe=3).collect()
+    # every query still produces k candidates (probed cells are non-empty)
+    assert all(r.rank <= 5 for r in approx)
+    recall = len(exact & {(r.q_id, r.vec_id) for r in approx}) / len(exact)
+    assert recall >= 0.3  # random embeddings; 3/8 cells probed
+
+
 def test_embedding_neardup_blocked(spark, emb):
     from great_expectations_spark.pipeline.dedup import embedding_neardup_pairs
 
