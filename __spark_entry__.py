@@ -169,6 +169,42 @@ def _q9(spark, sf):
     return _map_result(spark, r)
 
 
+@_q("fused_violation_counts", """
+SELECT 'lang_in_set' AS expectation, lang AS value, count(*) AS cnt
+FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en') GROUP BY lang
+UNION ALL
+SELECT 'source_not_regex' AS expectation, source AS value, count(*) AS cnt
+FROM documents WHERE source IS NOT NULL AND regexp_matches(source, '^src1')
+GROUP BY source
+""")
+def _q9b(spark, sf):
+    """Fused pass-2: BOTH violated expectations' SUMMARY value counts come
+    from ONE shared scan + one groupBy((eid, value)) shuffle
+    (validator.py _collect_violations_fused) instead of a full re-scan per
+    expectation. Violated value cardinality (4 + 11) < partial cap, so the
+    reported counts are the complete per-value violation histogram."""
+    from great_expectations_spark.plans.compiler import Options
+
+    suite = (
+        ExpectationSuite(name="fused")
+        .add("expect_column_values_to_be_in_set",
+             column="lang", value_set=["en"], mostly=0.99)
+        .add("expect_column_values_to_not_match_regex",
+             column="source", regex="^src1", mostly=0.01)
+    )
+    res = validate(
+        _tbl(spark, sf, "documents"), suite,
+        result_format={"result_format": "SUMMARY", "partial_unexpected_count": 30},
+        options=Options(fuse_violations=True),
+    )
+    names = ["lang_in_set", "source_not_regex"]
+    rows = []
+    for name, evr in zip(names, res.results):
+        for d in evr.result["partial_unexpected_counts"]:
+            rows.append((name, d["value"], d["count"]))
+    return spark.createDataFrame(rows, "expectation string, value string, cnt long")
+
+
 # ---- uniqueness -------------------------------------------------------------
 
 _UNIQ_ORACLE = """

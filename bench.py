@@ -211,6 +211,24 @@ def main() -> None:
     # suite_* workloads exactly as in round 1
     zipf.unpersist()
 
+    @timed("violations_fused")
+    def _q9():
+        # SUMMARY tier with several VIOLATED expectations: exercises the
+        # fused pass-2 (one early-stopping scan + one groupBy((eid, value))
+        # shuffle for all violation detail, validator.py)
+        suite = (
+            ExpectationSuite(name="viol")
+            .add("expect_column_values_to_be_in_set",
+                 column="lang", value_set=["en"], mostly=0.99)
+            .add("expect_column_values_to_match_regex",
+                 column="source", regex="^src1$", mostly=0.99)
+            .add("expect_column_values_to_be_between",
+                 column="n_chars", min_value=0, max_value=100, mostly=0.99)
+        )
+        validate(docs, suite, result_format="SUMMARY")
+
+    # NOT counted in rows_validated (appended in round 2)
+
     total = round(sum(timings.values()), 4)
     suite_secs = sum(timings[k] for k in timings if k.startswith("suite_"))
     throughput = round(rows_validated / suite_secs, 2) if suite_secs > 0 else 0.0

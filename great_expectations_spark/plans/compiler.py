@@ -62,6 +62,12 @@ class Options:
     exact_median: bool = True
     # parameterized-KS sample bound (scipy runs on the driver)
     ks_sample_cap: int = 100_000
+    # pass-2 fusion: extract violation detail for ALL violated map
+    # expectations in ONE early-stopping scan (+ one shuffle for SUMMARY
+    # counts) instead of up to three bounded jobs PER violated expectation.
+    # At 10^12 rows with several violated expectations the per-expectation
+    # plan re-scans the table E times; the fused plan scans once.
+    fuse_violations: bool = True
 
 
 Metrics = Mapping[str, Any]

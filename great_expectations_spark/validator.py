@@ -24,8 +24,9 @@ import time
 import traceback
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from great_expectations_spark.core.result import (
     ExpectationValidationResult as EVR,
@@ -53,6 +54,101 @@ def _required_columns(config: ExpectationConfiguration) -> list[str]:
     if "column_list" in k:
         cols.extend(k["column_list"])
     return cols
+
+
+# ---------------------------------------------------- fused pass-2 helpers
+
+# value types whose to_json rendering round-trips losslessly back to the
+# exact Python values the per-expectation path produces after _py()
+# (binary → base64 and decimal → float do NOT; those expectations fall
+# back to the per-expectation violation jobs)
+_JSON_SAFE_ATOMS = (
+    T.StringType, T.BooleanType, T.DateType, T.TimestampType,
+    T.TimestampNTZType, T.ByteType, T.ShortType, T.IntegerType,
+    T.LongType, T.FloatType, T.DoubleType, T.NullType,
+)
+
+
+def _json_safe(dt: T.DataType) -> bool:
+    if isinstance(dt, T.ArrayType):
+        return _json_safe(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_json_safe(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.MapType):
+        return isinstance(dt.keyType, T.StringType) and _json_safe(dt.valueType)
+    return isinstance(dt, _JSON_SAFE_ATOMS)
+
+
+def _from_json_value(v: Any, dt: T.DataType) -> Any:
+    """Decode one to_json-encoded value back to the plain-Python shape the
+    per-expectation path emits (post-``_py``: datetimes as naive-UTC ISO
+    strings, dates as ISO strings, Rows as dicts)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        d = _dt.datetime.fromisoformat(v)
+        if d.tzinfo is not None:
+            d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return d.isoformat()
+    if isinstance(dt, T.DateType):
+        return str(v)
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(v)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return float(v)  # handles the "NaN"/"Infinity" strings to_json emits
+    if isinstance(dt, T.BooleanType):
+        return bool(v)
+    if isinstance(dt, T.ArrayType):
+        return [_from_json_value(x, dt.elementType) for x in v]
+    if isinstance(dt, T.StructType):
+        return {f.name: _from_json_value(v.get(f.name), f.dataType) for f in dt.fields}
+    if isinstance(dt, T.MapType):
+        return {k: _from_json_value(x, dt.valueType) for k, x in v.items()}
+    return v
+
+
+def _partition_capper(need: int, n_eids: int):
+    """mapInPandas kernel: per task, keep at most ``need`` violation rows
+    per expectation id and STOP CONSUMING the input iterator once every
+    expectation is full — Spark then stops the underlying scan for the
+    partition (the fused equivalent of the per-expectation LocalLimit
+    early exit). Per-task output is bounded by ``n_eids * need`` rows."""
+
+    def fn(batches):
+        counts: dict[int, int] = {}
+        full = 0
+        for pdf in batches:
+            if full >= n_eids:
+                break
+            keep: list[int] = []
+            for pos, eid in enumerate(pdf["eid"].tolist()):
+                c = counts.get(eid, 0)
+                if c < need:
+                    c += 1
+                    counts[eid] = c
+                    if c == need:
+                        full += 1
+                    keep.append(pos)
+            if keep:
+                yield pdf.iloc[keep]
+
+    return fn
+
+
+def _render_index_query(unexpected: Any) -> str:
+    """COMPLETE-tier display string (reference
+    _spark_map_condition_index_query, map_metric_provider.py:2936-2977).
+    Same caveat as the reference: str(Column) prints string literals
+    unquoted, so this is a human-readable description, not always
+    directly executable."""
+    cond = str(unexpected)
+    if cond.startswith("Column<'") and cond.endswith("'>"):
+        cond = cond[len("Column<'"):-len("'>")]
+    if cond.startswith("(") and cond.endswith(")"):
+        cond = cond[1:-1]
+    return f"df.filter(F.expr({cond}))"
 
 
 _SCHEMA_TYPES_WITH_OWN_CHECK = {
@@ -188,6 +284,8 @@ class SparkValidator:
 
         # ---- pass 2: bounded violation extraction ------------------------
         if self.rf.at_least("BASIC"):
+            fusable: list[tuple[ExpectationConfiguration, Compiled, Any]] = []
+            singles: list[tuple[ExpectationConfiguration, Compiled]] = []
             for config, comp, err in compiled:
                 if comp is None or err is not None:
                     continue
@@ -205,6 +303,32 @@ class SparkValidator:
                         if self.rf.unexpected_index_column_names:
                             metrics[f"unexpected_index_list|{config.id}"] = []
                     continue
+                kernel = comp.kernel
+                if kernel is None and comp.kernel2 is not None:
+                    try:
+                        kernel = comp.kernel2(metrics)
+                    except Exception:
+                        kernel = None
+                if (
+                    self.options.fuse_violations
+                    and f"__violations_df__|{config.id}" not in metrics
+                    and kernel is not None
+                    and self._fused_eligible(kernel)
+                ):
+                    fusable.append((config, comp, kernel))
+                else:
+                    singles.append((config, comp))
+            if len(fusable) == 1:
+                singles.append((fusable[0][0], fusable[0][1]))
+                fusable = []
+            if fusable:
+                try:
+                    metrics.update(self._collect_violations_fused(fusable, metrics))
+                except Exception:
+                    # best-effort detail: fall back to the per-expectation
+                    # bounded jobs so a fused-plan failure can't drop lists
+                    singles.extend((c, comp) for c, comp, _ in fusable)
+            for config, comp in singles:
                 try:
                     metrics.update(self._collect_violations(config, comp, metrics))
                 except Exception:
@@ -273,6 +397,174 @@ class SparkValidator:
                         config, comp, EVR.exception(config, str(e), traceback.format_exc())
                     )
 
+    def _fused_eligible(self, kernel) -> bool:
+        """A kernel joins the fused pass when its value — and every column
+        the detail tiers serialize alongside it — survives the JSON round
+        trip losslessly."""
+        try:
+            vt = self.df.select(kernel.value.alias("x")).schema[0].dataType
+        except Exception:
+            return False
+        if not _json_safe(vt):
+            return False
+        schema = self.df.schema
+        names = schema.fieldNames()
+        check_cols = list(self.rf.unexpected_index_column_names)
+        if self.rf.include_unexpected_rows:
+            check_cols.extend(names)
+        for c in check_cols:
+            if c not in names or not _json_safe(schema[c].dataType):
+                return False
+        return True
+
+    def _collect_violations_fused(
+        self,
+        fusable: list[tuple[ExpectationConfiguration, Compiled, Any]],
+        metrics: dict[str, Any],
+    ) -> dict[str, Any]:
+        """ONE early-stopping scan extracts bounded violation detail for
+        every violated kernel expectation at once (vs one-to-three jobs per
+        expectation): each row emits an array entry per expectation it
+        violates, the exploded (eid, value) stream is capped per partition
+        with an early-exit mapInPandas, and a row_number window trims to
+        the per-expectation budget. SUMMARY value counts add one fused
+        groupBy((eid, value)) shuffle — map-side combined, skew-free —
+        replacing a full re-scan per expectation."""
+        import json as _json
+
+        rf = self.rf
+        k = rf.partial_unexpected_count
+        cap = self.options.complete_list_cap
+        need = cap if rf.at_least("COMPLETE") else k
+        idx_cols = [c for c in rf.unexpected_index_column_names]
+        want_rows = bool(rf.include_unexpected_rows)
+        schema = self.df.schema
+        jopts = {"ignoreNullFields": "false"}
+
+        ij = (
+            F.to_json(F.struct(*[F.col(c) for c in idx_cols]), jopts)
+            if idx_cols
+            else F.lit(None).cast("string")
+        )
+        rj = (
+            F.to_json(F.struct(*[F.col(c) for c in self.df.columns]), jopts)
+            if want_rows
+            else F.lit(None).cast("string")
+        )
+
+        entries: list[Any] = []
+        vtypes: list[T.DataType] = []
+        out: dict[str, Any] = {}
+        for eid, (config, comp, kernel) in enumerate(fusable):
+            unexpected = kernel.include & F.coalesce(~kernel.ok, F.lit(False))
+            vj = F.to_json(F.struct(kernel.value.alias("v")), jopts)
+            entries.append(
+                F.when(
+                    unexpected,
+                    F.struct(
+                        F.lit(eid).alias("eid"),
+                        vj.alias("vj"),
+                        ij.alias("ij"),
+                        rj.alias("rj"),
+                    ),
+                )
+            )
+            vtypes.append(self.df.select(kernel.value.alias("x")).schema[0].dataType)
+            if rf.at_least("COMPLETE") and rf.return_unexpected_index_query:
+                out[f"unexpected_index_query|{config.id}"] = _render_index_query(unexpected)
+
+        ex = (
+            self.df.select(F.explode(F.array_compact(F.array(*entries))).alias("e"))
+            .select("e.eid", "e.vj", "e.ij", "e.rj")
+        )
+
+        def fmt(v: Any, eid: int) -> Any:
+            kernel = fusable[eid][2]
+            if kernel.value_format == "pair" and isinstance(v, dict):
+                return [v.get(c) for c in kernel.columns]
+            return v
+
+        capped = ex.mapInPandas(
+            _partition_capper(need, len(fusable)),
+            schema="eid int, vj string, ij string, rj string",
+        )
+        w = Window.partitionBy("eid").orderBy("vj")
+        rows = (
+            capped.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= need)
+            .drop("__rn")
+            .collect()
+        )
+        by_eid: dict[int, list] = {}
+        for r in rows:
+            by_eid.setdefault(r["eid"], []).append(r)
+
+        for eid, (config, comp, kernel) in enumerate(fusable):
+            rs = by_eid.get(eid, [])
+            vals = [
+                fmt(_from_json_value(_json.loads(r["vj"])["v"], vtypes[eid]), eid)
+                for r in rs
+            ]
+            out[f"partial_unexpected_list|{config.id}"] = vals[:k]
+            if want_rows:
+                limit = cap if rf.at_least("COMPLETE") else k
+                out[f"unexpected_rows|{config.id}"] = [
+                    {
+                        c: _from_json_value(_json.loads(r["rj"]).get(c), schema[c].dataType)
+                        for c in self.df.columns
+                    }
+                    for r in rs[:limit]
+                ]
+            if rf.at_least("COMPLETE"):
+                out[f"unexpected_list|{config.id}"] = vals[:cap]
+                if idx_cols:
+                    out[f"unexpected_index_list|{config.id}"] = [
+                        {
+                            c: _from_json_value(_json.loads(r["ij"]).get(c), schema[c].dataType)
+                            for c in idx_cols
+                        }
+                        for r in rs[:cap]
+                    ]
+
+        if rf.at_least("SUMMARY"):
+            # tie-break surrogate so count-tied NUMERIC values rank in typed
+            # order (the per-expectation path orders by the native column):
+            # strip the {"v":...} wrapper and try_cast — numbers sort
+            # numerically, everything else falls back to the JSON string
+            num = F.expr(
+                "try_cast(regexp_replace(vj, '^\\\\{\"v\":|\\\\}$', '') as double)")
+            cw = Window.partitionBy("eid").orderBy(
+                F.desc("__n"), F.asc_nulls_last(num), F.asc("vj"))
+            crows = (
+                ex.groupBy("eid", "vj")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .withColumn("__rn", F.row_number().over(cw))
+                .where(F.col("__rn") <= k + 50)
+                .collect()
+            )
+            counts_by_eid: dict[int, list] = {}
+            for r in crows:
+                counts_by_eid.setdefault(r["eid"], []).append(r)
+            for eid, (config, comp, kernel) in enumerate(fusable):
+                items = [
+                    (
+                        fmt(_from_json_value(_json.loads(r["vj"])["v"], vtypes[eid]), eid),
+                        int(r["__n"]),
+                    )
+                    for r in counts_by_eid.get(eid, [])
+                ]
+                # re-sort ties by TYPED value (the per-expectation path
+                # orders by the native column); fall back to the stable
+                # JSON-string order for unorderable values
+                try:
+                    items.sort(key=lambda t: (-t[1], t[0]))
+                except TypeError:
+                    items.sort(key=lambda t: (-t[1], _json.dumps(t[0], default=str)))
+                out[f"partial_unexpected_counts|{config.id}"] = [
+                    {"value": v, "count": n} for v, n in items[:k]
+                ]
+        return out
+
     def _collect_violations(
         self, config: ExpectationConfiguration, comp: Compiled, metrics: dict[str, Any]
     ) -> dict[str, Any]:
@@ -320,19 +612,7 @@ class SparkValidator:
                     {c: _py(v) for c, v in r.asDict().items()} for r in full_rows
                 ]
             if self.rf.at_least("COMPLETE") and self.rf.return_unexpected_index_query:
-                # reference _spark_map_condition_index_query
-                # (map_metric_provider.py:2936-2977): the unexpected condition
-                # rendered for DataDocs display. NOTE (same caveat as the
-                # reference, whose implementation this mirrors exactly):
-                # str(Column) prints string literals unquoted, so the string
-                # is a human-readable description of the filter, not always
-                # directly executable.
-                cond = str(unexpected)
-                if cond.startswith("Column<'") and cond.endswith("'>"):
-                    cond = cond[len("Column<'"):-len("'>")]
-                if cond.startswith("(") and cond.endswith(")"):
-                    cond = cond[1:-1]
-                out[f"unexpected_index_query|{config.id}"] = f"df.filter(F.expr({cond}))"
+                out[f"unexpected_index_query|{config.id}"] = _render_index_query(unexpected)
         else:
             return out
 

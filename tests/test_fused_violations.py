@@ -1,0 +1,192 @@
+"""Fused pass-2 violation extraction: one early-stopping scan for ALL
+violated map expectations must report the same violations as the
+per-expectation bounded jobs (Options(fuse_violations=False)).
+
+Partial lists are k-SAMPLES of the violation multiset — WHICH k appear is
+engine-arbitrary in both plans (the per-expectation path takes first-k in
+partition order), so the tests assert sample validity against the full
+violation multiset plus exact equality of everything deterministic:
+counts, success, full COMPLETE lists, index lists, rows, value counts."""
+
+from __future__ import annotations
+
+import datetime
+import json
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from great_expectations_spark import ExpectationSuite, validate
+from great_expectations_spark.plans.compiler import Options
+
+
+def _suite() -> ExpectationSuite:
+    return (
+        ExpectationSuite("fused")
+        .add("expect_column_values_to_not_be_null", column="tag", mostly=0.1)
+        .add("expect_column_values_to_be_between",
+             column="x", min_value=0, max_value=10, mostly=0.1)
+        .add("expect_column_values_to_be_in_set",
+             column="lang", value_set=["en", "de"], mostly=0.1)
+        .add("expect_column_values_to_match_regex",
+             column="tag", regex="^t", mostly=0.1)
+        .add("expect_column_pair_values_a_to_be_greater_than_b",
+             column_A="x", column_B="y", mostly=0.1,
+             ignore_row_if="either_value_is_missing")
+        # clean expectation: must emit empty lists, no fused participation
+        .add("expect_column_values_to_not_be_null", column="x")
+    )
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                i,
+                i % 7,
+                None if i % 5 == 0 else ("t%d" % i if i % 3 else "u%d" % i),
+                ["en", "de", "fr", "es"][i % 4],
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "x int, y int, tag string, lang string, ts timestamp"
+    ).repartition(4)
+
+
+def _c(v):
+    return json.dumps(v, sort_keys=True, default=str)
+
+
+def _mset(values):
+    return Counter(_c(v) for v in values)
+
+
+@pytest.fixture(scope="module")
+def solo_complete(spark, frame):
+    """Ground truth: per-expectation path at COMPLETE with index cols and
+    rows — unexpected_list is the FULL violation multiset (count < cap)."""
+    rf = {
+        "result_format": "COMPLETE",
+        "unexpected_index_column_names": ["x"],
+        "include_unexpected_rows": True,
+    }
+    return validate(frame, _suite(), result_format=rf,
+                    options=Options(fuse_violations=False))
+
+
+@pytest.mark.parametrize(
+    "rf",
+    [
+        "BASIC",
+        "SUMMARY",
+        "COMPLETE",
+        {
+            "result_format": "COMPLETE",
+            "unexpected_index_column_names": ["x"],
+            "include_unexpected_rows": True,
+        },
+    ],
+    ids=["basic", "summary", "complete", "complete_idx_rows"],
+)
+def test_fused_matches_per_expectation(spark, frame, rf, solo_complete):
+    fused = validate(frame, _suite(), result_format=rf,
+                     options=Options(fuse_violations=True))
+    k = 20
+    for f_evr, truth in zip(fused.results, solo_complete.results):
+        n = truth.result["unexpected_count"]
+        full = _mset(truth.result["unexpected_list"])
+        assert f_evr.success == truth.success
+        assert f_evr.result["unexpected_count"] == n
+
+        partial = f_evr.result["partial_unexpected_list"]
+        assert len(partial) == min(k, n)
+        assert not _mset(partial) - full  # every sampled value is a violation
+
+        tier = rf if isinstance(rf, str) else rf["result_format"]
+        if tier in ("SUMMARY", "COMPLETE"):
+            got = f_evr.result["partial_unexpected_counts"]
+            truth_counts = Counter()
+            for v in truth.result["unexpected_list"]:
+                truth_counts[_c(v)] += 1
+            assert len(got) == min(k, len(truth_counts))
+            for d in got:  # reported counts are exact
+                assert truth_counts[_c(d["value"])] == d["count"]
+            # valid top-k: the REPORTED count multiset equals the true one
+            # (selection among equal-count ties is engine-arbitrary)
+            top = sorted(truth_counts.values(), reverse=True)[:k]
+            assert sorted((d["count"] for d in got), reverse=True) == top
+        if tier == "COMPLETE":
+            assert _mset(f_evr.result["unexpected_list"]) == full
+            assert f_evr.result.get("unexpected_index_query") == truth.result.get(
+                "unexpected_index_query")
+        if isinstance(rf, dict):
+            assert _mset(f_evr.result.get("unexpected_index_list", [])) == _mset(
+                truth.result.get("unexpected_index_list", []))
+            assert _mset(f_evr.result.get("unexpected_rows", [])) == _mset(
+                truth.result.get("unexpected_rows", []))
+
+
+def test_fused_partial_counts_exact(spark, frame):
+    """SUMMARY counts from the fused groupBy must be exact per value."""
+    res = validate(frame, _suite(), result_format="SUMMARY",
+                   options=Options(fuse_violations=True))
+    in_set = next(
+        r for r in res.results
+        if r.expectation_config.kwargs.get("value_set") == ["en", "de"])
+    counts = {d["value"]: d["count"]
+              for d in in_set.result["partial_unexpected_counts"]}
+    assert counts == {"fr": 50, "es": 50}
+
+
+def test_fused_timestamp_values_roundtrip(spark):
+    """Datetime violation values must come back as the same naive-UTC ISO
+    strings the per-expectation path emits."""
+    rows = [(i, datetime.datetime(2024, 1, 1, i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "i int, ts timestamp")
+    suite = (
+        ExpectationSuite("ts")
+        .add("expect_column_values_to_be_between",
+             column="ts", max_value="2024-01-01T02:00:00", mostly=0.1)
+        .add("expect_column_values_to_be_between",
+             column="i", max_value=1, mostly=0.1)
+    )
+    fused = validate(df, suite, result_format="COMPLETE",
+                     options=Options(fuse_violations=True))
+    solo = validate(df, suite, result_format="COMPLETE",
+                    options=Options(fuse_violations=False))
+    f_list = fused.results[0].result["unexpected_list"]
+    s_list = solo.results[0].result["unexpected_list"]
+    assert sorted(f_list) == sorted(s_list)
+    assert all(isinstance(v, str) and v.startswith("2024-01-01T") for v in f_list)
+
+
+def test_single_violation_skips_fusion(spark):
+    """With one violated expectation the per-expectation plan is already
+    minimal — the fused path must not engage (no behavior change)."""
+    df = spark.createDataFrame([(1,), (2,), (300,)], "x int")
+    suite = ExpectationSuite("s").add(
+        "expect_column_values_to_be_between", column="x", min_value=0, max_value=10)
+    res = validate(df, suite, result_format="COMPLETE",
+                   options=Options(fuse_violations=True))
+    assert res.results[0].result["unexpected_list"] == [300]
+
+
+def test_fused_respects_partial_cap(spark):
+    n = 500
+    df = spark.range(n).select(
+        F.col("id").cast("int").alias("a"), (F.col("id") % 3).cast("int").alias("b"))
+    suite = (
+        ExpectationSuite("cap")
+        .add("expect_column_values_to_be_between", column="a", max_value=-1, mostly=0.01)
+        .add("expect_column_values_to_be_between", column="b", max_value=-1, mostly=0.01)
+    )
+    res = validate(df, suite, result_format={"result_format": "BASIC",
+                                             "partial_unexpected_count": 7},
+                   options=Options(fuse_violations=True))
+    for evr in res.results:
+        assert evr.result["unexpected_count"] == n
+        assert len(evr.result["partial_unexpected_list"]) == 7
