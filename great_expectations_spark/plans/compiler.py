@@ -66,8 +66,14 @@ class Options:
     # expectations in ONE early-stopping scan (+ one shuffle for SUMMARY
     # counts) instead of up to three bounded jobs PER violated expectation.
     # At 10^12 rows with several violated expectations the per-expectation
-    # plan re-scans the table E times; the fused plan scans once.
-    fuse_violations: bool = True
+    # plan re-scans the table E times; the fused plan scans once. Below a
+    # few million rows the per-expectation jobs are cheaper than the fused
+    # plan's fixed cost (Python workers + a window), so None = adaptive:
+    # fuse when the scanned row count or the violated-expectation count
+    # crosses the thresholds. True/False force either plan.
+    fuse_violations: bool | None = None
+    fuse_rows_threshold: int = 5_000_000
+    fuse_count_threshold: int = 6
 
 
 Metrics = Mapping[str, Any]

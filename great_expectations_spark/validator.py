@@ -310,7 +310,7 @@ class SparkValidator:
                     except Exception:
                         kernel = None
                 if (
-                    self.options.fuse_violations
+                    self.options.fuse_violations is not False
                     and f"__violations_df__|{config.id}" not in metrics
                     and kernel is not None
                     and self._fused_eligible(kernel)
@@ -318,8 +318,8 @@ class SparkValidator:
                     fusable.append((config, comp, kernel))
                 else:
                     singles.append((config, comp))
-            if len(fusable) == 1:
-                singles.append((fusable[0][0], fusable[0][1]))
+            if not self._should_fuse(fusable, metrics):
+                singles.extend((c, comp) for c, comp, _ in fusable)
                 fusable = []
             if fusable:
                 try:
@@ -396,6 +396,25 @@ class SparkValidator:
                     compiled[idx] = (
                         config, comp, EVR.exception(config, str(e), traceback.format_exc())
                     )
+
+    def _should_fuse(self, fusable: list, metrics: dict[str, Any]) -> bool:
+        """Adaptive plan choice (AQE-style, from pass-1 statistics already
+        in hand): the fused plan saves (E-1) re-scans but pays a fixed cost
+        (Python workers + a window), so it wins when scans are expensive —
+        large scanned row counts — or when E alone makes per-expectation
+        jobs add up. ``Options.fuse_violations`` True/False overrides."""
+        if len(fusable) < 2:
+            return False
+        if self.options.fuse_violations is True:
+            return True
+        rows = 0
+        for key, v in metrics.items():
+            if key.startswith("table.row_count|") and isinstance(v, int):
+                rows = max(rows, v)
+        return (
+            rows >= self.options.fuse_rows_threshold
+            or len(fusable) >= self.options.fuse_count_threshold
+        )
 
     def _fused_eligible(self, kernel) -> bool:
         """A kernel joins the fused pass when its value — and every column

@@ -190,3 +190,32 @@ def test_fused_respects_partial_cap(spark):
     for evr in res.results:
         assert evr.result["unexpected_count"] == n
         assert len(evr.result["partial_unexpected_list"]) == 7
+
+
+def test_adaptive_policy(spark, frame, monkeypatch):
+    """fuse_violations=None picks the plan from pass-1 statistics: solo
+    below the thresholds, fused above (rows OR violated-expectation count)."""
+    from great_expectations_spark import validator as vmod
+
+    calls = []
+    orig = vmod.SparkValidator._collect_violations_fused
+
+    def spy(self, fusable, metrics):
+        calls.append(len(fusable))
+        return orig(self, fusable, metrics)
+
+    monkeypatch.setattr(vmod.SparkValidator, "_collect_violations_fused", spy)
+
+    # 200 rows, 5 violated < count threshold -> per-expectation path
+    validate(frame, _suite(), result_format="SUMMARY", options=Options())
+    assert calls == []
+
+    # rows threshold forced down -> fused path engages
+    validate(frame, _suite(), result_format="SUMMARY",
+             options=Options(fuse_rows_threshold=100))
+    assert calls == [5]
+
+    # count threshold alone can trigger it
+    validate(frame, _suite(), result_format="SUMMARY",
+             options=Options(fuse_count_threshold=5))
+    assert calls == [5, 5]
