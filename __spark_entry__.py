@@ -169,6 +169,75 @@ def _q9(spark, sf):
     return _map_result(spark, r)
 
 
+@_q("webtext_extract_roundtrip", r"""
+WITH pages AS (
+  SELECT doc_id,
+         '<html><head><title>T' || doc_id || '</title><style>p{color:red}</style></head>'
+         || '<body><p>' || text || '</p><script>var x=1;</script></body></html>' AS html,
+         text
+  FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+),
+ex AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(html, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+               '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+             '(?s)<[^>]*>', ' ', 'g'),
+           '\s+', ' ', 'g')) AS extracted
+  FROM pages
+)
+SELECT doc_id, length(extracted) AS n_chars,
+       extracted = ('T' || doc_id || ' ' || text) AS ok
+FROM ex
+""")
+def _q9c(spark, sf):
+    """North-rule per-row invariant: the deterministic HTML→text extraction
+    (pipeline/webtext.py, Arrow-batched pandas UDF) produces byte-identical
+    output on any engine — the oracle recomputes the SAME extraction in
+    DuckDB SQL and both must agree on every byte (ok flags + lengths)."""
+    from great_expectations_spark.pipeline.webtext import extract_text
+
+    docs = _tbl(spark, sf, "documents").where(
+        (F.col("doc_id") < 200) & F.col("text").isNotNull())
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>T"), F.col("doc_id").cast("string"),
+            F.lit("</title><style>p{color:red}</style></head><body><p>"),
+            F.col("text"),
+            F.lit("</p><script>var x=1;</script></body></html>"),
+        ),
+        "utf-8",
+    )
+    ex = extract_text(html)
+    return docs.select(
+        "doc_id",
+        F.length(ex).alias("n_chars"),
+        (ex == F.concat(F.lit("T"), F.col("doc_id").cast("string"),
+                        F.lit(" "), F.col("text"))).alias("ok"),
+    )
+
+
+@_q("webtext_domain_stats", """
+SELECT source || '.example' AS domain,
+       count(*) AS pages,
+       count(DISTINCT doc_id) AS distinct_urls
+FROM documents WHERE source IS NOT NULL GROUP BY source
+""")
+def _q9d(spark, sf):
+    """Salted per-domain stats (pipeline/webtext.py domain_stats): the
+    two-stage salted count must equal a plain GROUP BY exactly."""
+    from great_expectations_spark.pipeline.webtext import domain_stats
+
+    docs = _tbl(spark, sf, "documents").where(F.col("source").isNotNull())
+    urls = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/p/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    return domain_stats(urls).select(
+        "domain", "pages", F.col("distinct_urls").cast("long").alias("distinct_urls"))
+
+
 @_q("fused_violation_counts", """
 SELECT 'lang_in_set' AS expectation, lang AS value, count(*) AS cnt
 FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en') GROUP BY lang
