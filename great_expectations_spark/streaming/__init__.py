@@ -12,10 +12,20 @@ extension for continuously-arriving web crawl data. Two shapes:
     incremental state, for always-on drift monitors.
 """
 
+from great_expectations_spark.streaming.dedup_stream import (
+    streaming_content_dedup,
+    streaming_exact_dedup,
+)
 from great_expectations_spark.streaming.stateful import cumulative_condition_rate
 from great_expectations_spark.streaming.validate_stream import (
     validate_stream,
     windowed_condition_rates,
 )
 
-__all__ = ["validate_stream", "windowed_condition_rates", "cumulative_condition_rate"]
+__all__ = [
+    "validate_stream",
+    "windowed_condition_rates",
+    "cumulative_condition_rate",
+    "streaming_exact_dedup",
+    "streaming_content_dedup",
+]

@@ -158,3 +158,72 @@ def test_stateful_cumulative_rate(spark, docs, tmp_path):
     assert sum(first.values()) == 100
     assert sum(final.values()) == 300  # 100 + 200 cumulative, state carried
     assert all(final[k] >= v for k, v in first.items())
+
+
+def _run_stream_to_memory(spark, out_df, name, ckpt):
+    q = (
+        out_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on url: duplicates arriving within the
+    delay are dropped; each url is emitted exactly once across micro-batches."""
+    from great_expectations_spark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "dedup_src")
+    schema = "url string, warc_ts timestamp, text string"
+    batch1 = spark.createDataFrame(
+        [("https://a.example/1", "2024-01-01 00:00:01", "alpha"),
+         ("https://a.example/2", "2024-01-01 00:00:02", "beta"),
+         ("https://a.example/1", "2024-01-01 00:00:03", "alpha-dup")],
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    batch2 = spark.createDataFrame(
+        [("https://a.example/2", "2024-01-01 00:00:10", "beta-dup"),
+         ("https://a.example/3", "2024-01-01 00:00:11", "gamma")],
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    deduped = streaming_exact_dedup(stream, ["url"], "warc_ts", delay="10 minutes")
+    out = _run_stream_to_memory(spark, deduped, "dedup_urls", str(tmp_path / "ck_d1"))
+    urls = [r.url for r in out.collect()]
+    assert sorted(urls) == [
+        "https://a.example/1", "https://a.example/2", "https://a.example/3"
+    ]
+
+
+def test_streaming_content_dedup(spark, tmp_path):
+    """Content digest dedup: identical text bodies under different urls pass
+    through once; state carries the 16-byte digest, and the helper column is
+    dropped from the output schema."""
+    from great_expectations_spark.streaming import streaming_content_dedup
+
+    src = str(tmp_path / "cdedup_src")
+    schema = "url string, warc_ts timestamp, text string"
+    rows = spark.createDataFrame(
+        [("https://m.example/a", "2024-01-01 00:00:01", "same body"),
+         ("https://m.example/b", "2024-01-01 00:00:02", "same body"),
+         ("https://m.example/c", "2024-01-01 00:00:03", "other body")],
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    rows.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = streaming_content_dedup(stream, "text", "warc_ts")
+    out = _run_stream_to_memory(spark, deduped, "dedup_content", str(tmp_path / "ck_d2"))
+    got = out.collect()
+    assert sorted(r.text for r in got) == ["other body", "same body"]
+    assert out.columns == ["url", "warc_ts", "text"]  # __digest dropped
