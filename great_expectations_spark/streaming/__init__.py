@@ -20,11 +20,13 @@ from great_expectations_spark.streaming.stateful import cumulative_condition_rat
 from great_expectations_spark.streaming.validate_stream import (
     validate_stream,
     windowed_condition_rates,
+    windowed_kl_drift,
 )
 
 __all__ = [
     "validate_stream",
     "windowed_condition_rates",
+    "windowed_kl_drift",
     "cumulative_condition_rate",
     "streaming_exact_dedup",
     "streaming_content_dedup",

@@ -113,3 +113,98 @@ def windowed_condition_rates(
         *[F.col(f"{n}__pass") for n in conditions],
         *rate_cols,
     )
+
+
+def windowed_kl_drift(
+    stream_df: DataFrame,
+    ts_col: str,
+    column: str,
+    partition_object: dict[str, Any],
+    threshold: float | None = None,
+    window_seconds: int = 300,
+    watermark_seconds: int = 600,
+    tail_weight_holdout: float = 0.0,
+) -> DataFrame:
+    """Always-on categorical distribution-drift monitor: per tumbling
+    window, KL(observed || expected) of ``column`` against a categorical
+    ``partition_object`` ({"values": [...], "weights": [...]}) — the
+    streaming twin of ``expect_column_kl_divergence_to_be_less_than``
+    (reference expect_column_kl_divergence_to_be_less_than.py:359-516).
+
+    Fully incremental: state is ONE row per window (conditional counts per
+    expected category + one "other" bucket); KL is a pure Column expression
+    over those counts, so nothing runs outside whole-stage codegen and no
+    foreachBatch is needed. Valid on batch frames too (used by tests to
+    check the arithmetic against the batch kernel).
+
+    Semantics vs the batch kernel: unseen categories are LUMPED into one
+    "other" bucket (a stream can't enumerate unbounded unseen values).
+    With ``tail_weight_holdout == 0`` any other-mass ⇒ KL = +inf, exactly
+    like batch; with a holdout the lumped term ``p_other·ln(p_other/h)``
+    is a LOWER bound on the batch KL (which splits the holdout across the
+    distinct unseen values) — drift it flags is real drift.
+
+    Output per window: element_count (nonnull), other_count,
+    observed_weights (expected-category order), kl_divergence, and
+    ``drifted`` when ``threshold`` is given.
+    """
+    values = list(partition_object["values"])
+    weights = [float(w) for w in partition_object["weights"]]
+    if len(values) != len(weights) or not values:
+        raise ValueError("partition_object needs equal-length non-empty values/weights")
+    if abs(sum(weights) - 1.0) > 1e-6:
+        raise ValueError("partition_object weights must sum to 1")
+    if any(w <= 0 for w in weights):
+        raise ValueError("partition_object weights must be positive")
+    h = float(tail_weight_holdout)
+    if not 0.0 <= h < 1.0:
+        raise ValueError("tail_weight_holdout must be in [0, 1)")
+
+    c = F.col(column)
+    aggs = [F.count(c).alias("element_count")]
+    for i, v in enumerate(values):
+        aggs.append(F.sum(F.when(c == F.lit(v), 1).otherwise(0)).alias(f"__c{i}"))
+    aggs.append(
+        F.sum(F.when(c.isNotNull() & ~c.isin(*values), 1).otherwise(0)).alias("other_count")
+    )
+    out = (
+        stream_df.withWatermark(ts_col, f"{watermark_seconds} seconds")
+        .groupBy(F.window(F.col(ts_col), f"{window_seconds} seconds").alias("w"))
+        .agg(*aggs)
+    )
+
+    nn = F.col("element_count").cast("double")
+    extras = F.col("other_count") > 0
+    terms = []
+    for i, q in enumerate(weights):
+        # batch kernel scales expected weights by (1 - holdout) only when
+        # unseen values actually occur (pd.concat alignment path)
+        q_eff = F.when(extras, F.lit(q * (1.0 - h))).otherwise(F.lit(q)) if h else F.lit(q)
+        p = F.col(f"__c{i}") / nn
+        terms.append(F.when(F.col(f"__c{i}") > 0, p * F.log(p / q_eff)).otherwise(F.lit(0.0)))
+    finite_kl = terms[0]
+    for t in terms[1:]:
+        finite_kl = finite_kl + t
+    p_other = F.col("other_count") / nn
+    if h > 0:
+        finite_kl = finite_kl + F.when(
+            extras, p_other * F.log(p_other / F.lit(h))
+        ).otherwise(F.lit(0.0))
+        kl = finite_kl
+    else:
+        kl = F.when(extras, F.lit(float("inf"))).otherwise(finite_kl)
+    kl = F.when(F.col("element_count") == 0, F.lit(None).cast("double")).otherwise(kl)
+
+    cols = [
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "element_count",
+        "other_count",
+        F.array(*[F.col(f"__c{i}") / nn for i in range(len(values))]).alias(
+            "observed_weights"
+        ),
+        kl.alias("kl_divergence"),
+    ]
+    if threshold is not None:
+        cols.append((F.isnan(kl) | (kl > F.lit(float(threshold)))).alias("drifted"))
+    return out.select(*cols)

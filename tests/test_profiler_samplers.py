@@ -160,6 +160,86 @@ def test_stateful_cumulative_rate(spark, docs, tmp_path):
     assert all(final[k] >= v for k, v in first.items())
 
 
+def test_windowed_kl_drift_batch_semantics(spark):
+    """Column-expression KL matches the engine's numpy kl_divergence on the
+    same counts (batch execution checks the arithmetic; streaming execution
+    covered below)."""
+    import numpy as np
+
+    from great_expectations_spark.functions import stats
+    from great_expectations_spark.streaming import windowed_kl_drift
+
+    po = {"values": ["en", "de", "fr"], "weights": [0.5, 0.3, 0.2]}
+    # window 1: matches expected-ish; window 2: heavy drift toward 'de'
+    rows = (
+        [("2024-01-01 00:00:01", "en")] * 5 + [("2024-01-01 00:00:02", "de")] * 3
+        + [("2024-01-01 00:00:03", "fr")] * 2
+        + [("2024-01-01 00:01:01", "de")] * 9 + [("2024-01-01 00:01:02", "en")] * 1
+    )
+    df = spark.createDataFrame(rows, "ts string, lang string").withColumn(
+        "ts", F.to_timestamp("ts"))
+    out = windowed_kl_drift(df, "ts", "lang", po, threshold=0.1,
+                            window_seconds=60).orderBy("window_start").collect()
+    assert len(out) == 2
+    w1, w2 = out
+    assert w1.element_count == 10 and w1.other_count == 0
+    expect1 = stats.kl_divergence(np.array([0.5, 0.3, 0.2]), np.array(po["weights"]))
+    assert abs(w1.kl_divergence - expect1) < 1e-12 and w1.drifted is False
+    expect2 = stats.kl_divergence(np.array([0.1, 0.9, 0.0]), np.array(po["weights"]))
+    assert abs(w2.kl_divergence - expect2) < 1e-12 and w2.drifted is True
+    assert [round(x, 3) for x in w1.observed_weights] == [0.5, 0.3, 0.2]
+
+
+def test_windowed_kl_drift_other_bucket(spark):
+    """Unseen category with no holdout => KL=+inf => drifted; with a holdout
+    the lumped-other KL is finite and equals p*ln(p/q') + p_o*ln(p_o/h)."""
+    import math
+
+    from great_expectations_spark.streaming import windowed_kl_drift
+
+    po = {"values": ["en"], "weights": [1.0]}
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:01", "en")] * 8 + [("2024-01-01 00:00:02", "xx")] * 2,
+        "ts string, lang string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    strict = windowed_kl_drift(df, "ts", "lang", po, threshold=10.0).first()
+    assert math.isinf(strict.kl_divergence) and strict.drifted is True
+    held = windowed_kl_drift(df, "ts", "lang", po, threshold=10.0,
+                             tail_weight_holdout=0.1).first()
+    expect = 0.8 * math.log(0.8 / 0.9) + 0.2 * math.log(0.2 / 0.1)
+    assert abs(held.kl_divergence - expect) < 1e-12 and held.drifted is False
+
+
+def test_windowed_kl_drift_streaming(spark, tmp_path):
+    """Incremental execution: one state row per window, update-mode sink."""
+    from great_expectations_spark.streaming import windowed_kl_drift
+
+    src = str(tmp_path / "drift_src")
+    po = {"values": ["en", "de"], "weights": [0.5, 0.5]}
+    rows = spark.createDataFrame(
+        [("2024-01-01 00:00:01", "en"), ("2024-01-01 00:00:02", "de"),
+         ("2024-01-01 00:01:01", "de"), ("2024-01-01 00:01:02", "de")],
+        "ts string, lang string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, lang string").parquet(src)
+    drift = windowed_kl_drift(stream, "ts", "lang", po, threshold=0.2,
+                              window_seconds=60)
+    q = (
+        drift.writeStream.format("memory").queryName("drift")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_drift"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.window_start.minute: r for r in spark.sql("SELECT * FROM drift").collect()}
+    assert got[0].drifted is False and got[0].kl_divergence == 0.0
+    assert got[1].drifted is True  # all-'de' window: KL = ln 2 ≈ 0.693 > 0.2
+
+
 def _run_stream_to_memory(spark, out_df, name, ckpt):
     q = (
         out_df.writeStream.format("memory")
