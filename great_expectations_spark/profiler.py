@@ -130,21 +130,39 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 
 def suggest_suite(df: DataFrame, name: str = "profiled", null_tolerance: float = 0.05,
                   set_cardinality_max: int = 20) -> ExpectationSuite:
-    """Bootstrap a suite from a profile (BasicSuiteBuilderProfiler-style)."""
+    """Bootstrap a suite from a profile (BasicSuiteBuilderProfiler-style).
+
+    Exactly TWO scans regardless of column count: the fused ``profile``
+    pass, then ONE fused bounded ``collect_set`` job for every
+    low-cardinality column at once (not one distinct().collect() per
+    column — that's N extra full scans at crawl scale). The collect is
+    sliced at cap+1 so an approx_count_distinct underestimate can't pull
+    an unbounded set onto the driver; overflow falls back to a range
+    expectation for numerics and is skipped otherwise.
+    """
     prof = {r.column: r for r in profile(df).collect()}
     suite = ExpectationSuite(name=name)
     suite.add("expect_table_columns_to_match_set", column_set=list(prof))
     suite.add("expect_table_row_count_to_be_between",
               min_value=max(int(next(iter(prof.values())).n_rows * 0.5), 1))
+    set_candidates = [
+        col for col, r in prof.items()
+        if (r.approx_distinct is not None and r.approx_distinct <= set_cardinality_max
+            and r.kind in ("string", "boolean", "numeric"))
+    ]
+    value_sets: dict[str, list] = {}
+    if set_candidates:
+        row = df.agg(*[
+            F.slice(F.collect_set(F.col(c)), 1, set_cardinality_max + 1).alias(c)
+            for c in set_candidates
+        ]).first()
+        value_sets = {c: row[c] for c in set_candidates}
     for col, r in prof.items():
         if r.null_fraction is not None and r.null_fraction <= null_tolerance:
             suite.add("expect_column_values_to_not_be_null", column=col,
                       mostly=max(0.0, round(1 - max(r.null_fraction * 2, 0.01), 4)))
-        if (r.approx_distinct is not None and r.approx_distinct <= set_cardinality_max
-                and r.kind in ("string", "boolean", "numeric")):
-            values = [
-                v[0] for v in df.select(col).where(F.col(col).isNotNull()).distinct().collect()
-            ]
+        values = value_sets.get(col)
+        if values is not None and len(values) <= set_cardinality_max:
             suite.add("expect_column_values_to_be_in_set", column=col,
                       value_set=sorted(values, key=str), mostly=0.99)
         elif r.kind == "numeric" and r.min is not None and r.max is not None:

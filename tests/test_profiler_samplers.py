@@ -43,6 +43,29 @@ def test_suggested_suite_passes_on_its_own_data(spark, docs):
     ]
 
 
+def test_suggest_suite_fused_value_sets(spark):
+    """Value sets come from ONE fused bounded collect job; columns past the
+    cardinality cap fall back to range expectations (numeric) or nothing."""
+    from great_expectations_spark.profiler import suggest_suite
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2], float(i)) for i in range(40)],
+        "id long, tag string, x double",
+    )
+    suite = suggest_suite(df, set_cardinality_max=5)
+    by_col = {}
+    for e in suite.expectations:
+        by_col.setdefault(e.kwargs.get("column"), []).append(e.expectation_type)
+    assert "expect_column_values_to_be_in_set" in by_col["tag"]
+    in_set = next(e for e in suite.expectations
+                  if e.expectation_type == "expect_column_values_to_be_in_set"
+                  and e.kwargs["column"] == "tag")
+    assert in_set.kwargs["value_set"] == ["a", "b"]
+    # 40-distinct columns exceed the cap: ranges, never unbounded sets
+    assert "expect_column_values_to_be_in_set" not in by_col.get("x", [])
+    assert "expect_column_values_to_be_between" in by_col["x"]
+
+
 # ----------------------------------------------------------------- samplers
 
 
