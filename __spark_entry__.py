@@ -1236,6 +1236,38 @@ def _r2f(spark, sf):
                            min_bucket_size=2)
 
 
+@_q("pipeline_heavy_hitters", """
+WITH n AS (SELECT count(*) AS total FROM documents)
+SELECT lang AS value, count(*) AS cnt,
+       ROUND(CAST(count(*) AS DOUBLE) / (SELECT total FROM n), 6) AS fraction
+FROM documents WHERE lang IS NOT NULL
+GROUP BY lang
+HAVING count(*) >= CEIL(0.05 * (SELECT total FROM n))
+""")
+def _hh1(spark, sf):
+    from great_expectations_spark.pipeline.heavyhitters import heavy_hitters
+
+    return heavy_hitters(_tbl(spark, sf, "documents"), "lang", 0.05)
+
+
+def _cms_oracle(depth: int = 3, width: int = 64) -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({j} AS INT) AS j, "
+        f"(('0x' || substr(md5('{j}:' || lang), 1, 15))::BIGINT % {width}) AS bucket "
+        "FROM documents WHERE lang IS NOT NULL"
+        for j in range(depth)
+    )
+    return f"SELECT j, bucket, count(*) AS cnt FROM ({arms}) GROUP BY j, bucket"
+
+
+@_q("pipeline_cms_table", _cms_oracle())
+def _hh2(spark, sf):
+    from great_expectations_spark.pipeline.heavyhitters import count_min_table
+
+    return count_min_table(_tbl(spark, sf, "documents"), "lang",
+                           depth=3, width=64, hash_mode="md5")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

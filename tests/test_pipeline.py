@@ -207,3 +207,72 @@ def test_frame_sample_offsets(spark, docs):
         assert sorted(f.frame_idx for f in frames) == [0, 1, 2, 3]
         offs = [f.frame_offset for f in sorted(frames, key=lambda f: f.frame_idx)]
         assert offs == sorted(offs) and offs[0] == 0
+
+
+# ------------------------------------------------------------- heavy hitters
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    """MG candidates + exact verify must equal the full groupBy answer on a
+    skewed (Zipf-ish) column, across multiple partitions and batches."""
+    from great_expectations_spark.pipeline.heavyhitters import heavy_hitters
+
+    rows = (
+        [(i, "val_1") for i in range(1200)]
+        + [(1200 + i, "val_2") for i in range(600)]
+        + [(1800 + i, "val_3") for i in range(300)]
+        + [(2100 + i, f"tail_{i}") for i in range(1900)]  # 1900 singletons
+    )
+    df = spark.createDataFrame(rows, "id long, v string").repartition(8)
+    n = df.count()
+    got = {r.value: (r.cnt, r.fraction) for r in heavy_hitters(df, "v", 0.05).collect()}
+    import math
+    exact = {
+        r["v"]: r["cnt"]
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        if r["cnt"] >= math.ceil(0.05 * n)
+    }
+    assert set(got) == set(exact) and got
+    for v, c in exact.items():
+        assert got[v][0] == c
+        assert abs(got[v][1] - round(c / n, 6)) < 1e-12
+
+
+def test_heavy_hitters_null_and_empty(spark):
+    from great_expectations_spark.pipeline.heavyhitters import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a"), (4, "a"), (5, "b")], "id long, v string"
+    )
+    got = {r.value: r.cnt for r in heavy_hitters(df, "v", 0.4).collect()}
+    assert got == {"a": 2}  # threshold ceil(0.4*5)=2; nulls never candidates
+    empty = spark.createDataFrame([], "id long, v string")
+    assert heavy_hitters(empty, "v", 0.5).count() == 0
+
+
+def test_count_min_sketch_bounds(spark):
+    """CM estimates upper-bound true counts; a wide sketch over few
+    distincts is exact; the table is a monoid (row-0 sums to total)."""
+    from great_expectations_spark.pipeline.heavyhitters import count_min_build
+
+    data = [("en",)] * 50 + [("de",)] * 30 + [("fr",)] * 20 + [(None,)] * 5
+    df = spark.createDataFrame(data, "lang string").repartition(4)
+    cms = count_min_build(df, "lang", depth=4, width=512)
+    assert cms.total == 100
+    est = cms.estimate(spark, ["en", "de", "fr", "xx"])
+    assert est["en"] >= 50 and est["de"] >= 30 and est["fr"] >= 20
+    # wide sketch, 3 distincts: collisions virtually impossible -> exact
+    assert (est["en"], est["de"], est["fr"]) == (50, 30, 20)
+    assert est["xx"] <= 100  # never exceeds total mass
+
+
+def test_count_min_md5_mode_matches_xxhash_semantics(spark):
+    """md5 hash mode (the DuckDB-replayable one) gives the same estimates
+    on a collision-free sketch and the same total."""
+    from great_expectations_spark.pipeline.heavyhitters import count_min_build
+
+    data = [("a",)] * 7 + [("b",)] * 3
+    df = spark.createDataFrame(data, "v string")
+    cms = count_min_build(df, "v", depth=3, width=64, hash_mode="md5")
+    assert cms.total == 10
+    assert cms.estimate(spark, ["a", "b"]) == {"a": 7, "b": 3}
