@@ -229,6 +229,15 @@ def main() -> None:
 
     # NOT counted in rows_validated (appended in round 2)
 
+    @timed("heavy_hitters")
+    def _q10():
+        # Misra-Gries candidates (mapInPandas) + exact bounded verify:
+        # the sub-linear-memory frequent-values path over a skewed column
+        from great_expectations_spark.pipeline.heavyhitters import heavy_hitters
+        heavy_hitters(docs, "lang", 0.05).select(F.count(F.lit(1))).first()
+
+    # NOT counted in rows_validated (appended in round 2)
+
     total = round(sum(timings.values()), 4)
     suite_secs = sum(timings[k] for k in timings if k.startswith("suite_"))
     throughput = round(rows_validated / suite_secs, 2) if suite_secs > 0 else 0.0
