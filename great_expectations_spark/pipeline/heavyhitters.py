@@ -181,9 +181,19 @@ def heavy_hitters(
             [], f"value {dtype}, cnt long, fraction double"
         )
     c = F.col(column)
+    if len(candidates) <= 1_000:
+        filtered = df.where(c.isin(candidates))
+    else:
+        # large candidate sets would bloat the plan as an IN-list literal;
+        # broadcast semi-join keeps the filter map-side with no shuffle
+        cand_df = df.sparkSession.createDataFrame(
+            [(v,) for v in candidates], f"value {dtype}"
+        )
+        filtered = df.join(
+            F.broadcast(cand_df), on=c == F.col("value"), how="leftsemi"
+        )
     return (
-        df.where(c.isin(candidates))
-        .groupBy(c.alias("value"))
+        filtered.groupBy(c.alias("value"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= F.lit(threshold))
         .select(

@@ -276,3 +276,20 @@ def test_count_min_md5_mode_matches_xxhash_semantics(spark):
     cms = count_min_build(df, "v", depth=3, width=64, hash_mode="md5")
     assert cms.total == 10
     assert cms.estimate(spark, ["a", "b"]) == {"a": 7, "b": 3}
+
+
+def test_heavy_hitters_broadcast_candidate_path(spark):
+    """>1000 candidates routes through the broadcast semi-join, result
+    still exact."""
+    from great_expectations_spark.pipeline.heavyhitters import heavy_hitters
+
+    rows = [(i, f"tail_{i}") for i in range(3000)] + [
+        (3000 + i, "big") for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "id long, v string").repartition(4)
+    got = heavy_hitters(df, "v", 0.001).collect()  # k=2000 -> huge candidate set
+    # threshold = ceil(0.001 * 4000) = 4: only 'big' survives
+    heavy = {r.value: r.cnt for r in got if r.cnt >= 1000}
+    assert heavy == {"big": 1000}
+    for r in got:
+        assert r.cnt >= 4
