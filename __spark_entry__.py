@@ -173,30 +173,37 @@ def _q9(spark, sf):
 WITH pages AS (
   SELECT doc_id,
          '<html><head><title>T' || doc_id || '</title><style>p{color:red}</style></head>'
-         || '<body><p>' || text || '</p><script>var x=1;</script></body></html>' AS html,
+         || '<body><p>A &amp; B &lt;ok&gt;</p><p>' || text
+         || '</p><script>var x=1;</script></body></html>' AS html,
          text
   FROM documents WHERE doc_id < 200 AND text IS NOT NULL
 ),
 ex AS (
   SELECT doc_id, text,
          trim(regexp_replace(
-           regexp_replace(
+           replace(replace(replace(replace(replace(replace(
              regexp_replace(
-               regexp_replace(html, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
-               '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
-             '(?s)<[^>]*>', ' ', 'g'),
+               regexp_replace(
+                 regexp_replace(html, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                 '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+               '(?s)<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             '&nbsp;', ' '), '&amp;', '&'),
            '\s+', ' ', 'g')) AS extracted
   FROM pages
 )
 SELECT doc_id, length(extracted) AS n_chars,
-       extracted = ('T' || doc_id || ' ' || text) AS ok
+       extracted = ('T' || doc_id || ' A & B <ok> ' || text) AS ok
 FROM ex
 """)
 def _q9c(spark, sf):
     """North-rule per-row invariant: the deterministic HTML→text extraction
     (pipeline/webtext.py, Arrow-batched pandas UDF) produces byte-identical
-    output on any engine — the oracle recomputes the SAME extraction in
-    DuckDB SQL and both must agree on every byte (ok flags + lengths)."""
+    output on any engine — the oracle recomputes the SAME extraction
+    (script/style drop, tag strip, ENTITY DECODE, whitespace collapse) in
+    DuckDB SQL and both must agree on every byte (ok flags + lengths).
+    The planted '&amp; &lt; &gt;' segment exercises the decode on every
+    row — fixture text alone contains no entities."""
     from great_expectations_spark.pipeline.webtext import extract_text
 
     docs = _tbl(spark, sf, "documents").where(
@@ -204,7 +211,8 @@ def _q9c(spark, sf):
     html = F.encode(
         F.concat(
             F.lit("<html><head><title>T"), F.col("doc_id").cast("string"),
-            F.lit("</title><style>p{color:red}</style></head><body><p>"),
+            F.lit("</title><style>p{color:red}</style></head><body>"),
+            F.lit("<p>A &amp; B &lt;ok&gt;</p><p>"),
             F.col("text"),
             F.lit("</p><script>var x=1;</script></body></html>"),
         ),
@@ -215,7 +223,7 @@ def _q9c(spark, sf):
         "doc_id",
         F.length(ex).alias("n_chars"),
         (ex == F.concat(F.lit("T"), F.col("doc_id").cast("string"),
-                        F.lit(" "), F.col("text"))).alias("ok"),
+                        F.lit(" A & B <ok> "), F.col("text"))).alias("ok"),
     )
 
 

@@ -159,13 +159,18 @@ def heavy_hitters(
         raise ValueError("min_fraction must be in (0, 1]")
     dtype = df.schema[column].dataType.simpleString()
     k = max(8, math.ceil(2.0 / min_fraction))
-    summaries = df.mapInPandas(
+    # project to the one needed column BEFORE mapInPandas — Arrow would
+    # otherwise serialize every column of every row to the Python workers
+    summaries = df.select(column).mapInPandas(
         _mg_summaries(column, k), schema=f"value {dtype}, cnt long"
     )
+    # +2, not +1: the null total-count row (cnt = n, the max) always
+    # occupies one slot of the limit, so cap+2 guarantees both the marker
+    # row and cap+1 candidates survive, keeping the overflow check live
     merged = (
         summaries.groupBy("value").agg(F.sum("cnt").alias("cnt"))
         .orderBy(F.desc("cnt"))
-        .limit(candidate_cap + 1)
+        .limit(candidate_cap + 2)
         .collect()
     )
     n_rows = sum(int(r["cnt"]) for r in merged if r["value"] is None)

@@ -59,13 +59,15 @@ def _required_columns(config: ExpectationConfiguration) -> list[str]:
 # ---------------------------------------------------- fused pass-2 helpers
 
 # value types whose to_json rendering round-trips losslessly back to the
-# exact Python values the per-expectation path produces after _py()
-# (binary → base64 and decimal → float do NOT; those expectations fall
-# back to the per-expectation violation jobs)
+# exact Python values the per-expectation path produces after _py().
+# NOT safe (fall back to per-expectation violation jobs): binary (base64),
+# decimal (float), timestamps (to_json truncates to milliseconds, so
+# sub-ms-distinct violations would collapse), float32 (to_json's shortest
+# repr decodes to a different double than the float32-widened collect()).
 _JSON_SAFE_ATOMS = (
-    T.StringType, T.BooleanType, T.DateType, T.TimestampType,
-    T.TimestampNTZType, T.ByteType, T.ShortType, T.IntegerType,
-    T.LongType, T.FloatType, T.DoubleType, T.NullType,
+    T.StringType, T.BooleanType, T.DateType,
+    T.ByteType, T.ShortType, T.IntegerType,
+    T.LongType, T.DoubleType, T.NullType,
 )
 
 
@@ -81,17 +83,10 @@ def _json_safe(dt: T.DataType) -> bool:
 
 def _from_json_value(v: Any, dt: T.DataType) -> Any:
     """Decode one to_json-encoded value back to the plain-Python shape the
-    per-expectation path emits (post-``_py``: datetimes as naive-UTC ISO
-    strings, dates as ISO strings, Rows as dicts)."""
-    import datetime as _dt
-
+    per-expectation path emits (post-``_py``: dates as ISO strings, Rows
+    as dicts; timestamps never reach here — they are not fused-eligible)."""
     if v is None:
         return None
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-        d = _dt.datetime.fromisoformat(v)
-        if d.tzinfo is not None:
-            d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        return d.isoformat()
     if isinstance(dt, T.DateType):
         return str(v)
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
@@ -552,8 +547,15 @@ class SparkValidator:
             # numerically, everything else falls back to the JSON string
             num = F.expr(
                 "try_cast(regexp_replace(vj, '^\\\\{\"v\":|\\\\}$', '') as double)")
+            # string ties order by the UNESCAPED value (get_json_object),
+            # not the raw JSON — escaping ('"' -> '\\"') would otherwise
+            # rank strings differently from the native column order the
+            # per-expectation path uses, evicting the wrong values at the
+            # window cut; raw vj stays only as the final stable key
+            unesc = F.get_json_object(F.col("vj"), "$.v")
             cw = Window.partitionBy("eid").orderBy(
-                F.desc("__n"), F.asc_nulls_last(num), F.asc("vj"))
+                F.desc("__n"), F.asc_nulls_last(num),
+                F.asc_nulls_last(unesc), F.asc("vj"))
             crows = (
                 ex.groupBy("eid", "vj")
                 .agg(F.count(F.lit(1)).alias("__n"))

@@ -219,3 +219,78 @@ def test_adaptive_policy(spark, frame, monkeypatch):
     validate(frame, _suite(), result_format="SUMMARY",
              options=Options(fuse_count_threshold=5))
     assert calls == [5, 5]
+
+
+def test_fused_submillisecond_timestamps_exact(spark):
+    """Timestamps are NOT fused-eligible (to_json truncates to millis):
+    sub-ms-distinct violations must keep full microsecond precision and
+    distinct counts, identical to the per-expectation path."""
+    rows = [
+        (1, datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)),
+        (2, datetime.datetime(2024, 1, 2, 3, 4, 5, 123999)),
+        (3, datetime.datetime(2024, 1, 1)),
+        (300, datetime.datetime(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, "i int, ts timestamp")
+    suite = (
+        ExpectationSuite("subms")
+        .add("expect_column_values_to_be_between",
+             column="ts", max_value="2024-01-01T12:00:00", mostly=0.1)
+        .add("expect_column_values_to_be_between", column="i", max_value=2, mostly=0.1)
+    )
+    fused = validate(df, suite, result_format="SUMMARY",
+                     options=Options(fuse_violations=True))
+    solo = validate(df, suite, result_format="SUMMARY",
+                    options=Options(fuse_violations=False))
+    f_counts = fused.results[0].result["partial_unexpected_counts"]
+    s_counts = solo.results[0].result["partial_unexpected_counts"]
+    assert f_counts == s_counts
+    # the two sub-ms values are DISTINCT (count 1 each), microseconds intact
+    assert {d["value"]: d["count"] for d in f_counts} == {
+        "2024-01-02T03:04:05.123456": 1, "2024-01-02T03:04:05.123999": 1}
+
+
+def test_fused_float32_exact(spark):
+    """float32 is NOT fused-eligible (shortest-repr JSON decodes to a
+    different double than the widened collect): fused == solo exactly."""
+    df = spark.createDataFrame(
+        [(1, 0.1), (2, 0.2), (3, 9.9), (300, 9.9)], "i int, x float")
+    suite = (
+        ExpectationSuite("f32")
+        .add("expect_column_values_to_be_between", column="x", max_value=1.0,
+             mostly=0.1)
+        .add("expect_column_values_to_be_between", column="i", max_value=2,
+             mostly=0.1)
+    )
+    fused = validate(df, suite, result_format="COMPLETE",
+                     options=Options(fuse_violations=True))
+    solo = validate(df, suite, result_format="COMPLETE",
+                    options=Options(fuse_violations=False))
+    f_list = fused.results[0].result["unexpected_list"]
+    s_list = solo.results[0].result["unexpected_list"]
+    assert sorted(f_list) == sorted(s_list)
+    # the float32-widened double, not the naive 9.9
+    assert all(abs(v - 9.899999618530273) < 1e-9 for v in f_list)
+
+
+def test_fused_string_tie_order_matches_native(spark):
+    """>50 count-tied string violations incl. JSON-escaping-sensitive ones
+    ('\"a...' sorts first natively but after 'm' when escaped): the fused
+    window cut must keep the natively-smallest values, matching solo."""
+    vals = [f'"a{i:03d}' for i in range(10)] + [f"m{i:03d}" for i in range(110)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, s string")
+    suite = (
+        ExpectationSuite("ties")
+        .add("expect_column_values_to_be_in_set", column="s",
+             value_set=["zz"], mostly=0.001)
+        .add("expect_column_values_to_be_between", column="i", max_value=-1,
+             mostly=0.001)
+    )
+    fused = validate(df, suite, result_format="SUMMARY",
+                     options=Options(fuse_violations=True))
+    solo = validate(df, suite, result_format="SUMMARY",
+                    options=Options(fuse_violations=False))
+    f_counts = fused.results[0].result["partial_unexpected_counts"]
+    s_counts = solo.results[0].result["partial_unexpected_counts"]
+    assert f_counts == s_counts
+    assert [d["value"] for d in f_counts][:10] == [f'"a{i:03d}' for i in range(10)]

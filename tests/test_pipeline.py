@@ -293,3 +293,14 @@ def test_heavy_hitters_broadcast_candidate_path(spark):
     assert heavy == {"big": 1000}
     for r in got:
         assert r.cnt >= 4
+
+
+def test_heavy_hitters_candidate_cap_raises(spark):
+    """The overflow guard must actually fire (the null total row may not
+    consume a candidate slot)."""
+    from great_expectations_spark.pipeline.heavyhitters import heavy_hitters
+
+    rows = [(i, f"v{i % 10}") for i in range(1000)]  # 10 values, 100 each
+    df = spark.createDataFrame(rows, "id long, v string")
+    with pytest.raises(ValueError, match="candidate set exceeds cap"):
+        heavy_hitters(df, "v", 0.001, candidate_cap=5)
