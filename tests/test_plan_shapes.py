@@ -1,0 +1,86 @@
+"""Physical-plan property tests: the scale-critical plan shapes
+(pushdown, pruning, map-side partial aggregation, broadcast) must
+survive refactors — these are the properties that make the operators
+work at 100 TB, independent of small-data correctness."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _partial_agg_before_exchange(plan: str) -> bool:
+    """In a formatted plan, node numbers increase bottom-up: the partial
+    HashAggregate must have a LOWER id than the Exchange above it."""
+    partial = re.search(r"\((\d+)\) HashAggregate\n(?:.*\n)*?.*partial_", plan)
+    exchange = re.search(r"\((\d+)\) Exchange", plan)
+    return bool(partial and exchange) and int(partial.group(1)) < int(exchange.group(1))
+
+
+def test_cms_plan_prunes_and_partially_aggregates(spark):
+    """Count-min table: 1-column ReadSchema, IsNotNull pushed to parquet,
+    partial_count BEFORE the exchange (per-partition sketch build)."""
+    from great_expectations_spark.pipeline.heavyhitters import count_min_table
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(count_min_table(df, "lang", depth=3, width=64))
+    assert "ReadSchema: struct<lang:string>" in plan
+    assert "IsNotNull(lang)" in plan
+    assert _partial_agg_before_exchange(plan)
+
+
+def test_exact_dedup_shuffles_digests_not_bodies(spark):
+    """Exact dedup stats: the text column is hashed to a 16-byte md5 in
+    the map stage; partial aggregation runs before the exchange so the
+    shuffle carries (digest, partial count) rows only."""
+    from great_expectations_spark.pipeline.dedup import exact_dedup_stats
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    # grab the lazy frame the operator is built from (stats itself collects)
+    g = (
+        df.where(F.col("text").isNotNull())
+        .groupBy(F.md5(F.encode(F.col("text"), "UTF-8")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = _plan(g)
+    assert _partial_agg_before_exchange(plan)
+    assert "md5" in plan
+    # sanity: the real operator produces the documented stats row
+    row = exact_dedup_stats(df, "text").first()
+    assert row.n_rows >= row.n_distinct
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    """Exact top-k: the small query side must broadcast (nested-loop with
+    BuildRight/BuildLeft), never shuffle the corpus."""
+    from great_expectations_spark.pipeline.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.limit(4).select(F.col("vec_id").alias("q_id"),
+                            F.col("embedding").alias("q_vec"))
+    plan = _plan(cosine_topk(emb, q, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_heavy_hitters_summaries_single_column_input(spark):
+    """The Misra-Gries mapInPandas stage reads ONE column — the Arrow
+    channel must not carry the full row payload."""
+    from great_expectations_spark.pipeline.heavyhitters import _mg_summaries
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    summaries = df.select("lang").mapInPandas(
+        _mg_summaries("lang", 16), schema="value string, cnt long")
+    plan = _plan(summaries)
+    assert "ReadSchema: struct<lang:string>" in plan
