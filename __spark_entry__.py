@@ -1276,6 +1276,57 @@ def _hh2(spark, sf):
                            depth=3, width=64, hash_mode="md5")
 
 
+@_q("drift_kl_windows", """
+WITH w AS (
+  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS ws_epoch,
+         count(event_type) AS element_count,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN event_type IS NOT NULL
+                   AND event_type NOT IN ('click', 'view')
+                  THEN 1 ELSE 0 END) AS other_count
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+kl AS (
+  SELECT ws_epoch, element_count, other_count,
+    (CASE WHEN c0 > 0 THEN (CAST(c0 AS DOUBLE) / element_count)
+          * LN((CAST(c0 AS DOUBLE) / element_count)
+               / (CASE WHEN other_count > 0 THEN 0.4 ELSE 0.5 END)) ELSE 0 END)
+    + (CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / element_count)
+          * LN((CAST(c1 AS DOUBLE) / element_count)
+               / (CASE WHEN other_count > 0 THEN 0.4 ELSE 0.5 END)) ELSE 0 END)
+    + (CASE WHEN other_count > 0 THEN (CAST(other_count AS DOUBLE) / element_count)
+          * LN((CAST(other_count AS DOUBLE) / element_count) / 0.2) ELSE 0 END)
+    AS kl_raw
+  FROM w
+)
+SELECT ws_epoch, element_count, other_count,
+       ROUND(kl_raw, 6) AS kl_divergence,
+       kl_raw > 0.5 AS drifted
+FROM kl
+""")
+def _drift1(spark, sf):
+    """The streaming KL-drift monitor's arithmetic (windowed_kl_drift is
+    valid on batch frames): tumbling 1-day windows of event_type vs an
+    expected {click, view} distribution with a 0.2 tail holdout — DuckDB
+    recomputes the exact windowed lumped-other KL."""
+    from great_expectations_spark.streaming import windowed_kl_drift
+
+    ev = _tbl(spark, sf, "events").where(F.col("ts").isNotNull())
+    out = windowed_kl_drift(
+        ev, "ts", "event_type",
+        {"values": ["click", "view"], "weights": [0.5, 0.5]},
+        threshold=0.5, window_seconds=86400, watermark_seconds=86400,
+        tail_weight_holdout=0.2,
+    )
+    return out.select(
+        F.unix_timestamp("window_start").alias("ws_epoch"),
+        "element_count", "other_count",
+        F.round("kl_divergence", 6).alias("kl_divergence"),
+        "drifted",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
