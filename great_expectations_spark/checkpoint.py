@@ -30,6 +30,7 @@ from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from great_expectations_spark.core.suite import ExpectationSuite
 from great_expectations_spark.validator import validate
@@ -64,7 +65,10 @@ class Splitter:
             raise ValueError(f"column {column} has >{max_chunks} distinct values")
         chunks = []
         for v in sorted((v for v in vals if v is not None), key=str):
-            chunks.append((f"{column}={v}", F.col(column).eqNullSafe(F.lit(v))))
+            # a literal string value '__null__' must not collide with the
+            # NULL chunk's id, or resume would skip one of the two chunks
+            cid = f"{column}={v}#s" if str(v) == "__null__" else f"{column}={v}"
+            chunks.append((cid, F.col(column).eqNullSafe(F.lit(v))))
         if any(v is None for v in vals):
             chunks.append((f"{column}=__null__", F.col(column).isNull()))
         return Splitter(f"column_value({column})", chunks)
@@ -253,7 +257,12 @@ def run_checkpoint(
             r.chunk_id
             for r in existing.where(F.col("run_id") == run_id).select("chunk_id").distinct().collect()
         }
-    except Exception:
+    except AnalysisException as e:
+        # ONLY a missing results table means first run; any other read
+        # failure must propagate — treating a transient error as first-run
+        # would re-append chunks that rollup() then double-counts
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
         existing = None  # first run: no results table yet
 
     completed, skipped = [], []

@@ -330,6 +330,8 @@ def parse_urn(urn: str) -> dict[str, str]:
         if len(parts) > 3:
             d["metric_kwargs"] = ":".join(parts[3:])
     else:  # stores
+        if len(parts) < 2:
+            raise EvaluationParameterError(f"Invalid stores URN: {urn}")
         d["store_name"], d["metric_name"] = parts[0], parts[1]
         if len(parts) > 2:
             d["metric_kwargs"] = ":".join(parts[2:])

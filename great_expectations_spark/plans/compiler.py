@@ -27,6 +27,7 @@ expectation + one bounded job per violated map expectation.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from dataclasses import dataclass, field
 from typing import Any, Callable, Mapping
@@ -237,6 +238,11 @@ def _between_success(value: Any, kwargs: dict[str, Any]) -> bool:
             return parsed.date()
         return b
 
+    # NaN observed value: every comparison is False, so the inverted bound
+    # checks below would silently PASS it — the reference's 'value >= min'
+    # form fails NaN; match that
+    if isinstance(value, float) and math.isnan(value):
+        return False
     try:
         lo, hi = bound(lo), bound(hi)
         if lo is not None and (value <= lo if strict_min else value < lo):
@@ -283,13 +289,10 @@ def _compile_map(config: ExpectationConfiguration, options: Options) -> Compiled
     kernel = MAP_KERNELS[config.expectation_type](kwargs)
     rc = _row_condition(kwargs)
     if rc is not None:
-        kernel = MapKernel(
-            include=kernel.include & rc,
-            ok=kernel.ok,
-            value=kernel.value,
-            columns=kernel.columns,
-            column_domain=kernel.column_domain,
-        )
+        # dataclasses.replace keeps every other kernel field (value_format
+        # etc.) — rebuilding field-by-field silently reset pair/record
+        # value shaping for row-conditioned expectations
+        kernel = dataclasses.replace(kernel, include=kernel.include & rc)
     rcid = _rc_id(kwargs)
     k_elem = _cnt_key(rcid)
     k_missing = f"missing|{config.id}"
@@ -550,9 +553,15 @@ def _quantiles(config: ExpectationConfiguration, options: Options) -> Compiled:
     exact = options.exact_quantiles
     if kwargs.get("allow_relative_error") not in (None, False):
         err = kwargs["allow_relative_error"]
-        if isinstance(err, (int, float)) and err > 0:
-            accuracy = max(1, int(1.0 / float(err)))
-            exact = False
+        # bool is an int subclass: allow_relative_error=True would slip
+        # through as accuracy=1 (~100% error); the reference Spark engine
+        # rejects non-float values (sparkdf_execution_engine quantile path)
+        if isinstance(err, bool) or not isinstance(err, (int, float)) or err <= 0:
+            raise CompileError(
+                "allow_relative_error for the spark backend must be a "
+                f"positive float (got {err!r})")
+        accuracy = max(1, int(1.0 / float(err)))
+        exact = False
     key = f"column.quantiles|{c}|{quantiles}|{accuracy}|{exact}|{_rc_id(kwargs)}"
     col = _guard(F.col(c), rc)
     (k_total, k_nn), count_aggs = _count_keys_aggs(c, kwargs, rc)
@@ -667,11 +676,17 @@ _distinct_set_compiler(
 def _most_common(config: ExpectationConfiguration, options: Options) -> Compiled:
     kwargs = config.kwargs
     c = kwargs["column"]
-    key = f"column.most_common|{c}"
+    rc = _row_condition(kwargs)
+    key = f"column.most_common|{c}|{_rc_id(kwargs)}"
 
     def eager(df: DataFrame, metrics: Metrics) -> dict[str, Any]:
         col = F.col(c)
         cap = options.distinct_set_cap
+        if rc is not None:
+            # the mode must be computed over the row_condition domain —
+            # the counted metrics below are rc-guarded, the eager job must
+            # describe the same row set
+            df = df.where(rc)
         gb = df.where(col.isNotNull()).groupBy(c).agg(F.count(F.lit(1)).alias("__n"))
         gb = gb.persist()
         try:
@@ -692,7 +707,6 @@ def _most_common(config: ExpectationConfiguration, options: Options) -> Compiled
             gb.unpersist()
         return {key: sorted(modes, key=str)}
 
-    rc = _row_condition(kwargs)
     (k_total, k_nn), count_aggs = _count_keys_aggs(c, kwargs, rc)
 
     def finalize(metrics: Metrics) -> EVR:

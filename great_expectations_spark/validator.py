@@ -256,14 +256,10 @@ class SparkValidator:
 
         # ---- pass 1b: wave-2 agg (value-dependent expressions) ----------
         agg2_requests: dict[str, Any] = {}
-        wave2_owner: dict[str, Compiled] = {}
         for _, comp, _err in compiled:
             if comp is not None and comp.aggs2 is not None:
                 try:
-                    reqs = comp.aggs2(metrics)
-                    agg2_requests.update(reqs)
-                    for key in reqs:
-                        wave2_owner[key] = comp
+                    agg2_requests.update(comp.aggs2(metrics))
                 except Exception as e:
                     self._mark_failed(compiled, comp, e)
         self._run_agg(agg2_requests, metrics, compiled, wave=2)
@@ -279,7 +275,7 @@ class SparkValidator:
 
         # ---- pass 2: bounded violation extraction ------------------------
         if self.rf.at_least("BASIC"):
-            fusable: list[tuple[ExpectationConfiguration, Compiled, Any]] = []
+            fusable: list[tuple[ExpectationConfiguration, Compiled, Any, Any]] = []
             singles: list[tuple[ExpectationConfiguration, Compiled]] = []
             for config, comp, err in compiled:
                 if comp is None or err is not None:
@@ -304,17 +300,21 @@ class SparkValidator:
                         kernel = comp.kernel2(metrics)
                     except Exception:
                         kernel = None
-                if (
-                    self.options.fuse_violations is not False
-                    and f"__violations_df__|{config.id}" not in metrics
-                    and kernel is not None
-                    and self._fused_eligible(kernel)
-                ):
-                    fusable.append((config, comp, kernel))
+                vtype = (
+                    self._fused_value_type(kernel)
+                    if (
+                        self.options.fuse_violations is not False
+                        and f"__violations_df__|{config.id}" not in metrics
+                        and kernel is not None
+                    )
+                    else None
+                )
+                if vtype is not None:
+                    fusable.append((config, comp, kernel, vtype))
                 else:
                     singles.append((config, comp))
             if not self._should_fuse(fusable, metrics):
-                singles.extend((c, comp) for c, comp, _ in fusable)
+                singles.extend((c, comp) for c, comp, _k, _t in fusable)
                 fusable = []
             if fusable:
                 try:
@@ -322,7 +322,7 @@ class SparkValidator:
                 except Exception:
                     # best-effort detail: fall back to the per-expectation
                     # bounded jobs so a fused-plan failure can't drop lists
-                    singles.extend((c, comp) for c, comp, _ in fusable)
+                    singles.extend((c, comp) for c, comp, _k, _t in fusable)
             for config, comp in singles:
                 try:
                     metrics.update(self._collect_violations(config, comp, metrics))
@@ -411,16 +411,17 @@ class SparkValidator:
             or len(fusable) >= self.options.fuse_count_threshold
         )
 
-    def _fused_eligible(self, kernel) -> bool:
-        """A kernel joins the fused pass when its value — and every column
-        the detail tiers serialize alongside it — survives the JSON round
-        trip losslessly."""
+    def _fused_value_type(self, kernel):
+        """The kernel's value dtype if it — and every column the detail
+        tiers serialize alongside it — survives the JSON round trip
+        losslessly; None otherwise (one Catalyst analysis per kernel,
+        reused by _collect_violations_fused)."""
         try:
             vt = self.df.select(kernel.value.alias("x")).schema[0].dataType
         except Exception:
-            return False
+            return None
         if not _json_safe(vt):
-            return False
+            return None
         schema = self.df.schema
         names = schema.fieldNames()
         check_cols = list(self.rf.unexpected_index_column_names)
@@ -428,12 +429,12 @@ class SparkValidator:
             check_cols.extend(names)
         for c in check_cols:
             if c not in names or not _json_safe(schema[c].dataType):
-                return False
-        return True
+                return None
+        return vt
 
     def _collect_violations_fused(
         self,
-        fusable: list[tuple[ExpectationConfiguration, Compiled, Any]],
+        fusable: list[tuple[ExpectationConfiguration, Compiled, Any, Any]],
         metrics: dict[str, Any],
     ) -> dict[str, Any]:
         """ONE early-stopping scan extracts bounded violation detail for
@@ -469,7 +470,7 @@ class SparkValidator:
         entries: list[Any] = []
         vtypes: list[T.DataType] = []
         out: dict[str, Any] = {}
-        for eid, (config, comp, kernel) in enumerate(fusable):
+        for eid, (config, comp, kernel, _vt) in enumerate(fusable):
             unexpected = kernel.include & F.coalesce(~kernel.ok, F.lit(False))
             vj = F.to_json(F.struct(kernel.value.alias("v")), jopts)
             entries.append(
@@ -483,7 +484,7 @@ class SparkValidator:
                     ),
                 )
             )
-            vtypes.append(self.df.select(kernel.value.alias("x")).schema[0].dataType)
+            vtypes.append(_vt)  # resolved once in _fused_value_type
             if rf.at_least("COMPLETE") and rf.return_unexpected_index_query:
                 out[f"unexpected_index_query|{config.id}"] = _render_index_query(unexpected)
 
@@ -513,7 +514,7 @@ class SparkValidator:
         for r in rows:
             by_eid.setdefault(r["eid"], []).append(r)
 
-        for eid, (config, comp, kernel) in enumerate(fusable):
+        for eid, (config, comp, kernel, _vt) in enumerate(fusable):
             rs = by_eid.get(eid, [])
             vals = [
                 fmt(_from_json_value(_json.loads(r["vj"])["v"], vtypes[eid]), eid)
@@ -560,13 +561,18 @@ class SparkValidator:
                 ex.groupBy("eid", "vj")
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .withColumn("__rn", F.row_number().over(cw))
-                .where(F.col("__rn") <= k + 50)
+                # +200 margin absorbs count-tied boundary groups before the
+                # typed re-sort below; residual: >200-way ties of ARRAY/
+                # STRUCT values (JSON order != native order) could still
+                # surface different tied entries than the per-expectation
+                # path — atomic types (the realistic case) are exact
+                .where(F.col("__rn") <= k + 200)
                 .collect()
             )
             counts_by_eid: dict[int, list] = {}
             for r in crows:
                 counts_by_eid.setdefault(r["eid"], []).append(r)
-            for eid, (config, comp, kernel) in enumerate(fusable):
+            for eid, (config, comp, kernel, _vt) in enumerate(fusable):
                 items = [
                     (
                         fmt(_from_json_value(_json.loads(r["vj"])["v"], vtypes[eid]), eid),

@@ -8,10 +8,30 @@ from __future__ import annotations
 import contextlib
 import io
 import re
+import shutil
 
+import pytest
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def fresh_docs(spark, tmp_path):
+    """documents parquet at a UNIQUE path: other test modules cache the
+    canonical sf0.001 path, and Spark's cache lookup matches by logical
+    plan — a cached InMemoryRelation would hide the parquet scan these
+    tests assert on."""
+    dst = str(tmp_path / "docs.parquet")
+    shutil.copy(f"{SF}/documents.parquet", dst)
+    return spark.read.parquet(dst)
+
+
+@pytest.fixture()
+def fresh_emb(spark, tmp_path):
+    dst = str(tmp_path / "emb.parquet")
+    shutil.copy(f"{SF}/embeddings.parquet", dst)
+    return spark.read.parquet(dst)
 
 
 def _plan(df) -> str:
@@ -29,25 +49,24 @@ def _partial_agg_before_exchange(plan: str) -> bool:
     return bool(partial and exchange) and int(partial.group(1)) < int(exchange.group(1))
 
 
-def test_cms_plan_prunes_and_partially_aggregates(spark):
+def test_cms_plan_prunes_and_partially_aggregates(spark, fresh_docs):
     """Count-min table: 1-column ReadSchema, IsNotNull pushed to parquet,
     partial_count BEFORE the exchange (per-partition sketch build)."""
     from great_expectations_spark.pipeline.heavyhitters import count_min_table
 
-    df = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = _plan(count_min_table(df, "lang", depth=3, width=64))
+    plan = _plan(count_min_table(fresh_docs, "lang", depth=3, width=64))
     assert "ReadSchema: struct<lang:string>" in plan
     assert "IsNotNull(lang)" in plan
     assert _partial_agg_before_exchange(plan)
 
 
-def test_exact_dedup_shuffles_digests_not_bodies(spark):
+def test_exact_dedup_shuffles_digests_not_bodies(spark, fresh_docs):
     """Exact dedup stats: the text column is hashed to a 16-byte md5 in
     the map stage; partial aggregation runs before the exchange so the
     shuffle carries (digest, partial count) rows only."""
     from great_expectations_spark.pipeline.dedup import exact_dedup_stats
 
-    df = spark.read.parquet(f"{SF}/documents.parquet")
+    df = fresh_docs
     # grab the lazy frame the operator is built from (stats itself collects)
     g = (
         df.where(F.col("text").isNotNull())
@@ -62,25 +81,24 @@ def test_exact_dedup_shuffles_digests_not_bodies(spark):
     assert row.n_rows >= row.n_distinct
 
 
-def test_cosine_topk_broadcasts_queries(spark):
+def test_cosine_topk_broadcasts_queries(spark, fresh_emb):
     """Exact top-k: the small query side must broadcast (nested-loop with
     BuildRight/BuildLeft), never shuffle the corpus."""
     from great_expectations_spark.pipeline.similarity import cosine_topk
 
-    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb = fresh_emb
     q = emb.limit(4).select(F.col("vec_id").alias("q_id"),
                             F.col("embedding").alias("q_vec"))
     plan = _plan(cosine_topk(emb, q, k=3))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_heavy_hitters_summaries_single_column_input(spark):
+def test_heavy_hitters_summaries_single_column_input(spark, fresh_docs):
     """The Misra-Gries mapInPandas stage reads ONE column — the Arrow
     channel must not carry the full row payload."""
     from great_expectations_spark.pipeline.heavyhitters import _mg_summaries
 
-    df = spark.read.parquet(f"{SF}/documents.parquet")
-    summaries = df.select("lang").mapInPandas(
+    summaries = fresh_docs.select("lang").mapInPandas(
         _mg_summaries("lang", 16), schema="value string, cnt long")
     plan = _plan(summaries)
     assert "ReadSchema: struct<lang:string>" in plan
