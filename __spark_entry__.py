@@ -870,9 +870,9 @@ def _p9(spark, sf):
 
 
 def _ann_ivf_oracle(n_centroids: int = 8, n_probe: int = 3, k: int = 10) -> str:
-    """IVF is fully deterministic (seed bucket = vec_id % n, centroid =
-    per-dim mean, round-6 assignment), so DuckDB can recompute the whole
-    codebook + probe + rerank path itself."""
+    """IVF is fully deterministic (seed bucket = md5_int(vec_id) % n,
+    centroid = per-dim mean, round-6 assignment), so DuckDB can recompute
+    the whole codebook + probe + rerank path itself."""
     cos_ec = ("list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c) / "
               "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
               "sqrt(list_dot_product(c.c, c.c)))")
@@ -881,7 +881,7 @@ def _ann_ivf_oracle(n_centroids: int = 8, n_probe: int = 3, k: int = 10) -> str:
               "sqrt(list_dot_product(CAST(p.qv AS DOUBLE[]), CAST(p.qv AS DOUBLE[]))))")
     return f"""
 WITH exp AS (
-  SELECT vec_id % {n_centroids} AS cid,
+  SELECT (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % {n_centroids}) AS cid,
          generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS d,
          unnest(CAST(embedding AS DOUBLE[])) AS x
   FROM embeddings

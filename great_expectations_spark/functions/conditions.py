@@ -151,7 +151,10 @@ def _between(col: Column, kwargs: dict[str, Any]) -> Column:
     if hi is not None:
         conds.append(col < F.lit(hi) if strict_max else col <= F.lit(hi))
     if not conds:
-        return F.lit(True)
+        # reference column_values_between._spark raises rather than
+        # vacuously passing every row (a dropped-bounds typo must not
+        # silently validate nothing)
+        raise ValueError("min_value and max_value cannot both be None")
     return reduce(lambda a, b: a & b, conds)
 
 
@@ -165,9 +168,14 @@ def _lengths_between(kwargs: dict[str, Any]) -> MapKernel:
     for b in ("min_value", "max_value"):
         v = kwargs.get(b)
         if v is not None:
+            # reference raises on non-INTEGER length bounds — int(2.5)
+            # passing through would compare lengths against a bound the
+            # user never stated
             try:
-                int(v)  # reference raises on non-numeric length bounds
+                ok_int = float(v) == int(v)
             except (TypeError, ValueError):
+                ok_int = False
+            if not ok_int:
                 raise ValueError(f"{b} for length must be an integer, got {v!r}")
     return _col_kernel(kwargs, _between(F.length(F.col(kwargs["column"])), kwargs))
 
@@ -192,6 +200,8 @@ def _not_match_regex(kwargs: dict[str, Any]) -> MapKernel:
 
 
 def _regex_list(col: Column, patterns: list[str], match_on: str) -> Column:
+    if not patterns:
+        raise ValueError("regex_list / like_pattern_list must not be empty")
     conds = [col.rlike(p) for p in patterns]
     op = (lambda a, b: a | b) if match_on == "any" else (lambda a, b: a & b)
     return reduce(op, conds)
@@ -225,7 +235,10 @@ def _not_match_like(kwargs: dict[str, Any]) -> MapKernel:
 @register("expect_column_values_to_match_like_pattern_list")
 def _match_like_list(kwargs: dict[str, Any]) -> MapKernel:
     col = F.col(kwargs["column"])
-    conds = [col.like(p) for p in kwargs["like_pattern_list"]]
+    pats = list(kwargs["like_pattern_list"])
+    if not pats:
+        raise ValueError("like_pattern_list must not be empty")
+    conds = [col.like(p) for p in pats]
     op = (lambda a, b: a | b) if kwargs.get("match_on", "any") == "any" else (lambda a, b: a & b)
     return _col_kernel(kwargs, reduce(op, conds))
 
@@ -233,7 +246,10 @@ def _match_like_list(kwargs: dict[str, Any]) -> MapKernel:
 @register("expect_column_values_to_not_match_like_pattern_list")
 def _not_match_like_list(kwargs: dict[str, Any]) -> MapKernel:
     col = F.col(kwargs["column"])
-    ok = ~reduce(lambda a, b: a | b, [col.like(p) for p in kwargs["like_pattern_list"]])
+    pats = list(kwargs["like_pattern_list"])
+    if not pats:
+        raise ValueError("like_pattern_list must not be empty")
+    ok = ~reduce(lambda a, b: a | b, [col.like(p) for p in pats])
     return _col_kernel(kwargs, ok)
 
 
@@ -317,9 +333,12 @@ MAP_KERNELS["expect_column_pair_values_A_to_be_greater_than_B"] = _pair_greater
 @register("expect_column_pair_values_to_be_in_set")
 def _pair_in_set(kwargs: dict[str, Any]) -> MapKernel:
     a, b = F.col(kwargs["column_A"]), F.col(kwargs["column_B"])
+    if kwargs.get("value_pairs_set") is None:
+        raise ValueError("value_pairs_set is required")
     pairs = list(kwargs["value_pairs_set"])
     conds = [a.eqNullSafe(F.lit(x)) & b.eqNullSafe(F.lit(y)) for (x, y) in pairs]
-    ok = reduce(lambda p, q: p | q, conds) if conds else F.lit(True)
+    # empty allowlist permits NOTHING (same convention as _in_set)
+    ok = reduce(lambda p, q: p | q, conds) if conds else F.lit(False)
     return _pair_kernel(kwargs, ok)
 
 

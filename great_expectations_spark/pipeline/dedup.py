@@ -117,11 +117,11 @@ def exact_dedup_stats(df: DataFrame, col: str) -> DataFrame:
     """
     h = df.where(F.col(col).isNotNull()).select(_md5(F.col(col)).alias("__h"))
     grouped = h.groupBy("__h").agg(F.count(F.lit(1)).alias("n"))
+    # coalesce: on an empty/all-NULL input the sums are NULL, not 0
     stats = grouped.agg(
-        F.sum("n").alias("nn"),
         F.count(F.lit(1)).alias("nd"),
-        F.sum(F.col("n") - 1).alias("dup_rows"),
-        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("dup_groups"),
+        F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("dup_rows"),
+        F.coalesce(F.sum(F.when(F.col("n") > 1, 1).otherwise(0)), F.lit(0)).alias("dup_groups"),
     )
     nulls = df.agg(
         F.count(F.lit(1)).alias("total"),
@@ -137,19 +137,22 @@ def exact_dedup_stats(df: DataFrame, col: str) -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, col: str, keep_order_col: str | None = None) -> DataFrame:
-    """Keep one row per distinct value of ``col`` (first by ``keep_order_col``).
+    """Keep one row per distinct non-NULL value of ``col`` (first by
+    ``keep_order_col``); rows where ``col`` IS NULL carry no dedup signal
+    and pass through UNCHANGED (they are not data to be dropped).
 
     At scale this is a single hash-shuffle on the 16-byte digest; the
     row_number window runs inside each post-shuffle partition.
     """
     order = F.col(keep_order_col) if keep_order_col else F.monotonically_increasing_id()
     w = Window.partitionBy(_md5(F.col(col))).orderBy(order)
-    return (
+    deduped = (
         df.where(F.col(col).isNotNull())
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+    return deduped.unionByName(df.where(F.col(col).isNull()))
 
 
 # ------------------------------------------------------------- MinHash + LSH
@@ -182,6 +185,12 @@ def _band_buckets(
     """(__id, band, bucket) triples of the MinHash-LSH banding pipeline —
     the single definition candidate pairing AND hot-bucket reporting share,
     so the reported buckets are exactly the ones the pairing saw."""
+    if bands <= 0 or k % bands != 0:
+        # bands > k would give r=0 — every doc in ONE bucket per band (a
+        # full N^2 self-join); k % bands != 0 would silently drop the last
+        # signature rows and change precision/recall behind the caller's back
+        raise ValueError(
+            f"bands must evenly divide the signature size (k={k}, bands={bands})")
     r = k // bands
     base = (
         df.where(F.col(text_col).isNotNull())
@@ -329,8 +338,12 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.0,
 ) -> DataFrame:
-    """Exact Jaccard similarity over word-n-gram sets for all pairs in
-    ``left`` (id_a < id_b). Quadratic — run on LSH candidates or samples.
+    """Exact Jaccard similarity over word-n-gram sets for pairs in
+    ``left`` WITH AT LEAST ONE SHARED SHINGLE (id_a < id_b) — zero-overlap
+    pairs (jaccard 0) and docs shorter than ``n`` tokens never appear,
+    by construction of the intersection equi-join (emitting them would be
+    the full cross product this design exists to avoid). Quadratic in
+    bucket overlap — run on LSH candidates or samples.
 
     Implemented as shingle-hash-explode + equi-join on the hash (8-byte
     join keys, not strings), counting intersections; set sizes broadcast

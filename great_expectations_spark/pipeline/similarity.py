@@ -127,12 +127,16 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic IVF codebook: seed bucket = ``id % n_centroids``
-    (reproducible in any engine, no RNG), centroid = per-dimension mean of
-    its bucket — i.e. the k-means M-step over a fixed initial partition.
-    One scan; ``dims * n_centroids`` scalar aggregates come back to the
-    driver (a few KB)."""
-    bucket = F.pmod(F.col(id_col), F.lit(n_centroids)).cast("int")
+    """Deterministic IVF codebook: seed bucket = ``md5_int(id) %
+    n_centroids`` (reproducible in ANY engine — DuckDB replays it as
+    ``('0x' || substr(md5(id::VARCHAR),1,15))::BIGINT % n`` — and valid
+    for ANY id type; a plain ``id % n`` would NULL out on string ids),
+    centroid = per-dimension mean of its bucket — i.e. the k-means M-step
+    over a fixed initial partition. One scan; ``dims * n_centroids``
+    scalar aggregates come back to the driver (a few KB)."""
+    from great_expectations_spark.pipeline.dedup import _md5_int
+
+    bucket = F.pmod(_md5_int(F.col(id_col).cast("string")), F.lit(n_centroids)).cast("int")
     means = [
         F.avg(F.element_at(F.col(vec_col), d + 1).cast("double")).alias(f"d{d}")
         for d in range(dims)

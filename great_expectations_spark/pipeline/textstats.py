@@ -51,9 +51,13 @@ def token_count_bpe(text: Column) -> Column:
 
 
 def filler_ratio(text: Column, fillers: list[str] | None = None) -> Column:
-    """Fraction of tokens (with multiplicity) that are filler words."""
-    f = fillers or FILLER_WORDS
+    """Fraction of tokens (with multiplicity) that are filler words.
+    ``fillers=[]`` explicitly disables the check (ratio 0); only None
+    falls back to the default vocabulary."""
+    f = FILLER_WORDS if fillers is None else list(fillers)
     t = tokens(text)
+    if not f:
+        return F.lit(0.0)
     in_set = F.size(F.filter(t, lambda x: x.isin(*f)))
     return F.round(in_set / F.size(t), 6)
 

@@ -90,3 +90,95 @@ def test_parse_urn_stores_short_is_typed_error():
 
     with pytest.raises(EvaluationParameterError, match="stores URN"):
         parse_urn("urn:great_expectations:stores:only_store")
+
+
+# ---- second-pass findings (conditions / dedup / similarity / textstats)
+
+
+def test_between_both_bounds_none_errors(spark):
+    df = spark.createDataFrame([(1,)], "x int")
+    suite = ExpectationSuite("nb").add(
+        "expect_column_values_to_be_between", column="x")
+    r = validate(df, suite).results[0]
+    assert r.exception_info["raised_exception"] is True
+    assert "cannot both be None" in r.exception_info["exception_message"]
+
+
+def test_length_bounds_must_be_integers(spark):
+    df = spark.createDataFrame([("ab",)], "s string")
+    suite = ExpectationSuite("lb").add(
+        "expect_column_value_lengths_to_be_between", column="s", min_value=2.5)
+    r = validate(df, suite).results[0]
+    assert r.exception_info["raised_exception"] is True
+    assert "integer" in r.exception_info["exception_message"]
+
+
+def test_empty_regex_list_errors(spark):
+    df = spark.createDataFrame([("x",)], "s string")
+    suite = ExpectationSuite("rl").add(
+        "expect_column_values_to_match_regex_list", column="s", regex_list=[])
+    r = validate(df, suite).results[0]
+    assert r.exception_info["raised_exception"] is True
+
+
+def test_pair_in_set_empty_set_permits_nothing(spark):
+    df = spark.createDataFrame([(1, 2), (3, 4)], "a int, b int")
+    suite = ExpectationSuite("ps").add(
+        "expect_column_pair_values_to_be_in_set",
+        column_A="a", column_B="b", value_pairs_set=[])
+    r = validate(df, suite).results[0]
+    assert r.success is False
+    assert r.result["unexpected_count"] == 2
+
+
+def test_exact_dedup_passes_null_rows_through(spark):
+    from great_expectations_spark.pipeline.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None)], "id int, t string")
+    out = exact_dedup(df, "t", keep_order_col="id")
+    ids = sorted(r.id for r in out.collect())
+    assert ids == [1, 3, 4]  # one 'a' kept, BOTH null rows pass through
+
+
+def test_exact_dedup_stats_empty_input_zeroes(spark):
+    from great_expectations_spark.pipeline.dedup import exact_dedup_stats
+
+    df = spark.createDataFrame([(1, None), (2, None)], "id int, t string")
+    row = exact_dedup_stats(df, "t").first()
+    assert (row.n_rows, row.n_null, row.n_distinct) == (2, 2, 0)
+    assert row.dup_rows == 0 and row.dup_groups == 0  # not NULL
+
+
+def test_lsh_bands_must_divide_k(spark):
+    from great_expectations_spark.pipeline.dedup import minhash_lsh_candidates
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="evenly divide"):
+        minhash_lsh_candidates(df, "doc_id", "text", k=12, bands=16)
+    with pytest.raises(ValueError, match="evenly divide"):
+        minhash_lsh_candidates(df, "doc_id", "text", k=12, bands=5)
+
+
+def test_ivf_works_with_string_ids(spark):
+    from great_expectations_spark.pipeline.similarity import ann_topk_ivf
+
+    rows = [(f"doc-{i:03d}", [float((i * 7 + d) % 13) for d in range(8)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    q = emb.limit(2).select(F.col("vec_id").alias("q_id"),
+                            F.col("embedding").alias("q_vec"))
+    out = ann_topk_ivf(emb, q, dims=8, k=3, n_centroids=4, n_probe=4)
+    assert out.count() == 6  # 2 queries x top-3, no NULL-bucket crash
+
+
+def test_filler_ratio_empty_list_disables(spark):
+    from great_expectations_spark.pipeline.textstats import filler_ratio
+
+    df = spark.createDataFrame([("table row table",)], "text string")
+    got = df.select(
+        filler_ratio(F.col("text")).alias("default_vocab"),
+        filler_ratio(F.col("text"), fillers=[]).alias("disabled"),
+    ).first()
+    assert got.default_vocab == 1.0  # all three tokens are default fillers
+    assert got.disabled == 0.0
