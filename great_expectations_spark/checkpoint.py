@@ -49,6 +49,38 @@ RESULTS_SCHEMA = (
 _COUNT_KEYS = ("element_count", "missing_count", "unexpected_count")
 
 
+def results_rows(result, run_id: str, chunk_id: str, chunk_predicate: str,
+                 wall_s: float) -> list[tuple]:
+    """Serialize a SuiteValidationResult into RESULTS_SCHEMA tuples — the
+    ONE row builder shared by batch checkpointing and streaming
+    foreachBatch, so both write the exact same results-table shape."""
+    rows = []
+    for i, evr in enumerate(result.results):
+        res = evr.result
+        rows.append(
+            (
+                run_id,
+                chunk_id,
+                chunk_predicate,
+                i,
+                evr.expectation_config.expectation_type,
+                json.dumps(evr.expectation_config.kwargs, sort_keys=True, default=str),
+                bool(evr.success),
+                res.get("element_count"),
+                res.get("missing_count"),
+                res.get("unexpected_count"),
+                json.dumps(res["observed_value"], default=str)
+                if "observed_value" in res
+                else None,
+                bool(evr.exception_info.get("raised_exception")),
+                res.get("element_count"),
+                round(wall_s, 4),
+                time.time(),
+            )
+        )
+    return rows
+
+
 @dataclass
 class Splitter:
     """Chunk definition: name + list of (chunk_id, predicate Column) pairs."""
@@ -274,30 +306,9 @@ def run_checkpoint(
         chunk_df = df.where(pred)
         result = validate(chunk_df, suite, result_format=result_format, tables=tables)
         wall = time.time() - t0
-        rows = []
-        for i, evr in enumerate(result.results):
-            res = evr.result
-            rows.append(
-                (
-                    run_id,
-                    chunk_id,
-                    str(pred._jc if hasattr(pred, "_jc") else pred),
-                    i,
-                    evr.expectation_config.expectation_type,
-                    json.dumps(evr.expectation_config.kwargs, sort_keys=True, default=str),
-                    bool(evr.success),
-                    res.get("element_count"),
-                    res.get("missing_count"),
-                    res.get("unexpected_count"),
-                    json.dumps(res["observed_value"], default=str)
-                    if "observed_value" in res
-                    else None,
-                    bool(evr.exception_info.get("raised_exception")),
-                    res.get("element_count"),
-                    round(wall, 4),
-                    time.time(),
-                )
-            )
+        rows = results_rows(
+            result, run_id, chunk_id,
+            str(pred._jc if hasattr(pred, "_jc") else pred), wall)
         spark.createDataFrame(rows, RESULTS_SCHEMA).coalesce(1).write.mode("append").parquet(
             results_path
         )

@@ -26,10 +26,15 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, buckets: int = 16, col_name: str = "__salt") -> DataFrame:
-    """Deterministic row salt in [0, buckets) — derived from the whole row
-    hash, so identical datasets salt identically (replay-stable)."""
+    """Row salt in [0, buckets) from the row's POSITION (partition-local
+    id), not its content — content-derived salts send byte-identical rows
+    (duplicated pages, pre-projected key columns) to the SAME salt bucket,
+    re-creating the hotspot salting exists to break. Position salts spread
+    every key uniformly; the salt value itself never reaches results (the
+    stage-2 merge removes it), so replay stability of the VALUES is moot.
+    """
     return df.withColumn(
-        col_name, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+        col_name, F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
     )
 
 

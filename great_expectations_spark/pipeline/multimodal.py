@@ -40,21 +40,28 @@ def _decode_stub(data: bytes) -> tuple[int, int, int, str]:
 def extract_features(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
     """Per-payload metadata via mapInPandas (one Arrow batch at a time —
     bounded memory regardless of payload sizes). Undecodable payloads get
-    NULL dimensions instead of failing the job."""
+    NULL dimensions instead of failing the job; a NULL payload keeps
+    n_bytes/content_md5 NULL too (a MISSING document must not share
+    md5(b'') with a genuinely empty one), and a NULL id passes through as
+    NULL instead of crashing int(NaN)."""
     idc, binc = id_col, binary_col
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, data in zip(pdf[idc], pdf[binc]):
-                data = bytes(data) if data is not None else b""
+                did = None if pd.isna(doc_id) else int(doc_id)
+                if data is None:
+                    rows.append((did, None, None, None, None, None, None))
+                    continue
+                data = bytes(data)
                 md5 = hashlib.md5(data).hexdigest()
                 try:
                     w, h, c, fmt = _decode_stub(data)
                 except ValueError:
                     w = h = c = None
                     fmt = None
-                rows.append((int(doc_id), len(data), md5, w, h, c, fmt))
+                rows.append((did, len(data), md5, w, h, c, fmt))
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "n_bytes", "content_md5", "width", "height", "channels", "format"],

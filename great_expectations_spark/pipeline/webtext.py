@@ -124,4 +124,10 @@ def domain_stats(
         .groupBy("domain")
         .agg(F.count(F.lit(1)).alias("distinct_urls"))
     )
-    return pages.join(distinct, on="domain", how="left")
+    # eqNullSafe: the NULL-domain group (unparseable urls) must still get
+    # its distinct_urls — a plain equality join never matches NULL keys
+    return pages.join(
+        distinct.withColumnRenamed("domain", "__d"),
+        on=pages["domain"].eqNullSafe(F.col("__d")),
+        how="left",
+    ).drop("__d")

@@ -33,6 +33,7 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -82,18 +83,31 @@ def write_results(
     """Append validation-result rows; Iceberg table when available, else
     partitioned parquet with an identical layout."""
     spark = df.sparkSession
-    if "/" in table_or_path:
+    # same routing rule as read_table: a path-shaped target means parquet
+    if "/" in table_or_path or table_or_path.endswith(".parquet"):
         df.write.mode(mode).partitionBy(*partition_by).parquet(table_or_path)
         return
     if not iceberg_available(spark):
         raise RuntimeError("Iceberg runtime not on classpath")
-    df.writeTo(table_or_path).append() if mode == "append" else df.writeTo(
-        table_or_path
-    ).createOrReplace()
+    if mode == "append":
+        df.writeTo(table_or_path).append()
+    elif mode == "overwrite":
+        # keep the engine's partition layout when (re)creating the table —
+        # a bare createOrReplace() would drop the (run_id) partitioning the
+        # concurrent-chunk-writer design depends on
+        df.writeTo(table_or_path).using("iceberg").partitionedBy(
+            *[F.col(c) for c in partition_by]
+        ).createOrReplace()
+    else:
+        raise ValueError(
+            f"write_results supports mode='append' or 'overwrite', got {mode!r}")
 
 
 def plan_table_ddl(results_table: str) -> str:
-    """DDL for the production results table (documentation + bootstrap)."""
+    """DDL for the production results table (documentation + bootstrap) —
+    column-for-column the checkpoint RESULTS_SCHEMA, so writeTo(...).append()
+    resolves. Input snapshot ids belong to the lineage JSON inside
+    chunk_predicate, not extra columns the writers never produce."""
     return f"""
 CREATE TABLE IF NOT EXISTS {results_table} (
   run_id string, chunk_id string, chunk_predicate string,
@@ -101,7 +115,7 @@ CREATE TABLE IF NOT EXISTS {results_table} (
   success boolean, element_count bigint, missing_count bigint,
   unexpected_count bigint, observed_value_json string,
   raised_exception boolean, rows_scanned bigint, wall_time_s double,
-  finished_at double, snapshot_id bigint
+  finished_at double
 ) USING iceberg
 PARTITIONED BY (run_id)
 """

@@ -54,8 +54,15 @@ def read_tsv(spark: SparkSession, path: str, **kwargs: Any) -> DataFrame:
     return read_csv(spark, path, **kwargs)
 
 
-def read_parquet(spark: SparkSession, path: str, **reader_options: Any) -> DataFrame:
-    return spark.read.options(**reader_options).parquet(path)
+def read_parquet(spark: SparkSession, path: str, schema: Any = None,
+                 **reader_options: Any) -> DataFrame:
+    """An explicit ``schema`` is APPLIED (projection/validation), not
+    passed through as a stringified reader option that parquet ignores."""
+    reader = spark.read.options(**reader_options)
+    resolved = _resolve_schema(schema)
+    if resolved is not None:
+        reader = reader.schema(resolved)
+    return reader.parquet(path)
 
 
 def delta_available(spark: SparkSession) -> bool:

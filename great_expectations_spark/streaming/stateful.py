@@ -64,7 +64,9 @@ def cumulative_condition_rate(
         yield pd.DataFrame(
             [
                 {
-                    "key": str(key[0]),
+                    # NULL keys stay NULL — str() would alias them with a
+                    # literal 'None' value in the keyed column
+                    "key": None if key[0] is None else str(key[0]),
                     "n_total": n,
                     "n_passed": passed,
                     "pass_rate": (passed / n) if n else 0.0,

@@ -10,7 +10,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from great_expectations_spark.checkpoint import RESULTS_SCHEMA
+from great_expectations_spark.checkpoint import RESULTS_SCHEMA, results_rows
 from great_expectations_spark.core.suite import ExpectationSuite
 from great_expectations_spark.validator import validate
 
@@ -37,31 +37,8 @@ def validate_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
         result = validate(batch_df, suite, result_format=result_format)
-        wall = time.time() - t0
-        rows = []
-        for i, evr in enumerate(result.results):
-            res = evr.result
-            rows.append(
-                (
-                    run_id,
-                    f"batch-{batch_id}",
-                    "streaming-micro-batch",
-                    i,
-                    evr.expectation_config.expectation_type,
-                    json.dumps(evr.expectation_config.kwargs, sort_keys=True, default=str),
-                    bool(evr.success),
-                    res.get("element_count"),
-                    res.get("missing_count"),
-                    res.get("unexpected_count"),
-                    json.dumps(res["observed_value"], default=str)
-                    if "observed_value" in res
-                    else None,
-                    bool(evr.exception_info.get("raised_exception")),
-                    res.get("element_count"),
-                    round(wall, 4),
-                    time.time(),
-                )
-            )
+        rows = results_rows(result, run_id, f"batch-{batch_id}",
+                            "streaming-micro-batch", time.time() - t0)
         spark.createDataFrame(rows, RESULTS_SCHEMA).coalesce(1).write.mode("append").parquet(
             results_path
         )

@@ -182,3 +182,85 @@ def test_filler_ratio_empty_list_disables(spark):
     ).first()
     assert got.default_vocab == 1.0  # all three tokens are default fillers
     assert got.disabled == 0.0
+
+
+# ---- third-pass findings (sources / streaming / skew / webtext / multimodal)
+
+
+def test_streaming_dedup_null_rows_pass_through(spark, tmp_path):
+    from great_expectations_spark.streaming import (
+        streaming_content_dedup,
+        streaming_exact_dedup,
+    )
+
+    src = str(tmp_path / "nsrc")
+    rows = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:01", None),
+         ("u2", "2024-01-01 00:00:02", None),
+         ("u3", "2024-01-01 00:00:03", "body"),
+         ("u4", "2024-01-01 00:00:04", "body"),
+         (None, "2024-01-01 00:00:05", "x"),
+         (None, "2024-01-01 00:00:06", "y")],
+        "url string, ts string, text string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows.coalesce(1).write.parquet(src)
+    schema = "url string, ts timestamp, text string"
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (streaming_content_dedup(stream, "text", "ts")
+         .writeStream.format("memory").queryName("cnull").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck1")).start())
+    q.processAllAvailable(); q.stop()
+    got = spark.sql("SELECT * FROM cnull").collect()
+    # both NULL-text rows survive; 'body' deduped to one
+    assert sorted((r.url or "~") for r in got) == ["u1", "u2", "u3", "~", "~"]
+
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = (streaming_exact_dedup(stream2, ["url"], "ts")
+          .writeStream.format("memory").queryName("knull").outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "ck2")).start())
+    q2.processAllAvailable(); q2.stop()
+    got2 = spark.sql("SELECT * FROM knull").collect()
+    # both NULL-url rows survive (pass-through), u1..u4 each once
+    assert len(got2) == 6
+
+
+def test_read_parquet_applies_schema(spark, tmp_path):
+    from great_expectations_spark.sources.readers import read_any
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, "a")], "i int, s string").write.parquet(p)
+    out = read_any(spark, p, schema="i long, s string")
+    assert dict(out.dtypes)["i"] == "bigint"  # schema applied, not ignored
+
+
+def test_with_salt_spreads_identical_rows(spark):
+    from great_expectations_spark.functions.skew import with_salt
+
+    df = spark.createDataFrame([("en",)] * 200, "lang string").repartition(4)
+    n_salts = with_salt(df, buckets=8).select("__salt").distinct().count()
+    assert n_salts > 1  # content-derived salt would give exactly 1
+
+
+def test_domain_stats_null_domain_joined(spark):
+    from great_expectations_spark.pipeline.webtext import domain_stats
+
+    df = spark.createDataFrame(
+        [("https://a.example/x",), ("https://a.example/x",), (None,)],
+        "url string")
+    rows = {r["domain"]: r for r in domain_stats(df, "url").collect()}
+    null_row = rows.get(None)
+    assert null_row is not None and null_row.distinct_urls is not None
+
+
+def test_multimodal_null_payload_and_id(spark):
+    from great_expectations_spark.pipeline.multimodal import extract_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, None), (None, bytearray(b""))],
+        "doc_id long, payload binary")
+    got = {r.doc_id: r for r in extract_features(df, "doc_id", "payload").collect()}
+    assert got[1].n_bytes == 3 and got[1].content_md5 is not None
+    # NULL payload: no fake md5(b'') fabricated for missing data
+    assert got[2].n_bytes is None and got[2].content_md5 is None
+    assert None in got  # NULL id passes through instead of crashing
