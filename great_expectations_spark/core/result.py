@@ -119,11 +119,22 @@ class SuiteValidationResult:
         if parts[0] == "statistics" and len(parts) == 2:
             return self.statistics.get(parts[1])
         if parts[0].startswith("expect_"):
+            matches = []
             for r in self.results:
                 try:
-                    return r.get_metric(metric_name, **kwargs)
+                    matches.append(r.get_metric(metric_name, **kwargs))
                 except KeyError:
                     continue
+            if len(matches) > 1:
+                # with no disambiguating kwargs, several EVRs of this type
+                # match — returning the first would feed an ARBITRARY
+                # column's metric into downstream bounds (the reference
+                # raises UnavailableMetricError unless kwargs pin one)
+                raise KeyError(
+                    f"metric {metric_name} is ambiguous: {len(matches)} "
+                    f"expectations match; pass kwargs (e.g. column=...)")
+            if matches:
+                return matches[0]
         raise KeyError(f"metric {metric_name} (kwargs={kwargs}) not available in suite result")
 
     def to_dict(self) -> dict[str, Any]:

@@ -46,12 +46,15 @@ class ResultFormat:
         if isinstance(rf, str):
             return cls(tier=rf.upper())
         if isinstance(rf, dict):
+            names = rf.get("unexpected_index_column_names", ()) or ()
+            if isinstance(names, str):
+                # a bare column name must become ONE column, not its
+                # characters (tuple('url') == ('u','r','l'))
+                names = (names,)
             return cls(
                 tier=str(rf.get("result_format", "BASIC")).upper(),
                 partial_unexpected_count=int(rf.get("partial_unexpected_count", 20)),
-                unexpected_index_column_names=tuple(
-                    rf.get("unexpected_index_column_names", ()) or ()
-                ),
+                unexpected_index_column_names=tuple(names),
                 include_unexpected_rows=bool(rf.get("include_unexpected_rows", False)),
                 return_unexpected_index_query=bool(
                     rf.get("return_unexpected_index_query", True)),

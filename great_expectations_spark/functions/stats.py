@@ -80,13 +80,20 @@ def ks_sf(d: float, n_eff: float) -> float:
         return 1.0
     sqrt_n = math.sqrt(n_eff)
     lam = (sqrt_n + 0.12 + 0.11 / sqrt_n) * d
-    total = 0.0
-    for k in range(1, 101):
-        term = 2.0 * ((-1.0) ** (k - 1)) * math.exp(-2.0 * (k * lam) ** 2)
+    # Numerical Recipes probks: the alternating series only converges for
+    # large-enough lambda; on NON-convergence (tiny lambda = near-perfect
+    # fit) the correct answer is 1.0 — truncating mid-oscillation returns
+    # garbage (e.g. 0.18 for a fit with D=5e-6)
+    a2 = -2.0 * lam * lam
+    fac, total, termbf = 2.0, 0.0, 0.0
+    for j in range(1, 101):
+        term = fac * math.exp(a2 * j * j)
         total += term
-        if abs(term) < 1e-12:
-            break
-    return max(0.0, min(1.0, total))
+        if abs(term) <= 1e-10 * termbf or abs(term) <= 1e-12 * abs(total):
+            return max(0.0, min(1.0, total))
+        fac = -fac
+        termbf = abs(term)
+    return 1.0  # series failed to converge => p ~ 1
 
 
 def chisquare_test(observed: np.ndarray, expected: np.ndarray) -> tuple[float, float]:
@@ -97,8 +104,12 @@ def chisquare_test(observed: np.ndarray, expected: np.ndarray) -> tuple[float, f
     expected = np.asarray(expected, dtype=float)
     if np.any((expected <= 0) & (observed > 0)):
         return float("inf"), 0.0
-    mask = expected > 0
-    stat = float(np.sum((observed[mask] - expected[mask]) ** 2 / expected[mask]))
+    if np.any(expected <= 0):
+        # scipy: (0-0)^2/0 = nan -> stat nan -> p nan (fails a > threshold
+        # check, like the reference); silently masking the cell would
+        # compute a finite p against an inflated df and could flip success
+        return float("nan"), float("nan")
+    stat = float(np.sum((observed - expected) ** 2 / expected))
     df = len(observed) - 1
     return stat, chi2_sf(stat, max(df, 1))
 
@@ -184,6 +195,107 @@ def gammainc_lower_reg(a: float, x: float) -> float:
     return max(0.0, min(1.0, 1.0 - _gammainc_upper_cf(a, x)))
 
 
+def _betacf_vec(a: float, b: float, x: np.ndarray) -> np.ndarray:
+    """Vectorized Lentz continued fraction for the incomplete beta — the
+    same recurrence as ``_betacf`` run across the whole array at once (the
+    KS path evaluates up to ks_sample_cap=100k points; a per-element
+    Python loop is tens of seconds of driver stall, this is milliseconds)."""
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = np.ones_like(x)
+    d = 1.0 - qab * x / qap
+    d = np.where(np.abs(d) < tiny, tiny, d)
+    d = 1.0 / d
+    h = d.copy()
+    for m in range(1, 300):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        d = np.where(np.abs(d) < tiny, tiny, d)
+        c = 1.0 + aa / c
+        c = np.where(np.abs(c) < tiny, tiny, c)
+        d = 1.0 / d
+        h = h * (d * c)
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        d = np.where(np.abs(d) < tiny, tiny, d)
+        c = 1.0 + aa / c
+        c = np.where(np.abs(c) < tiny, tiny, c)
+        d = 1.0 / d
+        delta = d * c
+        h = h * delta
+        if np.all(np.abs(delta - 1.0) < 1e-14):
+            break
+    return h
+
+
+def betainc_reg_vec(a: float, b: float, x: np.ndarray) -> np.ndarray:
+    """Vectorized regularized incomplete beta I_x(a,b)."""
+    x = np.clip(np.asarray(x, dtype=float), 0.0, 1.0)
+    out = np.empty_like(x)
+    interior = (x > 0.0) & (x < 1.0)
+    small = interior & (x < (a + 1.0) / (a + b + 2.0))
+    large = interior & ~small
+    ln_b = math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+    xs = x[small]
+    out[small] = (
+        np.exp(ln_b + a * np.log(xs) + b * np.log1p(-xs)) * _betacf_vec(a, b, xs) / a
+    )
+    xl = x[large]
+    out[large] = 1.0 - (
+        np.exp(ln_b + a * np.log(xl) + b * np.log1p(-xl))
+        * _betacf_vec(b, a, 1.0 - xl) / b
+    )
+    out[x <= 0.0] = 0.0
+    out[x >= 1.0] = 1.0
+    return np.clip(out, 0.0, 1.0)
+
+
+def _gammainc_lower_series_vec(a: float, x: np.ndarray) -> np.ndarray:
+    term = np.full_like(x, 1.0 / a)
+    total = term.copy()
+    n = a
+    for _ in range(1000):
+        n += 1.0
+        term = term * x / n
+        total = total + term
+        if np.all(np.abs(term) < np.abs(total) * 1e-15):
+            break
+    return total * np.exp(-x + a * np.log(x) - math.lgamma(a))
+
+
+def _gammainc_upper_cf_vec(a: float, x: np.ndarray) -> np.ndarray:
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = np.full_like(x, 1.0 / tiny)
+    d = 1.0 / b
+    h = d.copy()
+    for i in range(1, 1000):
+        an = -i * (i - a)
+        b = b + 2.0
+        d = an * d + b
+        d = np.where(np.abs(d) < tiny, tiny, d)
+        c = b + an / c
+        c = np.where(np.abs(c) < tiny, tiny, c)
+        d = 1.0 / d
+        delta = d * c
+        h = h * delta
+        if np.all(np.abs(delta - 1.0) < 1e-15):
+            break
+    return h * np.exp(-x + a * np.log(x) - math.lgamma(a))
+
+
+def gammainc_lower_reg_vec(a: float, x: np.ndarray) -> np.ndarray:
+    """Vectorized regularized lower incomplete gamma P(a,x)."""
+    x = np.asarray(x, dtype=float)
+    out = np.zeros_like(x)
+    lo = (x > 0.0) & (x < a + 1.0)
+    hi = x >= a + 1.0
+    out[lo] = _gammainc_lower_series_vec(a, x[lo])
+    out[hi] = 1.0 - _gammainc_upper_cf_vec(a, x[hi])
+    return np.clip(out, 0.0, 1.0)
+
+
 def norm_cdf(x: np.ndarray, loc: float = 0.0, scale: float = 1.0) -> np.ndarray:
     z = (np.asarray(x, dtype=float) - loc) / (scale * math.sqrt(2.0))
     return np.array([0.5 * (1.0 + math.erf(v)) for v in z])
@@ -212,19 +324,19 @@ def dist_cdf(name: str, args: tuple, x: np.ndarray) -> np.ndarray:
         loc = args[2] if len(args) > 2 else 0.0
         scale = args[3] if len(args) > 3 else 1.0
         z = np.clip((x - loc) / scale, 0.0, 1.0)
-        return np.array([betainc_reg(a, b, v) for v in z])
+        return betainc_reg_vec(a, b, z)
     if name == "gamma":
         a = args[0]
         loc = args[1] if len(args) > 1 else 0.0
         scale = args[2] if len(args) > 2 else 1.0
         z = np.maximum((x - loc) / scale, 0.0)
-        return np.array([gammainc_lower_reg(a, v) for v in z])
+        return gammainc_lower_reg_vec(a, z)
     if name == "chi2":
         df = args[0]
         loc = args[1] if len(args) > 1 else 0.0
         scale = args[2] if len(args) > 2 else 1.0
         z = np.maximum((x - loc) / scale, 0.0)
-        return np.array([gammainc_lower_reg(df / 2.0, v / 2.0) for v in z])
+        return gammainc_lower_reg_vec(df / 2.0, z / 2.0)
     raise ValueError(f"unsupported distribution {name!r}")
 
 
@@ -243,7 +355,10 @@ def ks_test_named(sample: np.ndarray, name: str, args: tuple) -> tuple[float, fl
 
 
 def cramers_phi(contingency: np.ndarray) -> float:
-    """Cramér's V/phi from a 2-D contingency table."""
+    """Cramér's V/phi from a 2-D contingency table — with Yates continuity
+    correction on 2x2 tables (scipy.stats.chi2_contingency's default,
+    which the reference calls: observed shifted toward expected by up to
+    0.5 when dof == 1)."""
     table = np.asarray(contingency, dtype=float)
     n = table.sum()
     if n == 0:
@@ -251,6 +366,10 @@ def cramers_phi(contingency: np.ndarray) -> float:
     row = table.sum(axis=1, keepdims=True)
     colsum = table.sum(axis=0, keepdims=True)
     expected = row @ colsum / n
+    dof = (table.shape[0] - 1) * (table.shape[1] - 1)
+    if dof == 1:
+        diff = expected - table
+        table = table + np.sign(diff) * np.minimum(0.5, np.abs(diff))
     mask = expected > 0
     chi2 = float(np.sum((table[mask] - expected[mask]) ** 2 / expected[mask]))
     k = min(table.shape[0] - 1, table.shape[1] - 1)

@@ -54,7 +54,15 @@ def webpages(
 
     # deterministic token text derived from eff (url id): dup urls ⇒ identical text
     n_tokens = (_h(eff, 5, seed) % max_tokens).cast("int")
-    token = lambda i: F.concat(F.lit("w"), ((_h(eff, 6, seed) + i * 2654435761) % 5000).cast("string"))
+    # pre-mod BOTH addends: _h can be ~2^63-1, and the raw sum would
+    # overflow int64 (wrapping negative under ANSI-off) about 1e-8/row —
+    # invisible at test scale, thousands of out-of-vocabulary 'w-…' tokens
+    # at 10^12 rows. (a+b)%m == (a%m + b%m)%m, so small-scale output is
+    # byte-identical to the previous derivation.
+    token = lambda i: F.concat(
+        F.lit("w"),
+        ((_h(eff, 6, seed) % 5000 + (i * 2654435761) % 5000) % 5000).cast("string"),
+    )
     words = F.transform(F.sequence(F.lit(0), n_tokens), lambda i: token(i))
     raw_text = F.array_join(words, " ")
     text_null = (_h(eff, 7, seed) % 1000) < 30

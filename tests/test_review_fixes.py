@@ -264,3 +264,77 @@ def test_multimodal_null_payload_and_id(spark):
     # NULL payload: no fake md5(b'') fabricated for missing data
     assert got[2].n_bytes is None and got[2].content_md5 is None
     assert None in got  # NULL id passes through instead of crashing
+
+
+# ---- fourth-pass findings (stats / core / webpages)
+
+
+def test_ks_sf_nonconvergence_returns_one():
+    import numpy as np
+
+    from great_expectations_spark.functions import stats
+
+    assert stats.ks_sf(1e-5, 100_000) == 1.0  # was 0.18 truncated garbage
+    n = 10_000
+    s = np.arange(1, n + 1) / (n + 1)
+    _d, p = stats.ks_test_named(s, "uniform", (0.0, 1.0))
+    assert p > 0.999  # perfect fit must not fail a p>0.05 expectation
+
+
+def test_cramers_phi_yates_on_2x2():
+    import numpy as np
+
+    from great_expectations_spark.functions import stats
+
+    assert abs(stats.cramers_phi(np.array([[30, 10], [10, 30]])) - 0.475) < 1e-9
+
+
+def test_chisquare_zero_cells_nan():
+    import math
+
+    import numpy as np
+
+    from great_expectations_spark.functions import stats
+
+    st, p = stats.chisquare_test(np.array([0.0, 10.0]), np.array([0.0, 10.0]))
+    assert math.isnan(st) and math.isnan(p)
+
+
+def test_vectorized_cdfs_match_scalar():
+    import numpy as np
+
+    from great_expectations_spark.functions import stats
+
+    z = np.linspace(0.001, 0.999, 500)
+    vec = stats.betainc_reg_vec(2.5, 3.5, z)
+    sca = np.array([stats.betainc_reg(2.5, 3.5, v) for v in z])
+    assert float(np.max(np.abs(vec - sca))) < 1e-13
+    zg = np.linspace(0.01, 30, 500)
+    vg = stats.gammainc_lower_reg_vec(4.2, zg)
+    sg = np.array([stats.gammainc_lower_reg(4.2, v) for v in zg])
+    assert float(np.max(np.abs(vg - sg))) < 1e-13
+
+
+def test_result_format_string_index_columns():
+    from great_expectations_spark.core.result_format import ResultFormat
+
+    rf = ResultFormat.parse({"result_format": "COMPLETE",
+                             "unexpected_index_column_names": "url"})
+    assert rf.unexpected_index_column_names == ("url",)  # not ('u','r','l')
+
+
+def test_suite_get_metric_ambiguity_raises(spark):
+    from great_expectations_spark.core.result import SuiteValidationResult
+
+    df = spark.createDataFrame([(1, 1)], "a int, b int")
+    suite = (ExpectationSuite("amb")
+             .add("expect_column_values_to_be_unique", column="a")
+             .add("expect_column_values_to_be_unique", column="b"))
+    res = validate(df, suite)
+    assert isinstance(res, SuiteValidationResult)
+    with pytest.raises(KeyError, match="ambiguous"):
+        res.get_metric("expect_column_values_to_be_unique.result.unexpected_count")
+    # kwargs pin one -> works
+    v = res.get_metric("expect_column_values_to_be_unique.result.unexpected_count",
+                       column="a")
+    assert v == 0
