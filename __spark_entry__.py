@@ -1327,6 +1327,51 @@ def _drift1(spark, sf):
     )
 
 
+@_q("pipeline_suite_filter", """
+WITH f AS (
+  SELECT
+    CASE WHEN text IS NULL THEN 1 ELSE 0 END AS f0,
+    CASE WHEN text IS NOT NULL
+         AND NOT (length(text) >= 5 AND length(text) <= 2000) THEN 1 ELSE 0 END AS f1,
+    CASE WHEN lang IS NOT NULL
+         AND NOT (lang IN ('en','de','fr')) THEN 1 ELSE 0 END AS f2,
+    CASE WHEN source IS NOT NULL
+         AND NOT regexp_matches(source, '^src[0-4]') THEN 1 ELSE 0 END AS f3
+  FROM documents
+), s AS (
+  SELECT count(*) AS n, sum(f0) AS c0, sum(f1) AS c1, sum(f2) AS c2, sum(f3) AS c3,
+         sum(CASE WHEN f0 + f1 + f2 + f3 > 0 THEN 1 ELSE 0 END) AS cany
+  FROM f
+)
+SELECT 'expect_column_values_to_not_be_null(text)' AS reason,
+       CAST(c0 AS BIGINT) AS failed_count, round(100.0 * c0 / n, 6) AS failed_percent FROM s
+UNION ALL SELECT 'expect_column_value_lengths_to_be_between(text)',
+       CAST(c1 AS BIGINT), round(100.0 * c1 / n, 6) FROM s
+UNION ALL SELECT 'expect_column_values_to_be_in_set(lang)',
+       CAST(c2 AS BIGINT), round(100.0 * c2 / n, 6) FROM s
+UNION ALL SELECT 'expect_column_values_to_match_regex(source)',
+       CAST(c3 AS BIGINT), round(100.0 * c3 / n, 6) FROM s
+UNION ALL SELECT '__any__', CAST(cany AS BIGINT), round(100.0 * cany / n, 6) FROM s
+UNION ALL SELECT '__total__', CAST(n AS BIGINT), round(100.0, 6) FROM s
+""")
+def _pf1(spark, sf):
+    """Suite-as-filter (pipeline/filtering.py): per-reason rejection counts
+    in ONE fused agg; the kernels are the validator's own, so the DuckDB
+    oracle re-derives each reason's unexpected condition independently."""
+    from great_expectations_spark.pipeline.filtering import rejection_stats
+
+    suite = (
+        ExpectationSuite(name="corpus_clean")
+        .add("expect_column_values_to_not_be_null", column="text")
+        .add("expect_column_value_lengths_to_be_between",
+             column="text", min_value=5, max_value=2000)
+        .add("expect_column_values_to_be_in_set",
+             column="lang", value_set=["en", "de", "fr"])
+        .add("expect_column_values_to_match_regex", column="source", regex="^src[0-4]")
+    )
+    return rejection_stats(_tbl(spark, sf, "documents"), suite)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
