@@ -1372,6 +1372,219 @@ def _pf1(spark, sf):
     return rejection_stats(_tbl(spark, sf, "documents"), suite)
 
 
+# Corpus-tuned stop list for the Gopher stop-word rule (the synthetic
+# documents vocabulary has no English stop words).
+_QUALITY_STOPS = ["table", "row", "value", "key"]
+_QUALITY_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in _QUALITY_STOPS) + "]"
+
+# Shared DuckDB fragments for the quality oracles: words / lines per doc
+# under the module's determinism contract (ASCII-\s+ split, non-empty;
+# space-trimmed non-empty lines).
+_WORDS_SQL = "list_filter(regexp_split_to_array({t}, '\\s+'), w -> w <> '')"
+_LINES_SQL = (
+    "list_filter(list_transform(string_split({t}, chr(10)), l -> trim(l, ' ')),"
+    " l -> l <> '')"
+)
+
+
+@_q("pipeline_quality_signals", f"""
+WITH d AS (
+  SELECT regexp_replace(text, ' (merge|batch) ', chr(10), 'g') AS t
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT {_WORDS_SQL.format(t='t')} AS ws, {_LINES_SQL.format(t='t')} AS ls FROM d
+), m AS (
+  SELECT len(ws) AS wc,
+         length(array_to_string(ws, '')) AS wchars,
+         len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha,
+         len(list_filter(ws, w -> list_contains({_QUALITY_STOPS_SQL}, lower(w)))) AS stops,
+         len(ls) AS lc,
+         len(ls) - len(list_distinct(ls)) AS dup_lines
+  FROM s
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(wc) AS BIGINT) AS total_words,
+       round(avg(wchars / nullif(wc, 0)), 6) AS avg_word_len,
+       round(avg(alpha / nullif(wc, 0)), 6) AS avg_alpha_frac,
+       CAST(sum(stops) AS BIGINT) AS total_stop_words,
+       round(avg(dup_lines / nullif(lc, 0)), 6) AS avg_dup_line_frac,
+       round(avg(lc), 6) AS avg_lines
+FROM m
+""")
+def _ql1(spark, sf):
+    """Gopher word/line quality signals (pipeline/quality.py), corpus-level
+    aggregates. Line structure is injected deterministically (the corpus is
+    single-line) by turning ' merge '/' batch ' separators into newlines in
+    BOTH engines, so the line-based signals are exercised for real."""
+    from great_expectations_spark.pipeline.quality import quality_signals
+
+    docs = _tbl(spark, sf, "documents").where(F.col("text").isNotNull())
+    docs = docs.withColumn("text", F.regexp_replace("text", " (merge|batch) ", "\n"))
+    q = quality_signals(docs, include_repetition=False, stop_words=_QUALITY_STOPS)
+    return q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("word_count").cast("long").alias("total_words"),
+        F.round(F.avg("mean_word_length"), 6).alias("avg_word_len"),
+        F.round(F.avg("alpha_word_fraction"), 6).alias("avg_alpha_frac"),
+        F.sum("stop_word_count").cast("long").alias("total_stop_words"),
+        F.round(F.avg("duplicate_line_fraction"), 6).alias("avg_dup_line_frac"),
+        F.round(F.avg("line_count"), 6).alias("avg_lines"),
+    )
+
+
+@_q("pipeline_repetition_ngrams", f"""
+WITH d AS (
+  SELECT doc_id, {_WORDS_SQL.format(t='text')} AS ws
+  FROM documents WHERE text IS NOT NULL
+), base AS (
+  SELECT doc_id, ws, length(array_to_string(ws, '')) AS chars
+  FROM d WHERE length(array_to_string(ws, '')) > 0
+), g2 AS (
+  SELECT doc_id, g, count(*) AS c, min(gc) AS gc FROM (
+    SELECT b.doc_id, array_to_string(b.ws[u.i:u.i+1], ' ') AS g,
+           length(array_to_string(b.ws[u.i:u.i+1], '')) AS gc
+    FROM base b, unnest(range(1, len(b.ws))) AS u(i)
+  ) GROUP BY doc_id, g
+), t2 AS (
+  SELECT doc_id, max(CASE WHEN c >= 2 THEN c * gc ELSE 0 END) AS best
+  FROM g2 GROUP BY doc_id
+), g3 AS (
+  SELECT doc_id, g, count(*) AS c, min(gc) AS gc FROM (
+    SELECT b.doc_id, array_to_string(b.ws[u.i:u.i+2], ' ') AS g,
+           length(array_to_string(b.ws[u.i:u.i+2], '')) AS gc
+    FROM base b, unnest(range(1, len(b.ws) - 1)) AS u(i)
+  ) GROUP BY doc_id, g
+), t3 AS (
+  SELECT doc_id, max(CASE WHEN c >= 2 THEN c * gc ELSE 0 END) AS best
+  FROM g3 GROUP BY doc_id
+), g5 AS (
+  SELECT b.doc_id, u.i AS p, array_to_string(b.ws[u.i:u.i+4], ' ') AS g
+  FROM base b, unnest(range(1, len(b.ws) - 3)) AS u(i)
+), c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+cov AS (
+  SELECT DISTINCT dg.doc_id, v.idx
+  FROM (SELECT g5.doc_id, g5.p FROM g5
+        JOIN c5 ON g5.doc_id = c5.doc_id AND g5.g = c5.g WHERE c5.c >= 2) dg,
+       unnest(range(dg.p, dg.p + 5)) AS v(idx)
+), covc AS (
+  SELECT cov.doc_id, sum(length(b.ws[CAST(cov.idx AS INT)])) AS covchars
+  FROM cov JOIN base b ON b.doc_id = cov.doc_id GROUP BY cov.doc_id
+), per AS (
+  SELECT b.doc_id,
+         coalesce(t2.best, 0) / b.chars AS top2,
+         coalesce(t3.best, 0) / b.chars AS top3,
+         coalesce(covc.covchars, 0) / b.chars AS dup5
+  FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+       LEFT JOIN covc USING (doc_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(top2), 6) AS avg_top2,
+       round(avg(top3), 6) AS avg_top3,
+       round(avg(dup5), 6) AS avg_dup5,
+       CAST(sum(CASE WHEN top2 > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS high_rep_docs
+FROM per
+""")
+def _ql2(spark, sf):
+    """N-gram repetition signals (Arrow-batched pandas UDF): the DuckDB
+    oracle recomputes top-2/3-gram and duplicated-5-gram char fractions
+    RELATIONALLY (unnest n-gram positions → frequency join → covered-index
+    dedup) — exact-match evidence that the per-doc Python computation
+    implements the documented contract."""
+    from great_expectations_spark.pipeline.quality import quality_signals
+
+    docs = _tbl(spark, sf, "documents").where(F.col("text").isNotNull())
+    q = quality_signals(docs, include_repetition=True).where(F.col("word_chars") > 0)
+    return q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("top_2gram_char_fraction"), 6).alias("avg_top2"),
+        F.round(F.avg("top_3gram_char_fraction"), 6).alias("avg_top3"),
+        F.round(F.avg("dup_5gram_char_fraction"), 6).alias("avg_dup5"),
+        F.sum((F.col("top_2gram_char_fraction") > 0.2).cast("int"))
+        .cast("long").alias("high_rep_docs"),
+    )
+
+
+@_q("pipeline_gopher_filter", f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+s AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL ELSE {_WORDS_SQL.format(t='text')} END AS ws,
+         text
+  FROM d
+), m AS (
+  SELECT doc_id, text,
+         len(ws) AS wc,
+         length(array_to_string(ws, '')) AS wchars,
+         len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha,
+         len(list_filter(ws, w -> list_contains({_QUALITY_STOPS_SQL}, lower(w)))) AS stops,
+         len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.'))
+           + len(regexp_extract_all(text, '…')) AS syms
+  FROM s
+), base AS (
+  SELECT doc_id, ws, length(array_to_string(ws, '')) AS chars
+  FROM s WHERE text IS NOT NULL AND length(array_to_string(ws, '')) > 0
+), g2 AS (
+  SELECT doc_id, g, count(*) AS c, min(gc) AS gc FROM (
+    SELECT b.doc_id, array_to_string(b.ws[u.i:u.i+1], ' ') AS g,
+           length(array_to_string(b.ws[u.i:u.i+1], '')) AS gc
+    FROM base b, unnest(range(1, len(b.ws))) AS u(i)
+  ) GROUP BY doc_id, g
+), t2 AS (
+  SELECT b.doc_id, coalesce(max(CASE WHEN c >= 2 THEN c * gc ELSE 0 END), 0) / b.chars AS top2
+  FROM base b LEFT JOIN g2 ON b.doc_id = g2.doc_id GROUP BY b.doc_id, b.chars
+), f AS (
+  SELECT
+    CASE WHEN m.text IS NULL THEN 1 ELSE 0 END AS f0,
+    CASE WHEN m.wc IS NOT NULL AND NOT (m.wc >= 40 AND m.wc <= 100000) THEN 1 ELSE 0 END AS f1,
+    CASE WHEN m.wc IS NOT NULL AND m.wc > 0
+         AND NOT (m.wchars / m.wc >= 3.0 AND m.wchars / m.wc <= 10.0) THEN 1 ELSE 0 END AS f2,
+    CASE WHEN m.wc IS NOT NULL AND m.wc > 0
+         AND NOT (m.syms / m.wc <= 0.1) THEN 1 ELSE 0 END AS f3,
+    CASE WHEN m.wc IS NOT NULL AND m.wc > 0
+         AND NOT (m.alpha / m.wc >= 0.8) THEN 1 ELSE 0 END AS f4,
+    CASE WHEN m.stops IS NOT NULL AND NOT (m.stops >= 2) THEN 1 ELSE 0 END AS f5,
+    CASE WHEN t2.top2 IS NOT NULL AND NOT (t2.top2 <= 0.2) THEN 1 ELSE 0 END AS f6
+  FROM m LEFT JOIN t2 USING (doc_id)
+), agg AS (
+  SELECT count(*) AS n, sum(f0) AS c0, sum(f1) AS c1, sum(f2) AS c2, sum(f3) AS c3,
+         sum(f4) AS c4, sum(f5) AS c5, sum(f6) AS c6,
+         sum(CASE WHEN f0+f1+f2+f3+f4+f5+f6 > 0 THEN 1 ELSE 0 END) AS cany
+  FROM f
+)
+SELECT 'expect_column_values_to_not_be_null(text)' AS reason,
+       CAST(c0 AS BIGINT) AS failed_count, round(100.0 * c0 / n, 6) AS failed_percent FROM agg
+UNION ALL SELECT 'expect_column_values_to_be_between(word_count)', CAST(c1 AS BIGINT), round(100.0 * c1 / n, 6) FROM agg
+UNION ALL SELECT 'expect_column_values_to_be_between(mean_word_length)', CAST(c2 AS BIGINT), round(100.0 * c2 / n, 6) FROM agg
+UNION ALL SELECT 'expect_column_values_to_be_between(symbol_to_word_ratio)', CAST(c3 AS BIGINT), round(100.0 * c3 / n, 6) FROM agg
+UNION ALL SELECT 'expect_column_values_to_be_between(alpha_word_fraction)', CAST(c4 AS BIGINT), round(100.0 * c4 / n, 6) FROM agg
+UNION ALL SELECT 'expect_column_values_to_be_between(stop_word_count)', CAST(c5 AS BIGINT), round(100.0 * c5 / n, 6) FROM agg
+UNION ALL SELECT 'expect_column_values_to_be_between(top_2gram_char_fraction)', CAST(c6 AS BIGINT), round(100.0 * c6 / n, 6) FROM agg
+UNION ALL SELECT '__any__', CAST(cany AS BIGINT), round(100.0 * cany / n, 6) FROM agg
+UNION ALL SELECT '__total__', CAST(n AS BIGINT), round(100.0, 6) FROM agg
+""")
+def _ql3(spark, sf):
+    """Gopher rules as suite-as-filter: quality_signals → gopher_suite →
+    rejection_stats, ONE fused agg. Word-count bound tuned to the corpus
+    (min 40); line rules dropped (single-line corpus); the top-2-gram rule
+    rides the same scan via the repetition struct."""
+    from great_expectations_spark.pipeline.filtering import rejection_stats
+    from great_expectations_spark.pipeline.quality import gopher_suite, quality_signals
+
+    docs = _tbl(spark, sf, "documents")
+    ann = quality_signals(docs, include_repetition=True, stop_words=_QUALITY_STOPS)
+    suite = gopher_suite(
+        include_repetition=False,
+        min_word_count=40,
+        max_bullet_line_fraction=None,
+        max_ellipsis_line_fraction=None,
+        max_duplicate_line_fraction=None,
+        max_duplicate_paragraph_fraction=None,
+    )
+    suite.add("expect_column_values_to_be_between",
+              column="top_2gram_char_fraction", max_value=0.2)
+    return rejection_stats(ann, suite)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

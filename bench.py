@@ -264,6 +264,27 @@ def main() -> None:
 
     # NOT counted in rows_validated (appended in round 2)
 
+    @timed("gopher_quality")
+    def _q11():
+        # full Gopher rule battery (word/line heuristics JVM-side + the 10
+        # n-gram repetition fractions via ONE Arrow pandas UDF) folded into
+        # the suite-as-filter fused rejection agg: ONE scan, no shuffle
+        from great_expectations_spark.pipeline.filtering import rejection_stats
+        from great_expectations_spark.pipeline.quality import (
+            gopher_suite,
+            quality_signals,
+        )
+        ann = quality_signals(docs, include_repetition=True,
+                              stop_words=["table", "row", "value", "key"])
+        suite = gopher_suite(include_repetition=True, min_word_count=40,
+                             max_bullet_line_fraction=None,
+                             max_ellipsis_line_fraction=None,
+                             max_duplicate_line_fraction=None,
+                             max_duplicate_paragraph_fraction=None)
+        rejection_stats(ann, suite)
+
+    # NOT counted in rows_validated (appended in round 2)
+
     total = round(sum(timings.values()), 4)
     suite_secs = sum(timings[k] for k in timings if k.startswith("suite_"))
     throughput = round(rows_validated / suite_secs, 2) if suite_secs > 0 else 0.0
