@@ -1585,6 +1585,68 @@ def _ql3(spark, sf):
     return rejection_stats(ann, suite)
 
 
+def _decontam_oracle(n: int = 5) -> str:
+    """DuckDB replica of pipeline/decontam.py contamination_stats: the eval
+    set is a deterministic token slice (tokens 3..10) of every 37th corpus
+    doc, so planted n-gram leakage is guaranteed and both engines derive it
+    from the same parquet table."""
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, {_TOKEN_HASH_SQL} AS th
+  FROM documents WHERE text IS NOT NULL
+),
+chs AS (
+  SELECT doc_id, {_hashed_shingle_sql(n)} AS hs
+  FROM corpus WHERE len(th) >= {n}
+),
+eval_txt AS (
+  SELECT doc_id AS eval_id,
+         array_to_string(string_split(text, ' ')[3:10], ' ') AS text
+  FROM documents WHERE text IS NOT NULL AND doc_id % 37 = 0
+),
+etoks AS (
+  SELECT eval_id, {_TOKEN_HASH_SQL} AS th FROM eval_txt
+),
+ehs AS (
+  SELECT eval_id, {_hashed_shingle_sql(n)} AS hs
+  FROM etoks WHERE len(th) >= {n}
+),
+eset AS (
+  SELECT DISTINCT u.s AS shingle, eval_id FROM ehs, unnest(hs) AS u(s)
+),
+cset AS (
+  SELECT doc_id, len(hs) AS n_shingles, u.s AS shingle
+  FROM chs, unnest(hs) AS u(s)
+)
+SELECT c.doc_id,
+       CAST(min(c.n_shingles) AS BIGINT) AS n_shingles,
+       CAST(count(DISTINCT c.shingle) AS BIGINT) AS hit_shingles,
+       CAST(count(DISTINCT e.eval_id) AS BIGINT) AS matched_eval_docs,
+       round(count(DISTINCT c.shingle) / min(c.n_shingles), 6) AS contamination_fraction
+FROM cset c JOIN eset e ON c.shingle = e.shingle
+GROUP BY c.doc_id
+"""
+
+
+@_q("pipeline_decontam_stats", _decontam_oracle())
+def _dc1(spark, sf):
+    """Benchmark decontamination: broadcast eval-set shingles, one corpus
+    scan, hits-only shuffle (pipeline/decontam.py). Eval set = token slice
+    of every 37th doc, derived in-query from the same table."""
+    from great_expectations_spark.pipeline.decontam import contamination_stats
+
+    docs = _tbl(spark, sf, "documents")
+    ev = docs.where(F.col("text").isNotNull() & (F.col("doc_id") % 37 == 0)).select(
+        F.col("doc_id").alias("eval_doc"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 3, 8)).alias("text"),
+    )
+    s = contamination_stats(docs, ev, n=5, eval_id_col="eval_doc")
+    return s.select(
+        "doc_id", "n_shingles", "hit_shingles", "matched_eval_docs",
+        F.round("contamination_fraction", 6).alias("contamination_fraction"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
