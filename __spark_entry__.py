@@ -1647,6 +1647,44 @@ def _dc1(spark, sf):
     )
 
 
+@_q("pipeline_mixture_sample", """
+WITH avail AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n
+  FROM documents WHERE lang IN ('en', 'de', 'fr') GROUP BY lang
+),
+fr AS (
+  SELECT lang, least(1.0,
+           (400.0 * CASE lang WHEN 'en' THEN 2.0 WHEN 'de' THEN 1.0 ELSE 1.0 END / 4.0) / n
+         ) AS f
+  FROM avail
+),
+kept AS (
+  SELECT d.lang, d.n_chars
+  FROM documents d JOIN fr ON d.lang = fr.lang
+  WHERE ('0x' || substr(md5('7|' || d.doc_id), 1, 15))::BIGINT % 1000000
+        / 1000000.0 < fr.f
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM kept GROUP BY lang
+""")
+def _mx1(spark, sf):
+    """Training-mixture construction (pipeline/sampling.py): one bounded
+    availability agg → per-stratum keep fractions (en is fractional, de/fr
+    cap at 1 = undersupplied) → one deterministic md5-predicate scan. The
+    DuckDB oracle recomputes fractions and membership from the same
+    contract, so sampled membership matches doc-for-doc."""
+    from great_expectations_spark.pipeline.sampling import build_mixture
+
+    docs = _tbl(spark, sf, "documents")
+    out = build_mixture(docs, "lang", {"en": 2, "de": 1, "fr": 1},
+                        target=400, key_col="doc_id", seed=7)
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
