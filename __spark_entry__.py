@@ -1685,6 +1685,38 @@ def _mx1(spark, sf):
     )
 
 
+@_q("pipeline_pack_sequences", """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS bucket
+  FROM documents WHERE text IS NOT NULL AND n_chars > 0
+),
+packed AS (
+  SELECT bucket, n_chars,
+         coalesce(sum(n_chars) OVER (PARTITION BY bucket ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM d
+)
+SELECT CAST(bucket * 1099511627776 + before // 4000 AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_tokens
+FROM packed GROUP BY 1
+""")
+def _pk1(spark, sf):
+    """Sequence packing (pipeline/packing.py): md5-bucketed greedy packing
+    via one hash shuffle + one per-bucket window; the oracle replays the
+    same exclusive-prefix-sum arithmetic (stride 2^40 = 1099511627776)."""
+    from great_expectations_spark.pipeline.packing import pack_sequences, pack_stats
+
+    docs = _tbl(spark, sf, "documents").where(
+        F.col("text").isNotNull() & (F.col("n_chars") > 0)
+    )
+    packed = pack_sequences(docs, "n_chars", budget=4000, key_col="doc_id", buckets=8)
+    return pack_stats(packed, "n_chars", budget=4000).select(
+        "pack_id", "n_docs", "total_tokens"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
