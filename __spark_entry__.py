@@ -1717,6 +1717,72 @@ def _pk1(spark, sf):
     )
 
 
+@_q("pipeline_pii_redaction", r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN text || ' contact user' || doc_id || '@example.com from 10.2.'
+                   || CAST(doc_id % 200 AS VARCHAR) || '.9 or 555-123-4567'
+              ELSE text END AS text
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+           '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g') AS red
+  FROM d
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS email_matches,
+       CAST(sum(CASE WHEN regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') THEN 1 ELSE 0 END) AS BIGINT) AS email_docs,
+       CAST(sum(len(regexp_extract_all(text, '\b\d{1,3}(\.\d{1,3}){3}\b'))) AS BIGINT) AS ipv4_matches,
+       CAST(sum(len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))) AS BIGINT) AS phone_matches,
+       CAST(sum(length(red)) AS BIGINT) AS redacted_chars,
+       md5(string_agg(red, '' ORDER BY doc_id)) AS redacted_digest
+FROM r
+""")
+def _rd1(spark, sf):
+    """PII redaction (pipeline/redact.py): emails/IPs/phones planted into
+    every 11th doc identically in both engines; the oracle checks match
+    counts AND an order-stable md5 digest of the fully redacted corpus —
+    byte-for-byte replacement parity. (The digest collect_list is the
+    oracle harness only, sized for sf0.01 — the operator itself is a pure
+    one-scan Column rewrite.)"""
+    from great_expectations_spark.pipeline.redact import pii_counts, redact_pii
+
+    docs = _tbl(spark, sf, "documents").where(F.col("text").isNotNull())
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.2."),
+                (F.col("doc_id") % 200).cast("string"), F.lit(".9 or 555-123-4567"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    t = F.col("text")
+    c = pii_counts(t)
+    red = planted.select("doc_id", t.alias("text"), redact_pii(t).alias("red"),
+                         *[v.alias(k) for k, v in c.items()])
+    return red.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("email").cast("long").alias("email_matches"),
+        F.sum((F.col("email") > 0).cast("int")).cast("long").alias("email_docs"),
+        F.sum("ipv4").cast("long").alias("ipv4_matches"),
+        F.sum("phone").cast("long").alias("phone_matches"),
+        F.sum(F.length("red")).cast("long").alias("redacted_chars"),
+        F.md5(F.encode(
+            F.concat_ws("", F.array_sort(F.collect_list(F.struct("doc_id", "red"))
+                                         ).getField("red")), "UTF-8"
+        )).alias("redacted_digest"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
