@@ -1380,7 +1380,11 @@ _QUALITY_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in _QUALITY_STOPS) + "]"
 # Shared DuckDB fragments for the quality oracles: words / lines per doc
 # under the module's determinism contract (ASCII-\s+ split, non-empty;
 # space-trimmed non-empty lines).
-_WORDS_SQL = "list_filter(regexp_split_to_array({t}, '\\s+'), w -> w <> '')"
+# explicit ASCII-whitespace class: RE2's \s lacks \x0b, Java's has it —
+# the explicit class is identical in both (see quality._WS_CLASS)
+_WORDS_SQL = (
+    "list_filter(regexp_split_to_array({t}, '[ \\t\\n\\x0b\\f\\r]+'), w -> w <> '')"
+)
 _LINES_SQL = (
     "list_filter(list_transform(string_split({t}, chr(10)), l -> trim(l, ' ')),"
     " l -> l <> '')"

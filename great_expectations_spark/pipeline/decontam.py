@@ -135,6 +135,7 @@ def decontaminate(
     min_hits: int = 1,
     min_fraction: float | None = None,
     broadcast: bool = True,
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """(clean, contaminated) corpus split under the n-gram overlap rule.
 
@@ -142,6 +143,11 @@ def decontaminate(
     n-grams with the eval set (and, if ``min_fraction`` is set, at least
     that fraction of its own n-grams). Both frames keep the corpus schema;
     the flagged-id frame is small, so the anti/semi joins broadcast it.
+
+    With ``materialize`` (default) the flagged-id frame is computed ONCE
+    (eager ``localCheckpoint``) — otherwise consuming both returned frames
+    would re-run the whole shingle/join/agg pipeline per action. Total
+    corpus scans: one for the stats, one per consumed side.
     """
     stats = contamination_stats(
         corpus, eval_df, id_col=id_col, text_col=text_col,
@@ -150,7 +156,10 @@ def decontaminate(
     cond = F.col("hit_shingles") >= min_hits
     if min_fraction is not None:
         cond = cond & (F.col("contamination_fraction") >= min_fraction)
-    flagged = F.broadcast(stats.where(cond).select(id_col))
+    flagged = stats.where(cond).select(id_col)
+    if materialize:
+        flagged = flagged.localCheckpoint(eager=True)
+    flagged = F.broadcast(flagged)
     clean = corpus.join(flagged, id_col, "left_anti")
     contaminated = corpus.join(flagged, id_col, "left_semi")
     return clean, contaminated

@@ -23,8 +23,14 @@ Packing semantics (documented contract, standard practice):
     one document; consumers truncate or wrap at tokenization time.
   * A document longer than ``budget`` gets its own pack span (subsequent
     documents skip ahead — pack ids within a bucket may have gaps).
-  * NULL or non-positive sizes are invalid input and raise at plan time
-    when ``validate`` is on (checked with a cheap bounded agg).
+  * ``pack_offset`` is the raw prefix-sum residue ``before mod budget``.
+    It equals the in-pack token offset for every gap-free pack; the first
+    document AFTER an oversized document inherits a non-zero residue even
+    though it opens its pack — consumers needing a zero-based offset there
+    subtract the pack's min offset (one extra window).
+  * NULL or non-positive sizes are invalid input; with ``validate`` on
+    (default) an inline guard fails the packing job on the first bad row —
+    no extra scan.
 
 The reference has no packing operator; this belongs to the training-data
 addendum alongside dedup/sampling/quality.
@@ -52,8 +58,9 @@ def pack_sequences(
     buckets: int = 1024,
     validate: bool = True,
 ) -> DataFrame:
-    """Assign every document a deterministic ``pack_id`` (and its token
-    offset ``pack_offset`` within the pack).
+    """Assign every document a deterministic ``pack_id`` plus
+    ``pack_offset``, the prefix-sum residue (see module contract — equals
+    the in-pack token offset except right after an oversized-doc gap).
 
     One shuffle (hash on bucket) + one window per bucket. ``buckets``
     bounds parallelism — size it ≥ cluster cores; each bucket packs
@@ -61,15 +68,22 @@ def pack_sequences(
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
-    if buckets <= 0 or buckets * _PACK_STRIDE < 0:
-        raise ValueError("buckets must be positive")
+    max_buckets = (2**63 - 1) // _PACK_STRIDE
+    if not 0 < buckets <= max_buckets:
+        raise ValueError(
+            f"buckets must be in (0, {max_buckets}] so pack_id = bucket * 2^40 "
+            "+ local index stays inside int64"
+        )
     size = F.col(size_col)
     if validate:
-        bad = df.where(size.isNull() | (size <= 0)).limit(1).count()
-        if bad:
-            raise ValueError(
-                f"{size_col} must be positive and non-null for packing"
-            )
+        # inline guard — no extra scan: the packing job itself fails fast on
+        # the first NULL/non-positive size it reads
+        size = F.when(
+            size.isNull() | (size <= 0),
+            F.raise_error(
+                F.lit(f"pack_sequences: {size_col} must be positive and non-null")
+            ).cast(df.schema[size_col].dataType),
+        ).otherwise(size)
     bucket = F.pmod(_md5_int(F.col(key_col).cast("string")), F.lit(buckets))
     w = (
         Window.partitionBy("__bucket")

@@ -68,9 +68,11 @@ __all__ = [
 # per-corpus via the stop_words= parameter.
 GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
-# ASCII whitespace, identical in Java regex (\s), RE2/DuckDB (\s) and
-# Python re.ASCII (\s): [ \t\n\x0b\f\r].
-_WS = re.compile(r"\s+", re.ASCII)
+# ASCII whitespace as an EXPLICIT class: Java \s and Python re.ASCII \s
+# include \x0b but RE2/DuckDB \s does not, so the shorthand is not
+# cross-engine — the explicit class below is, and all three engines use it.
+_WS_CLASS = r"[ \t\n\x0b\f\r]+"
+_WS = re.compile(_WS_CLASS)
 
 _BULLETS = ("•", "‣", "▶", "-", "*")
 _ELLIPSES = ("...", "…")
@@ -80,13 +82,13 @@ _TERMINAL_RE = r'[.!?"]$'
 
 def word_array(text: Column) -> Column:
     """Non-empty ASCII-whitespace-split words (the cross-engine contract)."""
-    return F.array_remove(F.split(text, r"\s+"), "")
+    return F.array_remove(F.split(text, _WS_CLASS), "")
 
 
 def line_array(text: Column, sep: str = "\n") -> Column:
-    """Space-trimmed non-empty lines (``sep='\\n\\n'`` → paragraphs)."""
-    parts = F.split(text, sep) if sep == "\n" else F.split(text, r"\n\n")
-    return F.array_remove(F.transform(parts, F.trim), "")
+    """Space-trimmed non-empty lines (``sep='\\n\\n'`` → paragraphs).
+    ``sep`` is a literal separator string, regex-escaped before splitting."""
+    return F.array_remove(F.transform(F.split(text, re.escape(sep)), F.trim), "")
 
 
 def _frac(num: Column, den: Column) -> Column:

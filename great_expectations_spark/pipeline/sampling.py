@@ -46,10 +46,14 @@ _U_MOD = 1_000_000
 def uniform_from_key(key: Column, seed: int = 0) -> Column:
     """Deterministic u ∈ [0,1) from a row key (see module contract).
 
-    NULL keys hash the empty string (concat_ws drops NULLs) — all NULL-key
-    rows share one u, so give every row a real key (doc_id, url).
+    NULL keys are coalesced to the empty string BEFORE hashing, so the
+    hashed payload is always ``seed || '|' || key`` — DuckDB replay:
+    ``md5(seed || '|' || coalesce(CAST(key AS VARCHAR), ''))``. All
+    NULL-key rows share one u (kept or dropped together); give every row
+    a real key (doc_id, url) for independent sampling.
     """
-    h = _md5_int(F.concat_ws("|", F.lit(str(seed)), key.cast("string")))
+    key_s = F.coalesce(key.cast("string"), F.lit(""))
+    h = _md5_int(F.concat_ws("|", F.lit(str(seed)), key_s))
     return (h % _U_MOD) / F.lit(float(_U_MOD))
 
 

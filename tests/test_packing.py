@@ -64,10 +64,16 @@ def test_oversized_doc_gets_own_span(spark):
 
 def test_validation_rejects_bad_sizes(spark):
     df = spark.createDataFrame([(1, None)], "doc_id int, tokens int")
-    with pytest.raises(ValueError, match="positive"):
-        pack_sequences(df, "tokens", 1000, "doc_id")
+    # inline raise_error guard: fails the JOB on the first bad row, no
+    # extra validation scan
+    with pytest.raises(Exception, match="positive and non-null"):
+        pack_sequences(df, "tokens", 1000, "doc_id").collect()
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, "tokens", 0, "doc_id")
+    with pytest.raises(ValueError, match="buckets"):
+        pack_sequences(df, "tokens", 1000, "doc_id", buckets=2**24)
+    # validate=False skips the guard; NULL sizes pack as zero-width
+    assert pack_sequences(df, "tokens", 1000, "doc_id", validate=False).count() == 1
 
 
 def test_bucket_isolation(spark, docs):

@@ -127,7 +127,10 @@ def test_gopher_filter_passes_clean_doc(spark):
     df = spark.createDataFrame([(1, uniq)], "doc_id int, text string")
     kept, rejected = gopher_filter(df)
     assert rejected.count() == 0 and kept.count() == 1
-    assert kept.columns[:2] == ["doc_id", "text"]  # signals dropped on kept
+    # kept RETAINS the annotated signal columns (split_by_suite preserves
+    # its input schema) — drop them with .select(corpus cols) when sinking
+    assert kept.columns[:2] == ["doc_id", "text"]
+    assert "word_count" in kept.columns and "top_2gram_char_fraction" in kept.columns
 
 
 def test_gopher_suite_overrides():
@@ -167,3 +170,29 @@ def test_custom_stop_words(spark):
     df = spark.createDataFrame([(1, "foo bar foo baz qux")], "doc_id int, text string")
     r = quality_signals(df, stop_words=["foo", "qux"]).collect()[0]
     assert r["stop_word_count"] == 3
+
+
+def test_line_array_custom_separator(spark):
+    from great_expectations_spark.pipeline.quality import line_array
+
+    df = spark.createDataFrame([("a\r\nb\r\nc",)], "text string")
+    (r,) = df.select(line_array(F.col("text"), sep="\r\n").alias("l")).collect()
+    assert r["l"] == ["a", "b", "c"]
+
+
+def test_vertical_tab_is_word_separator(spark):
+    # explicit ASCII class: \x0b splits words in Spark, Python AND the
+    # DuckDB oracle (RE2 \s would not) — cross-engine contract regression
+    import duckdb
+
+    from great_expectations_spark.pipeline.quality import quality_signals
+
+    df = spark.createDataFrame([(1, "a\x0bb c")], "doc_id int, text string")
+    row = quality_signals(df, include_repetition=False).first()
+    assert row["word_count"] == 3
+    (n,) = duckdb.sql(
+        r"""SELECT len(list_filter(
+              regexp_split_to_array('a' || chr(11) || 'b c', '[ \t\n\x0b\f\r]+'),
+              w -> w <> ''))"""
+    ).fetchone()
+    assert n == 3

@@ -102,3 +102,15 @@ def test_mixture_validation_errors(spark, corpus):
         mixture_fractions(corpus, "lang", {}, target=10)
     with pytest.raises(ValueError):
         mixture_fractions(corpus, "lang", {"en": -1, "de": 1}, target=10)
+
+
+def test_null_key_rows_deterministic_and_together(spark):
+    df = spark.createDataFrame(
+        [(None, "x"), (None, "y"), ("k1", "z")], "key string, v string"
+    )
+    u = df.select(uniform_from_key(F.col("key"), seed=7).alias("u")).collect()
+    nulls = [r["u"] for r in u[:2]]
+    # NULL keys share one u (kept/dropped together), contract = md5('7|')
+    import hashlib
+    expect = (int(hashlib.md5(b"7|").hexdigest()[:15], 16) % 1_000_000) / 1_000_000
+    assert nulls[0] == nulls[1] == pytest.approx(expect)
