@@ -1196,6 +1196,52 @@ def _r2d(spark, sf):
         "element_count", "missing_count", "unexpected_count", "success")
 
 
+@_q("rollup_merged_aggregates", """
+WITH s AS (
+  SELECT avg(l_quantity) AS mq, sum(l_quantity) AS sq,
+         min(l_discount) AS mind, max(l_tax) AS maxt,
+         stddev_samp(l_quantity) AS sdq, count(*) AS n
+  FROM lineitem)
+SELECT 0 AS expectation_index, round(mq, 6) AS obs,
+       (mq >= 1 AND mq <= 50) AS success FROM s
+UNION ALL SELECT 1, round(sq, 6), sq >= 1 FROM s
+UNION ALL SELECT 2, round(mind, 6), mind >= 0 AND mind <= 1 FROM s
+UNION ALL SELECT 3, round(maxt, 6), maxt <= 1 FROM s
+UNION ALL SELECT 4, round(sdq, 6), sdq >= 0.1 AND sdq <= 50 FROM s
+UNION ALL SELECT 5, round(CAST(n AS DOUBLE), 6), n >= 1 FROM s
+""")
+def _r2h(spark, sf):
+    # aggregate expectations validated chunk-by-chunk (split on
+    # l_returnflag), then merged back to EXACT whole-table observed values
+    # + verdicts via the per-chunk monoid state — l_quantity is
+    # integer-valued so the summed partials are exact in double and match
+    # DuckDB's whole-table aggregates digit-for-digit
+    import tempfile
+
+    from great_expectations_spark.checkpoint import Splitter, run_checkpoint
+
+    li = _tbl(spark, sf, "lineitem")
+    suite = (
+        ExpectationSuite("roll_agg")
+        .add("expect_column_mean_to_be_between", column="l_quantity",
+             min_value=1, max_value=50)
+        .add("expect_column_sum_to_be_between", column="l_quantity", min_value=1)
+        .add("expect_column_min_to_be_between", column="l_discount",
+             min_value=0, max_value=1)
+        .add("expect_column_max_to_be_between", column="l_tax", max_value=1)
+        .add("expect_column_stdev_to_be_between", column="l_quantity",
+             min_value=0.1, max_value=50)
+        .add("expect_table_row_count_to_be_between", min_value=1)
+    )
+    path = tempfile.mkdtemp(prefix="ges_cpa_") + "/results"
+    res = run_checkpoint(li, suite, Splitter.column_value(li, "l_returnflag"),
+                         path, run_id="q")
+    return res.rollup().select(
+        "expectation_index",
+        F.round(F.col("merged_observed_json").cast("double"), 6).alias("obs"),
+        "success")
+
+
 @_q("table_head_docs", """
 SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 5
 """)

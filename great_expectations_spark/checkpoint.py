@@ -28,7 +28,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
@@ -41,7 +41,7 @@ RESULTS_SCHEMA = (
     "success boolean, element_count long, missing_count long, "
     "unexpected_count long, observed_value_json string, "
     "raised_exception boolean, rows_scanned long, wall_time_s double, "
-    "finished_at double"
+    "finished_at double, monoid_json string"
 )
 
 # map-style expectations whose (element/missing/unexpected) counts merge as
@@ -76,6 +76,7 @@ def results_rows(result, run_id: str, chunk_id: str, chunk_predicate: str,
                 res.get("element_count"),
                 round(wall_s, 4),
                 time.time(),
+                json.dumps(res["monoid"]) if res.get("monoid") else None,
             )
         )
     return rows
@@ -203,6 +204,83 @@ class Splitter:
         return Splitter(f"converted_datetime({column},{date_format})", chunks)
 
 
+def _merge_monoids(r: DataFrame) -> dict[int, tuple[Any, bool]]:
+    """Merge per-chunk aggregate monoids into whole-table verdicts.
+
+    Returns ``{expectation_index: (merged_observed_value, merged_success)}``
+    for every expectation whose chunks ALL carry a monoid_json payload —
+    one bounded agg over the results table (sums/min/max JVM-side,
+    ``hll_union_agg`` for distinct sketches), then driver math on one row
+    per aggregate expectation. Anything incomplete (mixed options, raised
+    exceptions, non-numeric columns) is left out so rollup falls back to
+    AND-of-chunks.
+    """
+    from great_expectations_spark.plans.compiler import _between_success
+
+    def gjo(f: str) -> Column:
+        return F.get_json_object(F.col("monoid_json"), f"$.{f}")
+
+    rows = (
+        r.groupBy("expectation_index")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.col("monoid_json")).alias("n_monoid"),
+            F.any_value("expectation_type").alias("etype"),
+            F.any_value("kwargs_json").alias("kw"),
+            F.max(gjo("kind")).alias("kind"),
+            F.sum(gjo("count").cast("long")).alias("m_count"),
+            F.sum(gjo("sum").cast("double")).alias("m_sum"),
+            F.sum(gjo("sumsq").cast("double")).alias("m_sumsq"),
+            F.min(gjo("min").cast("double")).alias("m_min"),
+            F.max(gjo("max").cast("double")).alias("m_max"),
+            F.sum(gjo("nonnull").cast("long")).alias("m_nonnull"),
+            F.hll_sketch_estimate(F.hll_union_agg(F.unbase64(gjo("hll"))))
+            .alias("m_hll"),
+        )
+        .where(F.col("kind").isNotNull() & (F.col("n_monoid") == F.col("n_rows")))
+        .collect()
+    )
+
+    merged: dict[int, tuple[Any, bool]] = {}
+    for row in rows:
+        try:
+            kwargs = json.loads(row.kw)
+            n = int(row.m_count or 0)
+            if row.kind == "count":
+                obs: Any = n
+            elif row.kind == "sum":
+                obs = row.m_sum if n else None
+            elif row.kind == "mean":
+                obs = (row.m_sum / n) if n else None
+            elif row.kind == "min":
+                obs = row.m_min
+            elif row.kind == "max":
+                obs = row.m_max
+            elif row.kind == "stdev":
+                if n >= 2:
+                    var = max(0.0, (row.m_sumsq - row.m_sum * row.m_sum / n) / (n - 1))
+                    obs = var ** 0.5
+                else:
+                    obs = None
+            elif row.kind == "hll":
+                obs = int(row.m_hll or 0)
+            elif row.kind == "hll_prop":
+                nn = int(row.m_nonnull or 0)
+                obs = (int(row.m_hll or 0) / nn) if nn else None
+            else:
+                continue
+            if row.etype == "expect_table_row_count_to_equal":
+                success = obs == int(kwargs["value"])
+            else:
+                success = _between_success(obs, kwargs)
+            merged[int(row.expectation_index)] = (obs, bool(success))
+        except Exception:
+            # unbindable kwargs ($PARAMETER recorded raw), malformed JSON —
+            # fall back to AND-of-chunks for this expectation
+            continue
+    return merged
+
+
 @dataclass
 class CheckpointResult:
     run_id: str
@@ -218,10 +296,22 @@ class CheckpointResult:
         counts against ``mostly`` — a mostly-expectation that fails in one
         skewed chunk still passes the rollup when the whole-table ratio
         clears the bar (whole-table semantics, not AND-of-chunks).
-        Non-mergeable expectations (aggregates — ``chunk_scoped`` true) keep
-        the conservative AND-of-chunks verdict.
+
+        Aggregate expectations that recorded a per-chunk monoid
+        (``monoid_json``: count/sum/sumsq/min/max partials, datasketches HLL
+        for distinct counts — see ``Options.chunk_monoids``) are ALSO merged
+        into an exact whole-table observed value + verdict: sums/counts add,
+        min/max fold, stdev re-derives from (count, sum, sumsq), HLL sketches
+        union JVM-side via ``hll_union_agg``. The merged rows come back with
+        ``chunk_scoped`` false, ``merged_observed_json`` set. An expectation
+        whose chunks do not ALL carry a monoid (mixed engine options, a
+        non-numeric column, a raised exception) keeps the conservative
+        AND-of-chunks verdict with ``chunk_scoped`` true.
         """
         r = self.results_df.where(F.col("run_id") == self.run_id)
+        if "monoid_json" not in r.columns:  # pre-monoid results table
+            r = r.withColumn("monoid_json", F.lit(None).cast("string"))
+        merged = _merge_monoids(r)
         mostly = F.coalesce(
             F.get_json_object(F.col("kwargs_json"), "$.mostly").cast("double"),
             F.lit(1.0),
@@ -255,14 +345,30 @@ class CheckpointResult:
             "(column_values_to_be_unique$)|compound_columns_to_be_unique"
             "|multicolumn_values_to_be_unique|unique_value_count"
             "|to_be_increasing|to_be_decreasing|in_other_table")
+        if merged:
+            spark = self.results_df.sparkSession
+            mdf = spark.createDataFrame(
+                [(i, json.dumps(o, default=str), bool(s)) for i, (o, s) in merged.items()],
+                "expectation_index int, merged_observed_json string, merged_success boolean",
+            )
+            agg = agg.join(F.broadcast(mdf), "expectation_index", "left")
+        else:
+            agg = agg.withColumn(
+                "merged_observed_json", F.lit(None).cast("string")
+            ).withColumn("merged_success", F.lit(None).cast("boolean"))
         return (
             agg.withColumn(
                 "success",
                 F.when(F.col("raised_exception"), F.lit(False))
                 .when(is_map & ~F.col("chunk_scoped") & ~chunk_relative, map_success)
+                .when(F.col("merged_success").isNotNull(), F.col("merged_success"))
                 .otherwise(F.col("all_chunks_success")),
             )
-            .drop("all_chunks_success")
+            .withColumn(
+                "chunk_scoped",
+                F.col("chunk_scoped") & F.col("merged_success").isNull(),
+            )
+            .drop("all_chunks_success", "merged_success")
             .orderBy("expectation_index")
         )
 
@@ -276,11 +382,22 @@ def run_checkpoint(
     result_format: Any = "BOOLEAN_ONLY",
     tables: dict[str, DataFrame] | None = None,
     on_chunk: Callable[[str, float], None] | None = None,
+    options: Any = None,
 ) -> CheckpointResult:
     """Validate ``df`` chunk-by-chunk, appending per-chunk EVR rows to the
     parquet results table at ``results_path``; chunks already recorded for
-    this ``run_id`` are skipped (resume)."""
+    this ``run_id`` are skipped (resume).
+
+    ``options`` defaults to ``Options(chunk_monoids=True)`` so aggregate
+    expectations record mergeable partial state and ``rollup()`` can return
+    exact whole-table aggregate verdicts; pass explicit ``Options`` to
+    override (chunks written with and without monoids still roll up — the
+    merge just falls back to AND-of-chunks for mixed expectations)."""
     spark = df.sparkSession
+    if options is None:
+        from great_expectations_spark.plans.compiler import Options
+
+        options = Options(chunk_monoids=True)
 
     done: set[str] = set()
     try:
@@ -304,7 +421,8 @@ def run_checkpoint(
             continue
         t0 = time.time()
         chunk_df = df.where(pred)
-        result = validate(chunk_df, suite, result_format=result_format, tables=tables)
+        result = validate(chunk_df, suite, result_format=result_format, tables=tables,
+                          options=options)
         wall = time.time() - t0
         rows = results_rows(
             result, run_id, chunk_id,

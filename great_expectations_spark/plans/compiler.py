@@ -75,6 +75,15 @@ class Options:
     fuse_violations: bool | None = None
     fuse_rows_threshold: int = 5_000_000
     fuse_count_threshold: int = 6
+    # checkpoint-chunk monoids: aggregate expectations ALSO emit their
+    # commutative partial state (count/sum/sumsq/min/max as doubles; a
+    # datasketches HLL sketch for distinct counts) inside the SAME fused
+    # agg pass, attached as result["monoid"]. CheckpointResult.rollup
+    # merges the partials across chunks into an exact whole-table verdict
+    # (north rule: sketches merged via commutative monoid aggregation)
+    # instead of the conservative AND-of-chunks. Off by default: plain
+    # validate() results stay byte-identical.
+    chunk_monoids: bool = False
 
 
 Metrics = Mapping[str, Any]
@@ -401,10 +410,61 @@ def _with_counts(result: dict, metrics: Metrics, k_total: str, k_nn: str) -> dic
     return result
 
 
+# ---- chunk-monoid partials (Options.chunk_monoids) --------------------------
+# Commutative partial state fused into the SAME single agg pass so that
+# CheckpointResult.rollup can merge chunk results into an exact whole-table
+# aggregate verdict. Numeric partials go through try_cast(double): finalize
+# only attaches the monoid when the column's schema type is numeric (a merged
+# double min over strings/timestamps would silently change comparison
+# semantics), so non-numeric aggregate expectations keep AND-of-chunks.
+
+_MONOID_FIELDS: dict[str, tuple[str, ...]] = {
+    "mean": ("count", "sum"),
+    "sum": ("count", "sum"),
+    "min": ("count", "min"),
+    "max": ("count", "max"),
+    "stdev": ("count", "sum", "sumsq"),
+}
+
+
+def _monoid_aggs(kind: str, guarded: Column, key: str) -> dict[str, str]:
+    """Register the partial-state agg columns for ``kind`` under
+    ``monoid.<kind>.<field>|<key>`` metric ids; returns field → metric id."""
+    d = guarded.try_cast("double")
+    exprs = {
+        "count": F.count(d),
+        "sum": F.sum(d),
+        "sumsq": F.sum(d * d),
+        "min": F.min(d),
+        "max": F.max(d),
+    }
+    return {f: (f"monoid.{kind}.{f}|{key}", exprs[f]) for f in _MONOID_FIELDS[kind]}
+
+
+def _attach_numeric_monoid(result: dict, metrics: Metrics, kind: str,
+                           mkeys: dict, c: str) -> dict:
+    schema = metrics.get("__schema__")
+    if (schema is not None and c in schema.fieldNames()
+            and isinstance(schema[c].dataType, T.NumericType)):
+        result["monoid"] = {
+            "kind": kind,
+            **{f: _py(metrics.get(k)) for f, (k, _) in mkeys.items()},
+        }
+    return result
+
+
+def _hll_sketch_b64(guarded: Column) -> Column:
+    """Mergeable distinct-count sketch over the STRING image of the column
+    (datasketches HLL accepts int/long/string/binary only; casting to string
+    is injective for all atomic types, so the estimate is unchanged)."""
+    return F.base64(F.hll_sketch_agg(guarded.cast("string")))
+
+
 def _agg_between(
     name: str,
     agg_builder: Callable[[dict[str, Any], Column | None, Options], Column],
     require_numeric: bool = False,
+    monoid_kind: str | None = None,
 ):
     @compiler(name)
     def _c(config: ExpectationConfiguration, options: Options) -> Compiled:
@@ -415,6 +475,10 @@ def _agg_between(
         key = f"{name}|{c}|{_rc_id(kwargs)}"
         (k_total, k_nn), count_aggs = _count_keys_aggs(c, kwargs, rc)
         aggs = {key: agg_builder(kwargs, _guard(col, rc), options), **count_aggs}
+        mkeys: dict = {}
+        if options.chunk_monoids and monoid_kind is not None:
+            mkeys = _monoid_aggs(monoid_kind, _guard(col, rc), key)
+            aggs.update({k: expr for k, expr in mkeys.values()})
 
         def finalize(metrics: Metrics) -> EVR:
             if require_numeric:
@@ -430,10 +494,13 @@ def _agg_between(
             # (reference expectation.py:2392-2410); _py only shapes the
             # JSON-able result payload
             raw = metrics.get(key)
+            result = _with_counts({"observed_value": _py(raw)}, metrics, k_total, k_nn)
+            if mkeys:
+                _attach_numeric_monoid(result, metrics, monoid_kind, mkeys, c)
             return EVR(
                 success=_between_success(raw, kwargs),
                 expectation_config=config,
-                result=_with_counts({"observed_value": _py(raw)}, metrics, k_total, k_nn),
+                result=result,
             )
 
         return Compiled(config=config, finalize=finalize, aggs=aggs)
@@ -442,11 +509,15 @@ def _agg_between(
 
 
 _agg_between("expect_column_mean_to_be_between", lambda k, c, o: F.mean(c),
-             require_numeric=True)
-_agg_between("expect_column_sum_to_be_between", lambda k, c, o: F.sum(c))
-_agg_between("expect_column_min_to_be_between", lambda k, c, o: F.min(c))
-_agg_between("expect_column_max_to_be_between", lambda k, c, o: F.max(c))
-_agg_between("expect_column_stdev_to_be_between", lambda k, c, o: F.stddev_samp(c))
+             require_numeric=True, monoid_kind="mean")
+_agg_between("expect_column_sum_to_be_between", lambda k, c, o: F.sum(c),
+             monoid_kind="sum")
+_agg_between("expect_column_min_to_be_between", lambda k, c, o: F.min(c),
+             monoid_kind="min")
+_agg_between("expect_column_max_to_be_between", lambda k, c, o: F.max(c),
+             monoid_kind="max")
+_agg_between("expect_column_stdev_to_be_between", lambda k, c, o: F.stddev_samp(c),
+             monoid_kind="stdev")
 _agg_between(
     "expect_column_median_to_be_between",
     # reference column_median.py:90-121 averages the two middle elements on
@@ -500,13 +571,20 @@ def _unique_count(config: ExpectationConfiguration, options: Options) -> Compile
     mode = "approx" if options.approx_distinct else "exact"
     key = f"column.distinct_count.{mode}|{kwargs['column']}|{_rc_id(kwargs)}"
     aggs = {key: _distinct_count_agg(kwargs, col, options)}
+    k_hll = None
+    if options.chunk_monoids:
+        k_hll = f"monoid.hll|{kwargs['column']}|{_rc_id(kwargs)}"
+        aggs[k_hll] = _hll_sketch_b64(col)
 
     def finalize(metrics: Metrics) -> EVR:
         obs = _py(metrics.get(key))
+        result: dict[str, Any] = {"observed_value": obs}
+        if k_hll is not None:
+            result["monoid"] = {"kind": "hll", "hll": metrics.get(k_hll)}
         return EVR(
             success=_between_success(obs, kwargs),
             expectation_config=config,
-            result={"observed_value": obs},
+            result=result,
         )
 
     return Compiled(config=config, finalize=finalize, aggs=aggs)
@@ -525,15 +603,24 @@ def _unique_proportion(config: ExpectationConfiguration, options: Options) -> Co
         k_distinct: _distinct_count_agg(kwargs, col, options),
         k_nonnull: F.count(col),
     }
+    k_hll = None
+    if options.chunk_monoids:
+        k_hll = f"monoid.hll|{c}|{_rc_id(kwargs)}"
+        aggs[k_hll] = _hll_sketch_b64(col)
 
     def finalize(metrics: Metrics) -> EVR:
         distinct = int(metrics.get(k_distinct) or 0)
         nonnull = int(metrics.get(k_nonnull) or 0)
         obs = (distinct / nonnull) if nonnull else None
+        result: dict[str, Any] = {"observed_value": obs}
+        if k_hll is not None:
+            result["monoid"] = {
+                "kind": "hll_prop", "hll": metrics.get(k_hll), "nonnull": nonnull,
+            }
         return EVR(
             success=_between_success(obs, kwargs),
             expectation_config=config,
-            result={"observed_value": obs},
+            result=result,
         )
 
     return Compiled(config=config, finalize=finalize, aggs=aggs)
@@ -742,10 +829,13 @@ def _row_count_between(config: ExpectationConfiguration, options: Options) -> Co
 
     def finalize(metrics: Metrics) -> EVR:
         obs = int(metrics.get(key) or 0)
+        result: dict[str, Any] = {"observed_value": obs}
+        if options.chunk_monoids:
+            result["monoid"] = {"kind": "count", "count": obs}
         return EVR(
             success=_between_success(obs, kwargs),
             expectation_config=config,
-            result={"observed_value": obs},
+            result=result,
         )
 
     return Compiled(config=config, finalize=finalize, aggs=aggs)
@@ -760,10 +850,13 @@ def _row_count_equal(config: ExpectationConfiguration, options: Options) -> Comp
 
     def finalize(metrics: Metrics) -> EVR:
         obs = int(metrics.get(key) or 0)
+        result: dict[str, Any] = {"observed_value": obs}
+        if options.chunk_monoids:
+            result["monoid"] = {"kind": "count", "count": obs}
         return EVR(
             success=obs == int(kwargs["value"]),
             expectation_config=config,
-            result={"observed_value": obs},
+            result=result,
         )
 
     return Compiled(config=config, finalize=finalize, aggs=aggs)

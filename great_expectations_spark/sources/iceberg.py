@@ -115,7 +115,7 @@ CREATE TABLE IF NOT EXISTS {results_table} (
   success boolean, element_count bigint, missing_count bigint,
   unexpected_count bigint, observed_value_json string,
   raised_exception boolean, rows_scanned bigint, wall_time_s double,
-  finished_at double
+  finished_at double, monoid_json string
 ) USING iceberg
 PARTITIONED BY (run_id)
 """

@@ -36,7 +36,13 @@ def validate_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
-        result = validate(batch_df, suite, result_format=result_format)
+        # chunk_monoids: micro-batches are chunks — aggregate expectations
+        # record mergeable partials so CheckpointResult.rollup over the
+        # stream's results table yields exact whole-stream aggregates
+        from great_expectations_spark.plans.compiler import Options
+
+        result = validate(batch_df, suite, result_format=result_format,
+                          options=Options(chunk_monoids=True))
         rows = results_rows(result, run_id, f"batch-{batch_id}",
                             "streaming-micro-batch", time.time() - t0)
         spark.createDataFrame(rows, RESULTS_SCHEMA).coalesce(1).write.mode("append").parquet(

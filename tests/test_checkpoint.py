@@ -74,9 +74,12 @@ def test_rollup_merges_counts_exactly(spark, docs, tmp_path):
     assert roll[0].element_count == docs.count()
     n_null = docs.where(F.col("text").isNull()).count()
     assert roll[0].missing_count == n_null
-    # map expectations merge; the aggregate (mean) is chunk-scoped
+    # map expectations merge by count summation; the aggregate (mean) now
+    # merges too via its per-chunk (count, sum) monoid — see
+    # tests/test_monoid_rollup.py for the exactness contract
     assert not roll[0].chunk_scoped
-    assert roll[2].chunk_scoped
+    assert not roll[2].chunk_scoped
+    assert roll[2].merged_observed_json is not None
 
 
 def test_hashed_splitter_covers_all_rows(spark, docs):

@@ -1,0 +1,168 @@
+"""Chunk-monoid rollup: aggregate expectations merge EXACTLY across
+checkpoint chunks (count/sum/sumsq/min/max partials; datasketches HLL union
+for distinct counts) instead of the conservative AND-of-chunks.
+
+North rule: "column profiling uses streaming sketches ... merged via
+commutative monoid aggregation". The reference has no cross-batch merge at
+all — each batch revalidates from scratch (checkpoint/checkpoint.py run
+loop); this engine's results table carries the partial state.
+"""
+
+import json
+import math
+import random
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from great_expectations_spark import ExpectationSuite, validate
+from great_expectations_spark.checkpoint import (
+    CheckpointResult,
+    Splitter,
+    run_checkpoint,
+)
+from great_expectations_spark.plans.compiler import Options
+
+
+@pytest.fixture(scope="module")
+def skewed_df(spark):
+    # group 'a' carries a hot tail so per-chunk aggregates differ wildly
+    rng = random.Random(7)
+    rows = [
+        (i, rng.choice("abcde"), rng.gauss(50.0, 10.0) + (60.0 if i % 11 == 0 else 0.0))
+        for i in range(3000)
+    ]
+    return spark.createDataFrame(rows, "id long, g string, v double").cache()
+
+
+AGG_SUITE = (
+    ExpectationSuite("monoid_aggs")
+    .add("expect_column_mean_to_be_between", column="v", min_value=40, max_value=70)
+    .add("expect_column_sum_to_be_between", column="v", min_value=0)
+    .add("expect_column_min_to_be_between", column="v", max_value=60)
+    .add("expect_column_max_to_be_between", column="v", min_value=80)
+    .add("expect_column_stdev_to_be_between", column="v", min_value=1, max_value=40)
+    .add("expect_table_row_count_to_be_between", min_value=2500, max_value=3500)
+)
+
+
+def _rollup_by_idx(roll):
+    return {r.expectation_index: r for r in roll.collect()}
+
+
+def test_merged_aggregates_match_whole_table(spark, skewed_df, tmp_path):
+    res = run_checkpoint(
+        skewed_df, AGG_SUITE, Splitter.column_value(skewed_df, "g"),
+        str(tmp_path / "res"), run_id="r1")
+    by_idx = _rollup_by_idx(res.rollup())
+    whole = validate(skewed_df, AGG_SUITE)
+    for i, evr in enumerate(whole.results):
+        row = by_idx[i]
+        assert row.chunk_scoped is False, row.expectation_type
+        assert row.success == evr.success
+        merged = json.loads(row.merged_observed_json)
+        expected = evr.result["observed_value"]
+        assert merged == pytest.approx(expected, rel=1e-9)
+
+
+def test_merged_success_overrides_and_of_chunks(spark, tmp_path):
+    # chunk g='b' holds the high values: its chunk mean (~90) fails the
+    # bounds, but the whole-table mean (~50.8) passes — the monoid rollup
+    # must return the whole-table verdict, not AND-of-chunks
+    rows = [(i, "a", 50.0) for i in range(950)] + [(i, "b", 90.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    suite = ExpectationSuite("sk").add(
+        "expect_column_mean_to_be_between", column="v", min_value=40, max_value=60)
+    res = run_checkpoint(df, suite, Splitter.column_value(df, "g"),
+                         str(tmp_path / "res"), run_id="r1")
+    chunk_verdicts = {
+        r.chunk_id: r.success
+        for r in res.results_df.where("expectation_index = 0").collect()
+    }
+    assert chunk_verdicts["g=b"] is False  # per-chunk verdict really failed
+    row = _rollup_by_idx(res.rollup())[0]
+    assert row.success is True  # 0.95*50 + 0.05*90 = 52 — in bounds
+    assert json.loads(row.merged_observed_json) == pytest.approx(52.0)
+    assert row.chunk_scoped is False
+
+
+def test_hll_distinct_merges_across_chunks(spark, skewed_df, tmp_path):
+    suite = (
+        ExpectationSuite("hll")
+        .add("expect_column_unique_value_count_to_be_between",
+             column="id", min_value=2800, max_value=3200)
+        .add("expect_column_proportion_of_unique_values_to_be_between",
+             column="id", min_value=0.95)
+    )
+    res = run_checkpoint(skewed_df, suite, Splitter.column_value(skewed_df, "g"),
+                         str(tmp_path / "res"), run_id="r1")
+    by_idx = _rollup_by_idx(res.rollup())
+    # ids are globally unique but split across 5 chunks: any per-chunk count
+    # is ~600 — only the UNIONED sketch sees 3000
+    n = json.loads(by_idx[0].merged_observed_json)
+    assert by_idx[0].chunk_scoped is False
+    assert by_idx[0].success is True
+    assert math.isclose(n, 3000, rel_tol=0.03)
+    prop = json.loads(by_idx[1].merged_observed_json)
+    assert math.isclose(prop, 1.0, rel_tol=0.03)
+    assert by_idx[1].success is True
+
+
+def test_non_numeric_aggregate_stays_chunk_scoped(spark, skewed_df, tmp_path):
+    # min over a STRING column: a merged double min would silently change
+    # comparison semantics, so no monoid is recorded and AND-of-chunks holds
+    suite = ExpectationSuite("s").add(
+        "expect_column_min_to_be_between", column="g", min_value="a")
+    res = run_checkpoint(skewed_df, suite, Splitter.hashed_column("id", 3),
+                         str(tmp_path / "res"), run_id="r1")
+    row = _rollup_by_idx(res.rollup())[0]
+    assert row.chunk_scoped is True
+    assert row.merged_observed_json is None
+    assert row.success is True  # every chunk passed on its own
+
+
+def test_monoids_off_falls_back_to_and_of_chunks(spark, skewed_df, tmp_path):
+    res = run_checkpoint(
+        skewed_df, AGG_SUITE, Splitter.column_value(skewed_df, "g"),
+        str(tmp_path / "res"), run_id="r1", options=Options())
+    roll = res.rollup().collect()
+    assert all(r.chunk_scoped for r in roll if r.unexpected_count is None)
+    assert all(r.merged_observed_json is None for r in roll)
+
+
+def test_rollup_tolerates_pre_monoid_results_table(spark, skewed_df, tmp_path):
+    # a results table written before the monoid_json column existed still
+    # rolls up (engine upgrade over an in-flight run)
+    res = run_checkpoint(
+        skewed_df, AGG_SUITE, Splitter.column_value(skewed_df, "g"),
+        str(tmp_path / "res"), run_id="r1")
+    legacy = CheckpointResult(
+        run_id="r1", completed_chunks=res.completed_chunks, skipped_chunks=[],
+        results_df=res.results_df.drop("monoid_json"))
+    roll = legacy.rollup().collect()
+    assert all(r.merged_observed_json is None for r in roll)
+    assert all(r.chunk_scoped for r in roll if r.unexpected_count is None)
+
+
+def test_map_expectation_rollup_unchanged_by_monoids(spark, skewed_df, tmp_path):
+    # map counts still merge by summation; monoid machinery must not touch them
+    suite = ExpectationSuite("m").add(
+        "expect_column_values_to_not_be_null", column="v", mostly=0.9)
+    res = run_checkpoint(skewed_df, suite, Splitter.column_value(skewed_df, "g"),
+                         str(tmp_path / "res"), run_id="r1")
+    row = _rollup_by_idx(res.rollup())[0]
+    assert row.success is True
+    assert row.element_count == 3000
+    assert row.merged_observed_json is None
+
+
+def test_plain_validate_has_no_monoid_payload(spark, skewed_df):
+    # default Options: result dicts stay byte-identical to round-1 behavior
+    whole = validate(skewed_df, AGG_SUITE)
+    assert all("monoid" not in evr.result for evr in whole.results)
+    with_monoids = validate(skewed_df, AGG_SUITE,
+                            options=Options(chunk_monoids=True))
+    kinds = [evr.result.get("monoid", {}).get("kind")
+             for evr in with_monoids.results]
+    assert kinds == ["mean", "sum", "min", "max", "stdev", "count"]
