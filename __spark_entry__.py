@@ -1242,6 +1242,51 @@ def _r2h(spark, sf):
         "success")
 
 
+@_q("rollup_merged_quantiles", """
+WITH s AS (
+  SELECT quantile_cont(l_quantity, 0.5) AS med,
+         quantile_cont(l_extendedprice, 0.25) AS q1,
+         quantile_cont(l_extendedprice, 0.5) AS q2,
+         quantile_cont(l_extendedprice, 0.75) AS q3
+  FROM lineitem)
+SELECT 0 AS expectation_index,
+       (med >= 20 AND med <= 30) AS success, FALSE AS chunk_scoped FROM s
+UNION ALL SELECT 1,
+       (q1 >= 15000 AND q1 <= 40000 AND q2 >= 40000 AND q2 <= 65000
+        AND q3 >= 65000 AND q3 <= 95000), FALSE FROM s
+UNION ALL SELECT 2, (med >= 1 AND med <= 5), FALSE FROM s
+""")
+def _r2q(spark, sf):
+    # median/quantile expectations validated chunk-by-chunk, merged via the
+    # KLL sketch monoid (kll_merge_agg_double across chunks). Merged VALUES
+    # are sketch-approximate, so the oracle compares VERDICTS only, with
+    # bounds whose margins (>=5 on l_quantity, >=10k on l_extendedprice)
+    # dwarf the k=800 sketch's ~0.4% rank error — verdict parity is robust.
+    # Index 2 is a deliberately failing bound: fidelity both ways.
+    import tempfile
+
+    from great_expectations_spark.checkpoint import Splitter, run_checkpoint
+
+    li = _tbl(spark, sf, "lineitem")
+    suite = (
+        ExpectationSuite("roll_q")
+        .add("expect_column_median_to_be_between", column="l_quantity",
+             min_value=20, max_value=30)
+        .add("expect_column_quantile_values_to_be_between",
+             column="l_extendedprice",
+             quantile_ranges={"quantiles": [0.25, 0.5, 0.75],
+                              "value_ranges": [[15000, 40000],
+                                               [40000, 65000],
+                                               [65000, 95000]]})
+        .add("expect_column_median_to_be_between", column="l_quantity",
+             min_value=1, max_value=5)
+    )
+    path = tempfile.mkdtemp(prefix="ges_cpq_") + "/results"
+    res = run_checkpoint(li, suite, Splitter.column_value(li, "l_returnflag"),
+                         path, run_id="q")
+    return res.rollup().select("expectation_index", "success", "chunk_scoped")
+
+
 @_q("table_head_docs", """
 SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 5
 """)

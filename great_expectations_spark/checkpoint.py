@@ -204,6 +204,18 @@ class Splitter:
         return Splitter(f"converted_datetime({column},{date_format})", chunks)
 
 
+def _kll_quantiles(spark: SparkSession, b64: str,
+                   fractions: list[float]) -> list[float]:
+    """Query quantile values out of a merged KLL sketch — one driver-local
+    1-row select on literal data (no table scan)."""
+    row = spark.range(1).select(*[
+        F.kll_sketch_get_quantile_double(F.unbase64(F.lit(b64)), F.lit(float(f)))
+        .alias(f"q{i}")
+        for i, f in enumerate(fractions)
+    ]).head()
+    return [row[i] for i in range(len(fractions))]
+
+
 def _merge_monoids(r: DataFrame) -> dict[int, tuple[Any, bool]]:
     """Merge per-chunk aggregate monoids into whole-table verdicts.
 
@@ -236,17 +248,38 @@ def _merge_monoids(r: DataFrame) -> dict[int, tuple[Any, bool]]:
             F.sum(gjo("nonnull").cast("long")).alias("m_nonnull"),
             F.hll_sketch_estimate(F.hll_union_agg(F.unbase64(gjo("hll"))))
             .alias("m_hll"),
+            F.base64(F.kll_merge_agg_double(F.unbase64(gjo("kll"))))
+            .alias("m_kll"),
         )
         .where(F.col("kind").isNotNull() & (F.col("n_monoid") == F.col("n_rows")))
         .collect()
     )
 
+    spark = r.sparkSession
     merged: dict[int, tuple[Any, bool]] = {}
     for row in rows:
         try:
             kwargs = json.loads(row.kw)
             n = int(row.m_count or 0)
-            if row.kind == "count":
+            if row.kind == "kll_median":
+                obs = _kll_quantiles(spark, row.m_kll, [0.5])[0] if n else None
+            elif row.kind == "kll_quantiles":
+                # merged values carry the sketch's rank error (~2.3/k^0.937
+                # of a rank, k = Options.kll_k) — approximate, like the
+                # reference's allow_relative_error quantile path
+                qr = kwargs["quantile_ranges"]
+                qs = [float(q) for q in qr["quantiles"]]
+                vals = (_kll_quantiles(spark, row.m_kll, qs)
+                        if n else [None] * len(qs))
+                obs = {"quantiles": qr["quantiles"], "values": vals}
+                ok = True
+                for v, (lo, hi) in zip(vals, qr["value_ranges"]):
+                    if v is None or (lo is not None and v < lo) or (
+                            hi is not None and v > hi):
+                        ok = False
+                merged[int(row.expectation_index)] = (obs, bool(ok))
+                continue
+            elif row.kind == "count":
                 obs: Any = n
             elif row.kind == "sum":
                 obs = row.m_sum if n else None
@@ -299,10 +332,14 @@ class CheckpointResult:
 
         Aggregate expectations that recorded a per-chunk monoid
         (``monoid_json``: count/sum/sumsq/min/max partials, datasketches HLL
-        for distinct counts — see ``Options.chunk_monoids``) are ALSO merged
-        into an exact whole-table observed value + verdict: sums/counts add,
-        min/max fold, stdev re-derives from (count, sum, sumsq), HLL sketches
-        union JVM-side via ``hll_union_agg``. The merged rows come back with
+        for distinct counts, datasketches KLL for median/quantiles — see
+        ``Options.chunk_monoids``) are ALSO merged into a whole-table
+        observed value + verdict: sums/counts add, min/max fold, stdev
+        re-derives from (count, sum, sumsq), HLL sketches union JVM-side via
+        ``hll_union_agg``, KLL sketches via ``kll_merge_agg_double`` (the
+        merged quantile values are approximate within the sketch's rank
+        error ~2.3/k^0.937, k = ``Options.kll_k``; everything else is
+        exact). The merged rows come back with
         ``chunk_scoped`` false, ``merged_observed_json`` set. An expectation
         whose chunks do not ALL carry a monoid (mixed engine options, a
         non-numeric column, a raised exception) keeps the conservative

@@ -84,6 +84,11 @@ class Options:
     # instead of the conservative AND-of-chunks. Off by default: plain
     # validate() results stay byte-identical.
     chunk_monoids: bool = False
+    # datasketches KLL k for the median/quantile chunk monoid (mergeable
+    # quantile sketch; the north rule's "t-digest/approx_percentile for
+    # quantiles ... merged via commutative monoid aggregation"). k=800 →
+    # ~0.4% normalized rank error, ~14 KB serialized per chunk.
+    kll_k: int = 800
 
 
 Metrics = Mapping[str, Any]
@@ -424,10 +429,16 @@ _MONOID_FIELDS: dict[str, tuple[str, ...]] = {
     "min": ("count", "min"),
     "max": ("count", "max"),
     "stdev": ("count", "sum", "sumsq"),
+    # mergeable quantile sketch (datasketches KLL): median and
+    # quantile_values merge across chunks to a whole-table estimate within
+    # the sketch's rank error (~2.3/k^0.937); count guards the empty sketch
+    "kll_median": ("count", "kll"),
+    "kll_quantiles": ("count", "kll"),
 }
 
 
-def _monoid_aggs(kind: str, guarded: Column, key: str) -> dict[str, str]:
+def _monoid_aggs(kind: str, guarded: Column, key: str,
+                 options: Options) -> dict[str, str]:
     """Register the partial-state agg columns for ``kind`` under
     ``monoid.<kind>.<field>|<key>`` metric ids; returns field → metric id."""
     d = guarded.try_cast("double")
@@ -437,6 +448,7 @@ def _monoid_aggs(kind: str, guarded: Column, key: str) -> dict[str, str]:
         "sumsq": F.sum(d * d),
         "min": F.min(d),
         "max": F.max(d),
+        "kll": F.base64(F.kll_sketch_agg_double(d, F.lit(options.kll_k))),
     }
     return {f: (f"monoid.{kind}.{f}|{key}", exprs[f]) for f in _MONOID_FIELDS[kind]}
 
@@ -477,7 +489,7 @@ def _agg_between(
         aggs = {key: agg_builder(kwargs, _guard(col, rc), options), **count_aggs}
         mkeys: dict = {}
         if options.chunk_monoids and monoid_kind is not None:
-            mkeys = _monoid_aggs(monoid_kind, _guard(col, rc), key)
+            mkeys = _monoid_aggs(monoid_kind, _guard(col, rc), key, options)
             aggs.update({k: expr for k, expr in mkeys.values()})
 
         def finalize(metrics: Metrics) -> EVR:
@@ -528,6 +540,7 @@ _agg_between(
         if o.exact_median
         else F.percentile_approx(c, 0.5, o.percentile_accuracy)
     ),
+    monoid_kind="kll_median",
 )
 
 
@@ -653,6 +666,10 @@ def _quantiles(config: ExpectationConfiguration, options: Options) -> Compiled:
     col = _guard(F.col(c), rc)
     (k_total, k_nn), count_aggs = _count_keys_aggs(c, kwargs, rc)
     aggs = dict(count_aggs)
+    mkeys: dict = {}
+    if options.chunk_monoids:
+        mkeys = _monoid_aggs("kll_quantiles", col, key, options)
+        aggs.update({mk: expr for mk, expr in mkeys.values()})
     eager = None
     if exact:
         # reference Spark quantiles: df.approxQuantile(col, q, 0) = exact
@@ -671,12 +688,15 @@ def _quantiles(config: ExpectationConfiguration, options: Options) -> Compiled:
         for v, (lo, hi) in zip(values, ranges):
             if v is None or (lo is not None and v < lo) or (hi is not None and v > hi):
                 ok = False
+        result = _with_counts(
+            {"observed_value": {"quantiles": quantiles, "values": values}},
+            metrics, k_total, k_nn)
+        if mkeys:
+            _attach_numeric_monoid(result, metrics, "kll_quantiles", mkeys, c)
         return EVR(
             success=ok,
             expectation_config=config,
-            result=_with_counts(
-                {"observed_value": {"quantiles": quantiles, "values": values}},
-                metrics, k_total, k_nn),
+            result=result,
         )
 
     return Compiled(config=config, finalize=finalize, aggs=aggs, eager=eager)

@@ -109,6 +109,78 @@ def test_hll_distinct_merges_across_chunks(spark, skewed_df, tmp_path):
     assert by_idx[1].success is True
 
 
+def test_median_and_quantiles_merge_across_chunks(spark, skewed_df, tmp_path):
+    # KLL sketch monoid: median/quantiles merge to a whole-table estimate
+    # within the sketch's rank error (k=800 → ~0.4% of a rank)
+    suite = (
+        ExpectationSuite("kll")
+        .add("expect_column_median_to_be_between", column="v",
+             min_value=40, max_value=60)
+        .add("expect_column_quantile_values_to_be_between", column="v",
+             quantile_ranges={"quantiles": [0.25, 0.5, 0.75],
+                              "value_ranges": [[30, 60], [40, 70], [45, 80]]})
+    )
+    res = run_checkpoint(skewed_df, suite, Splitter.column_value(skewed_df, "g"),
+                         str(tmp_path / "res"), run_id="r1")
+    by_idx = _rollup_by_idx(res.rollup())
+    whole = validate(skewed_df, suite)
+    # exact whole-table values for tolerance anchoring
+    exact_med = whole.results[0].result["observed_value"]
+    exact_q = whole.results[1].result["observed_value"]["values"]
+    assert by_idx[0].chunk_scoped is False
+    assert by_idx[1].chunk_scoped is False
+    # 3000 rows, rank error 0.4% ≈ ±12 ranks; values are gaussian(50,10)
+    # with a hot tail, so ±12 ranks ≈ well under 2.0 in value
+    merged_med = json.loads(by_idx[0].merged_observed_json)
+    assert abs(merged_med - exact_med) < 2.0
+    mq = json.loads(by_idx[1].merged_observed_json)
+    assert mq["quantiles"] == [0.25, 0.5, 0.75]
+    for got, exp in zip(mq["values"], exact_q):
+        assert abs(got - exp) < 2.0
+    assert by_idx[0].success == whole.results[0].success
+    assert by_idx[1].success == whole.results[1].success
+
+
+def test_merged_median_overrides_and_of_chunks(spark, tmp_path):
+    # chunk g='b' has median 90 (fails bounds); whole-table median is 50
+    # (950 of 1000 values) — the merged sketch must return the whole-table
+    # verdict, and at two distinct values the KLL answer is exact
+    rows = [(i, "a", 50.0) for i in range(950)] + [(i, "b", 90.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    suite = ExpectationSuite("sk").add(
+        "expect_column_median_to_be_between", column="v",
+        min_value=40, max_value=60)
+    res = run_checkpoint(df, suite, Splitter.column_value(df, "g"),
+                         str(tmp_path / "res"), run_id="r1")
+    chunk_verdicts = {
+        r.chunk_id: r.success
+        for r in res.results_df.where("expectation_index = 0").collect()
+    }
+    assert chunk_verdicts["g=b"] is False
+    row = _rollup_by_idx(res.rollup())[0]
+    assert row.success is True
+    assert json.loads(row.merged_observed_json) == pytest.approx(50.0)
+    assert row.chunk_scoped is False
+
+
+def test_kll_merge_tolerates_all_null_chunk(spark, tmp_path):
+    # one chunk's column is entirely NULL → its monoid carries an EMPTY
+    # KLL sketch buffer; the merge must not crash and must return the
+    # estimate from the populated chunks
+    rows = [(i, "a", float(i % 100)) for i in range(1000)] + [
+        (i, "b", None) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    suite = ExpectationSuite("nulls").add(
+        "expect_column_median_to_be_between", column="v",
+        min_value=0, max_value=99)
+    res = run_checkpoint(df, suite, Splitter.column_value(df, "g"),
+                         str(tmp_path / "res"), run_id="r1")
+    row = _rollup_by_idx(res.rollup())[0]
+    assert row.chunk_scoped is False
+    assert row.success is True
+    assert abs(json.loads(row.merged_observed_json) - 49.5) < 2.0
+
+
 def test_non_numeric_aggregate_stays_chunk_scoped(spark, skewed_df, tmp_path):
     # min over a STRING column: a merged double min would silently change
     # comparison semantics, so no monoid is recorded and AND-of-chunks holds
