@@ -229,6 +229,54 @@ def test_map_expectation_rollup_unchanged_by_monoids(spark, skewed_df, tmp_path)
     assert row.merged_observed_json is None
 
 
+def test_streaming_microbatches_rollup_to_whole_stream_aggregates(
+        spark, skewed_df, tmp_path):
+    # micro-batches are chunks: validate_stream records monoids per batch,
+    # so a rollup over the stream's results table returns whole-STREAM
+    # aggregate observed values (exact for mean, sketch-accurate for
+    # median/distinct) even though no single batch ever saw all rows
+    from great_expectations_spark.streaming import validate_stream
+
+    src = str(tmp_path / "src")
+    # 3 files → 3 micro-batches with maxFilesPerTrigger=1
+    skewed_df.withColumn("part", F.pmod(F.col("id"), F.lit(3))).write \
+        .partitionBy("part").parquet(src)
+    stream = (spark.readStream.schema("id long, g string, v double")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/part=*"))
+    suite = (
+        ExpectationSuite("stream_agg")
+        .add("expect_column_mean_to_be_between", column="v",
+             min_value=40, max_value=70)
+        .add("expect_column_median_to_be_between", column="v",
+             min_value=40, max_value=70)
+        .add("expect_column_unique_value_count_to_be_between", column="id",
+             min_value=2800, max_value=3200)
+    )
+    results = str(tmp_path / "results")
+    q = validate_stream(stream, suite, results, str(tmp_path / "ckpt"),
+                        run_id="s1")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rdf = spark.read.parquet(results)
+    n_batches = rdf.select("chunk_id").distinct().count()
+    assert n_batches >= 2  # the point: no batch saw the whole stream
+    res = CheckpointResult(run_id="s1", completed_chunks=[], skipped_chunks=[],
+                           results_df=rdf)
+    by_idx = _rollup_by_idx(res.rollup())
+    whole = validate(skewed_df, suite)
+    mean_exact = whole.results[0].result["observed_value"]
+    med_exact = whole.results[1].result["observed_value"]
+    assert json.loads(by_idx[0].merged_observed_json) == pytest.approx(
+        mean_exact, rel=1e-9)
+    assert abs(json.loads(by_idx[1].merged_observed_json) - med_exact) < 2.0
+    assert math.isclose(json.loads(by_idx[2].merged_observed_json), 3000,
+                        rel_tol=0.03)
+    assert all(by_idx[i].success for i in range(3))
+    assert all(not by_idx[i].chunk_scoped for i in range(3))
+
+
 def test_plain_validate_has_no_monoid_payload(spark, skewed_df):
     # default Options: result dicts stay byte-identical to round-1 behavior
     whole = validate(skewed_df, AGG_SUITE)
