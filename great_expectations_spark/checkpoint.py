@@ -76,10 +76,25 @@ def results_rows(result, run_id: str, chunk_id: str, chunk_predicate: str,
                 res.get("element_count"),
                 round(wall_s, 4),
                 time.time(),
-                json.dumps(res["monoid"]) if res.get("monoid") else None,
+                _monoid_json(res.get("monoid")),
             )
         )
     return rows
+
+
+def _monoid_json(monoid: dict | None) -> str | None:
+    """Strict-JSON monoid serialization. NaN/Infinity partials are not
+    representable in JSON — ``json.dumps`` would emit bare ``NaN`` tokens
+    that ``get_json_object`` NULLs field-by-field while the row still
+    counts as monoid-bearing, silently dropping the chunk from the merge.
+    Dropping the WHOLE monoid instead makes the completeness filter fail
+    → the expectation falls back to the conservative AND-of-chunks."""
+    if not monoid:
+        return None
+    try:
+        return json.dumps(monoid, allow_nan=False)
+    except ValueError:
+        return None
 
 
 @dataclass
@@ -216,16 +231,45 @@ def _kll_quantiles(spark: SparkSession, b64: str,
     return [row[i] for i in range(len(fractions))]
 
 
-def _merge_monoids(r: DataFrame) -> dict[int, tuple[Any, bool]]:
+def _chan_merge_stdev(welford: list) -> tuple[int, float]:
+    """Fold per-chunk (count, mean, M2) partials with Chan's parallel
+    update — numerically stable where the raw sum/sumsq re-derivation
+    cancels catastrophically (values ~1e9, stdev ~1: the (n-1)·σ² signal
+    sits below one double ULP of sumsq). Returns (n, M2)."""
+    n, mean, m2 = 0, 0.0, 0.0
+    for part in welford or []:
+        ni = int(part[0] or 0)
+        if ni == 0:
+            continue
+        if part[1] is None or part[2] is None:
+            # a monoid written by an older engine (raw sum/sumsq fields):
+            # propagate so the caller falls back to AND-of-chunks instead
+            # of silently merging zeros
+            raise ValueError("stdev monoid missing (mean, m2) partials")
+        mi = float(part[1])
+        m2i = float(part[2])
+        total = n + ni
+        delta = mi - mean
+        mean += delta * ni / total
+        m2 += m2i + delta * delta * n * ni / total
+        n = total
+    return n, m2
+
+
+def _merge_monoids(r: DataFrame) -> list[tuple]:
     """Merge per-chunk aggregate monoids into whole-table verdicts.
 
-    Returns ``{expectation_index: (merged_observed_value, merged_success)}``
-    for every expectation whose chunks ALL carry a monoid_json payload —
-    one bounded agg over the results table (sums/min/max JVM-side,
-    ``hll_union_agg`` for distinct sketches), then driver math on one row
-    per aggregate expectation. Anything incomplete (mixed options, raised
-    exceptions, non-numeric columns) is left out so rollup falls back to
-    AND-of-chunks.
+    Returns ``(expectation_index, expectation_type, kwargs_json,
+    merged_observed_json, merged_success)`` rows for every
+    (index, type, kwargs) group whose chunks ALL carry a monoid_json
+    payload — one bounded agg over the results table (sums/min/max
+    JVM-side, ``hll_union_agg`` for distinct sketches,
+    ``kll_merge_agg_double`` for quantile sketches), then driver math on
+    one row per aggregate expectation. Grouping by the same
+    (index, type, kwargs) key the rollup uses keeps a run whose suite was
+    edited mid-resume from mixing monoids across expectation definitions.
+    Anything incomplete (mixed options, raised exceptions, non-numeric
+    columns) is left out so rollup falls back to AND-of-chunks.
     """
     from great_expectations_spark.plans.compiler import _between_success
 
@@ -233,19 +277,25 @@ def _merge_monoids(r: DataFrame) -> dict[int, tuple[Any, bool]]:
         return F.get_json_object(F.col("monoid_json"), f"$.{f}")
 
     rows = (
-        r.groupBy("expectation_index")
+        r.groupBy("expectation_index", "expectation_type", "kwargs_json")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count(F.col("monoid_json")).alias("n_monoid"),
-            F.any_value("expectation_type").alias("etype"),
-            F.any_value("kwargs_json").alias("kw"),
             F.max(gjo("kind")).alias("kind"),
             F.sum(gjo("count").cast("long")).alias("m_count"),
             F.sum(gjo("sum").cast("double")).alias("m_sum"),
-            F.sum(gjo("sumsq").cast("double")).alias("m_sumsq"),
             F.min(gjo("min").cast("double")).alias("m_min"),
             F.max(gjo("max").cast("double")).alias("m_max"),
             F.sum(gjo("nonnull").cast("long")).alias("m_nonnull"),
+            # per-chunk (count, mean, M2) for Chan's stable stdev merge
+            F.collect_list(
+                F.when(
+                    gjo("kind") == "stdev",
+                    F.array(gjo("count").cast("double"),
+                            gjo("mean").cast("double"),
+                            gjo("m2").cast("double")),
+                )
+            ).alias("m_welford"),
             F.hll_sketch_estimate(F.hll_union_agg(F.unbase64(gjo("hll"))))
             .alias("m_hll"),
             F.base64(F.kll_merge_agg_double(F.unbase64(gjo("kll"))))
@@ -256,10 +306,10 @@ def _merge_monoids(r: DataFrame) -> dict[int, tuple[Any, bool]]:
     )
 
     spark = r.sparkSession
-    merged: dict[int, tuple[Any, bool]] = {}
+    merged: list[tuple] = []
     for row in rows:
         try:
-            kwargs = json.loads(row.kw)
+            kwargs = json.loads(row.kwargs_json)
             n = int(row.m_count or 0)
             if row.kind == "kll_median":
                 obs = _kll_quantiles(spark, row.m_kll, [0.5])[0] if n else None
@@ -277,7 +327,9 @@ def _merge_monoids(r: DataFrame) -> dict[int, tuple[Any, bool]]:
                     if v is None or (lo is not None and v < lo) or (
                             hi is not None and v > hi):
                         ok = False
-                merged[int(row.expectation_index)] = (obs, bool(ok))
+                merged.append((int(row.expectation_index),
+                               row.expectation_type, row.kwargs_json,
+                               json.dumps(obs, default=str), bool(ok)))
                 continue
             elif row.kind == "count":
                 obs: Any = n
@@ -290,11 +342,8 @@ def _merge_monoids(r: DataFrame) -> dict[int, tuple[Any, bool]]:
             elif row.kind == "max":
                 obs = row.m_max
             elif row.kind == "stdev":
-                if n >= 2:
-                    var = max(0.0, (row.m_sumsq - row.m_sum * row.m_sum / n) / (n - 1))
-                    obs = var ** 0.5
-                else:
-                    obs = None
+                wn, m2 = _chan_merge_stdev(row.m_welford)
+                obs = (m2 / (wn - 1)) ** 0.5 if wn >= 2 else None
             elif row.kind == "hll":
                 obs = int(row.m_hll or 0)
             elif row.kind == "hll_prop":
@@ -302,11 +351,13 @@ def _merge_monoids(r: DataFrame) -> dict[int, tuple[Any, bool]]:
                 obs = (int(row.m_hll or 0) / nn) if nn else None
             else:
                 continue
-            if row.etype == "expect_table_row_count_to_equal":
+            if row.expectation_type == "expect_table_row_count_to_equal":
                 success = obs == int(kwargs["value"])
             else:
                 success = _between_success(obs, kwargs)
-            merged[int(row.expectation_index)] = (obs, bool(success))
+            merged.append((int(row.expectation_index), row.expectation_type,
+                           row.kwargs_json, json.dumps(obs, default=str),
+                           bool(success)))
         except Exception:
             # unbindable kwargs ($PARAMETER recorded raw), malformed JSON —
             # fall back to AND-of-chunks for this expectation
@@ -335,7 +386,8 @@ class CheckpointResult:
         for distinct counts, datasketches KLL for median/quantiles — see
         ``Options.chunk_monoids``) are ALSO merged into a whole-table
         observed value + verdict: sums/counts add, min/max fold, stdev
-        re-derives from (count, sum, sumsq), HLL sketches union JVM-side via
+        merges per-chunk (count, mean, M2) via Chan's parallel formula,
+        HLL sketches union JVM-side via
         ``hll_union_agg``, KLL sketches via ``kll_merge_agg_double`` (the
         merged quantile values are approximate within the sketch's rank
         error ~2.3/k^0.937, k = ``Options.kll_k``; everything else is
@@ -346,9 +398,11 @@ class CheckpointResult:
         AND-of-chunks verdict with ``chunk_scoped`` true.
         """
         r = self.results_df.where(F.col("run_id") == self.run_id)
-        if "monoid_json" not in r.columns:  # pre-monoid results table
+        merged: list[tuple] = []
+        if "monoid_json" in r.columns:
+            merged = _merge_monoids(r)
+        else:  # pre-monoid results table: the merge is provably empty
             r = r.withColumn("monoid_json", F.lit(None).cast("string"))
-        merged = _merge_monoids(r)
         mostly = F.coalesce(
             F.get_json_object(F.col("kwargs_json"), "$.mostly").cast("double"),
             F.lit(1.0),
@@ -385,10 +439,15 @@ class CheckpointResult:
         if merged:
             spark = self.results_df.sparkSession
             mdf = spark.createDataFrame(
-                [(i, json.dumps(o, default=str), bool(s)) for i, (o, s) in merged.items()],
-                "expectation_index int, merged_observed_json string, merged_success boolean",
+                merged,
+                "expectation_index int, expectation_type string, "
+                "kwargs_json string, merged_observed_json string, "
+                "merged_success boolean",
             )
-            agg = agg.join(F.broadcast(mdf), "expectation_index", "left")
+            agg = agg.join(
+                F.broadcast(mdf),
+                ["expectation_index", "expectation_type", "kwargs_json"],
+                "left")
         else:
             agg = agg.withColumn(
                 "merged_observed_json", F.lit(None).cast("string")

@@ -76,7 +76,7 @@ class Options:
     fuse_rows_threshold: int = 5_000_000
     fuse_count_threshold: int = 6
     # checkpoint-chunk monoids: aggregate expectations ALSO emit their
-    # commutative partial state (count/sum/sumsq/min/max as doubles; a
+    # commutative partial state (count/sum/min/max/mean/M2 as doubles; a
     # datasketches HLL sketch for distinct counts) inside the SAME fused
     # agg pass, attached as result["monoid"]. CheckpointResult.rollup
     # merges the partials across chunks into an exact whole-table verdict
@@ -428,7 +428,12 @@ _MONOID_FIELDS: dict[str, tuple[str, ...]] = {
     "sum": ("count", "sum"),
     "min": ("count", "min"),
     "max": ("count", "max"),
-    "stdev": ("count", "sum", "sumsq"),
+    # centered partials (count, mean, M2): raw (sum, sumsq) re-derivation
+    # cancels catastrophically for large-magnitude columns (values ~1e9
+    # with stdev ~1 leave the signal below one double ULP of sumsq);
+    # per-chunk M2 comes from Spark's numerically stable central-moment
+    # var_samp, chunks merge via Chan's parallel formula in rollup
+    "stdev": ("count", "mean", "m2"),
     # mergeable quantile sketch (datasketches KLL): median and
     # quantile_values merge across chunks to a whole-table estimate within
     # the sketch's rank error (~2.3/k^0.937); count guards the empty sketch
@@ -445,9 +450,11 @@ def _monoid_aggs(kind: str, guarded: Column, key: str,
     exprs = {
         "count": F.count(d),
         "sum": F.sum(d),
-        "sumsq": F.sum(d * d),
         "min": F.min(d),
         "max": F.max(d),
+        "mean": F.avg(d),
+        # M2 = var_samp * (n-1); n<=1 → var_samp NULL → 0 (no spread seen)
+        "m2": F.coalesce(F.var_samp(d) * (F.count(d) - F.lit(1)), F.lit(0.0)),
         "kll": F.base64(F.kll_sketch_agg_double(d, F.lit(options.kll_k))),
     }
     return {f: (f"monoid.{kind}.{f}|{key}", exprs[f]) for f in _MONOID_FIELDS[kind]}

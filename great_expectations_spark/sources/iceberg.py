@@ -35,6 +35,8 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from great_expectations_spark.checkpoint import RESULTS_SCHEMA
+
 
 def iceberg_available(spark: SparkSession) -> bool:
     """True iff an Iceberg catalog implementation is on the classpath."""
@@ -103,11 +105,36 @@ def write_results(
             f"write_results supports mode='append' or 'overwrite', got {mode!r}")
 
 
+def migrate_results_table(spark: SparkSession, results_table: str) -> list[str]:
+    """Bring an existing results table up to the current RESULTS_SCHEMA.
+
+    ``plan_table_ddl`` uses CREATE TABLE IF NOT EXISTS, which no-ops on a
+    table bootstrapped by an older engine — a writer producing newer
+    columns (e.g. ``monoid_json``, added for the chunk-monoid rollup)
+    would then fail ``writeTo(...).append()``. Run this once per upgrade:
+    it ALTERs in any RESULTS_SCHEMA column the table lacks (Iceberg ADD
+    COLUMN is a metadata-only operation; existing rows read the new
+    columns as NULL, which every reader here treats as "no payload").
+    Returns the list of columns added."""
+    current = {f.lower() for f in spark.table(results_table).columns}
+    added = []
+    for field in RESULTS_SCHEMA.split(","):
+        name, _, ftype = field.strip().partition(" ")
+        if name.lower() not in current:
+            spark.sql(
+                f"ALTER TABLE {results_table} ADD COLUMN {name} {ftype}")
+            added.append(name)
+    return added
+
+
 def plan_table_ddl(results_table: str) -> str:
     """DDL for the production results table (documentation + bootstrap) —
     column-for-column the checkpoint RESULTS_SCHEMA, so writeTo(...).append()
-    resolves. Input snapshot ids belong to the lineage JSON inside
-    chunk_predicate, not extra columns the writers never produce."""
+    resolves against a fresh table; for a table created by an OLDER engine
+    version, run ``migrate_results_table`` first (IF NOT EXISTS will not
+    add new columns to an existing table). Input snapshot ids belong to
+    the lineage JSON inside chunk_predicate, not extra columns the writers
+    never produce."""
     return f"""
 CREATE TABLE IF NOT EXISTS {results_table} (
   run_id string, chunk_id string, chunk_predicate string,

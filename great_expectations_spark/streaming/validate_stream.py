@@ -23,9 +23,16 @@ def validate_stream(
     run_id: str = "stream",
     result_format: Any = "BOOLEAN_ONLY",
     trigger_seconds: int | None = None,
+    options: Any = None,
 ) -> StreamingQuery:
     """Validate each micro-batch with the fused validator and append one
     results row per expectation, keyed (run_id, chunk_id=batch-<id>).
+
+    ``options`` defaults to ``Options(chunk_monoids=True)``: micro-batches
+    are chunks, so aggregate expectations record mergeable partials and
+    ``CheckpointResult.rollup`` over the stream's results table yields
+    whole-stream aggregate verdicts. Pass explicit ``Options`` to disable
+    the per-batch sketch cost or tune any other engine knob.
 
     Exactly-once notes: Spark's streaming checkpoint (``checkpoint_location``)
     guarantees each batch id is processed at least once; replays overwrite
@@ -33,16 +40,15 @@ def validate_stream(
     (run_id, chunk_id, expectation_index) — same contract as batch resume).
     """
     spark = stream_df.sparkSession
+    if options is None:
+        from great_expectations_spark.plans.compiler import Options
+
+        options = Options(chunk_monoids=True)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
-        # chunk_monoids: micro-batches are chunks — aggregate expectations
-        # record mergeable partials so CheckpointResult.rollup over the
-        # stream's results table yields exact whole-stream aggregates
-        from great_expectations_spark.plans.compiler import Options
-
         result = validate(batch_df, suite, result_format=result_format,
-                          options=Options(chunk_monoids=True))
+                          options=options)
         rows = results_rows(result, run_id, f"batch-{batch_id}",
                             "streaming-micro-batch", time.time() - t0)
         spark.createDataFrame(rows, RESULTS_SCHEMA).coalesce(1).write.mode("append").parquet(

@@ -229,6 +229,83 @@ def test_map_expectation_rollup_unchanged_by_monoids(spark, skewed_df, tmp_path)
     assert row.merged_observed_json is None
 
 
+def test_nan_chunk_falls_back_to_and_of_chunks(spark, tmp_path):
+    # a NaN partial is not representable in strict JSON; the monoid is
+    # dropped for that chunk so the expectation keeps AND-of-chunks
+    # (merging the remaining chunks would report a clean in-bounds mean
+    # for a column whose whole-table mean is NaN)
+    rows = [(i, "a", 50.0) for i in range(100)] + [(100, "b", float("nan"))]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    suite = ExpectationSuite("nan").add(
+        "expect_column_mean_to_be_between", column="v", min_value=0,
+        max_value=100)
+    res = run_checkpoint(df, suite, Splitter.column_value(df, "g"),
+                         str(tmp_path / "res"), run_id="r1")
+    nan_chunk = res.results_df.where("chunk_id = 'g=b'").first()
+    assert nan_chunk.monoid_json is None  # dropped, not mangled
+    row = _rollup_by_idx(res.rollup())[0]
+    assert row.merged_observed_json is None
+    assert row.chunk_scoped is True
+    assert row.success is False  # the NaN chunk's own verdict fails
+
+
+def test_stdev_merge_survives_large_magnitude(spark, tmp_path):
+    # values ~1e9 with stdev ~0.82: raw sum/sumsq re-derivation cancels
+    # catastrophically (signal below one double ULP of sumsq); Chan's
+    # (count, mean, M2) merge recovers the whole-table stdev
+    rows = [(i, "abc"[i % 3], 1.0e9 + (i % 3)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    suite = ExpectationSuite("big").add(
+        "expect_column_stdev_to_be_between", column="v",
+        min_value=0.5, max_value=2)
+    res = run_checkpoint(df, suite, Splitter.column_value(df, "g"),
+                         str(tmp_path / "res"), run_id="r1")
+    row = _rollup_by_idx(res.rollup())[0]
+    whole = validate(df, suite)
+    exact = whole.results[0].result["observed_value"]
+    assert row.chunk_scoped is False
+    merged = json.loads(row.merged_observed_json)
+    assert merged == pytest.approx(exact, rel=1e-6)
+    assert row.success is True
+    # NOTE: per-chunk values are IDENTICAL within each chunk (stdev 0) but
+    # the whole-table spread is 0.8165 — only a correct cross-chunk merge
+    # can pass these bounds; AND-of-chunks would fail (chunk stdev 0 < 0.5)
+
+
+def test_suite_edit_on_resume_keeps_definitions_separate(spark, tmp_path):
+    # chunks validated under DIFFERENT kwargs for the same expectation
+    # index (suite edited mid-resume) must not mix monoids: each
+    # (index, type, kwargs) group merges only its own chunks
+    rows = [(i, "abc"[i % 3], float(i % 100)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    path = str(tmp_path / "res")
+    suite_a = ExpectationSuite("s").add(
+        "expect_column_mean_to_be_between", column="v", min_value=0,
+        max_value=100)
+    # run only chunk g=a under suite A
+    sub = Splitter("one", [c for c in Splitter.column_value(df, "g").chunks
+                           if c[0] == "g=a"])
+    run_checkpoint(df, suite_a, sub, path, run_id="r1")
+    # resume the remaining chunks under EDITED bounds
+    suite_b = ExpectationSuite("s").add(
+        "expect_column_mean_to_be_between", column="v", min_value=90,
+        max_value=100)
+    res = run_checkpoint(df, suite_b, Splitter.column_value(df, "g"),
+                         path, run_id="r1")
+    roll = res.rollup().collect()
+    assert len(roll) == 2  # one row per kwargs variant
+    by_kw = {json.loads(r.kwargs_json)["min_value"]: r for r in roll}
+    # variant A merged only chunk g=a (mean ~49.5 → passes [0, 100])
+    assert by_kw[0].success is True
+    a_obs = json.loads(by_kw[0].merged_observed_json)
+    # variant B merged chunks g=b,g=c (mean ~49.5 → fails [90, 100])
+    assert by_kw[90].success is False
+    b_obs = json.loads(by_kw[90].merged_observed_json)
+    # neither observed value is contaminated by the other variant's chunks
+    assert a_obs == pytest.approx(49.5, abs=2.0)
+    assert b_obs == pytest.approx(49.5, abs=2.0)
+
+
 def test_streaming_microbatches_rollup_to_whole_stream_aggregates(
         spark, skewed_df, tmp_path):
     # micro-batches are chunks: validate_stream records monoids per batch,
