@@ -354,6 +354,44 @@ def test_streaming_microbatches_rollup_to_whole_stream_aggregates(
     assert all(not by_idx[i].chunk_scoped for i in range(3))
 
 
+def test_incremental_validation_of_growing_table(spark, tmp_path):
+    # the 100-TB shape: a partitioned table grows by one chunk per day;
+    # re-running the checkpoint under the same run_id validates ONLY the
+    # new chunk (resume skips completed ones) yet rollup() still returns
+    # whole-table verdicts — map counts re-sum, aggregate monoids re-merge
+    day1 = [(i, "d1", float(i % 100)) for i in range(1000)]
+    day2 = [(i + 1000, "d2", float(i % 100) + 100.0) for i in range(1000)]
+    df1 = spark.createDataFrame(day1, "id long, day string, v double")
+    suite = (
+        ExpectationSuite("inc")
+        .add("expect_column_values_to_not_be_null", column="v", mostly=0.9)
+        .add("expect_column_mean_to_be_between", column="v",
+             min_value=0, max_value=120)
+        .add("expect_column_unique_value_count_to_be_between", column="id",
+             min_value=1500, max_value=2500)  # sized for the FULL table
+    )
+    path = str(tmp_path / "res")
+    r1 = run_checkpoint(df1, suite, Splitter.column_value(df1, "day"),
+                        path, run_id="daily")
+    assert r1.completed_chunks == ["day=d1"]
+    # the table grows; same run_id, splitter now sees both days
+    df2 = spark.createDataFrame(day1 + day2, "id long, day string, v double")
+    r2 = run_checkpoint(df2, suite, Splitter.column_value(df2, "day"),
+                        path, run_id="daily")
+    assert r2.completed_chunks == ["day=d2"]  # day1 was NOT revalidated
+    assert r2.skipped_chunks == ["day=d1"]
+    by_idx = _rollup_by_idx(r2.rollup())
+    assert by_idx[0].element_count == 2000  # map counts span both days
+    # whole-table mean = (49.5 + 149.5) / 2 = 99.5 — only a cross-day
+    # merge sees it; day2 alone (149.5) would FAIL the [0, 120] bounds
+    assert json.loads(by_idx[1].merged_observed_json) == pytest.approx(99.5)
+    assert by_idx[1].success is True
+    # distinct ids: each day has 1000 — only the HLL union reaches 2000
+    n = json.loads(by_idx[2].merged_observed_json)
+    assert math.isclose(n, 2000, rel_tol=0.03)
+    assert by_idx[2].success is True
+
+
 def test_plain_validate_has_no_monoid_payload(spark, skewed_df):
     # default Options: result dicts stay byte-identical to round-1 behavior
     whole = validate(skewed_df, AGG_SUITE)
