@@ -1287,6 +1287,101 @@ def _r2q(spark, sf):
     return res.rollup().select("expectation_index", "success", "chunk_scoped")
 
 
+@_q("history_metric_series", """
+WITH per AS (
+  SELECT CAST(event_id % 3 AS INT) AS k, count(*) AS ec,
+         sum(CASE WHEN NOT (value BETWEEN 0 AND 50) THEN 1 ELSE 0 END) AS uc,
+         avg(value) AS m
+  FROM events GROUP BY 1
+)
+SELECT 'run' || k AS run_id, 0 AS expectation_index,
+       'unexpected_percent' AS metric_name,
+       round(uc * 100.0 / ec, 6) AS value,
+       (CAST(ec - uc AS DOUBLE) / ec) >= 0.3 AS success
+FROM per
+UNION ALL
+SELECT 'run' || k, 1, 'observed_value', round(m, 6),
+       (m >= 0 AND m <= 1000000) FROM per
+UNION ALL
+SELECT 'run' || k, 2, 'observed_value', round(CAST(ec AS DOUBLE), 6),
+       ec >= 1 FROM per
+""")
+def _hist1(spark, sf):
+    # three checkpointed runs over disjoint slices of events; the cross-run
+    # metric series re-derives each run's whole-run metrics from the results
+    # table alone (summed map counts; monoid-merged aggregates)
+    import tempfile
+
+    from great_expectations_spark.checkpoint import Splitter, run_checkpoint
+    from great_expectations_spark.history import metric_series
+
+    ev = _tbl(spark, sf, "events")
+    suite = (
+        ExpectationSuite("hist")
+        .add("expect_column_values_to_be_between", column="value",
+             min_value=0, max_value=50, mostly=0.3)
+        .add("expect_column_mean_to_be_between", column="value",
+             min_value=0, max_value=1_000_000)
+        .add("expect_table_row_count_to_be_between", min_value=1)
+    )
+    path = tempfile.mkdtemp(prefix="ges_hist_") + "/results"
+    res = None
+    for k in range(3):
+        res = run_checkpoint(
+            ev.where(F.pmod(F.col("event_id"), F.lit(3)) == k), suite,
+            Splitter.mod_integer("user_id", 2), path, run_id=f"run{k}")
+    return metric_series(res.results_df).select(
+        "run_id", "expectation_index", "metric_name",
+        F.round("value", 6).alias("value"), "success")
+
+
+@_q("history_drift_flags", """
+WITH per AS (
+  SELECT CAST(event_id % 4 AS INT) AS k,
+         avg(value + CASE WHEN event_id % 4 = 3 THEN 1000 ELSE 0 END) AS m
+  FROM events GROUP BY 1
+), win AS (
+  SELECT 'run' || k AS run_id, m,
+         count(m) OVER w AS n_prior,
+         avg(m) OVER w AS tm,
+         stddev_samp(m) OVER w AS ts
+  FROM per
+  WINDOW w AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT run_id, round(m, 6) AS value, CAST(n_prior AS BIGINT) AS n_prior,
+       round((m - tm) / nullif(ts, 0), 4) AS zscore,
+       coalesce(n_prior >= 2 AND abs((m - tm) / nullif(ts, 0)) > 3, FALSE)
+         AS drifted
+FROM win
+""")
+def _hist2(spark, sf):
+    # four runs, the last over a value-shifted slice: flag_drift scores each
+    # run against its trailing history per expectation (windowed BY
+    # expectation, never a global sort) and flags only the planted shift
+    import tempfile
+
+    from great_expectations_spark.checkpoint import Splitter, run_checkpoint
+    from great_expectations_spark.history import flag_drift, metric_series
+
+    ev = _tbl(spark, sf, "events")
+    suite = ExpectationSuite("drift").add(
+        "expect_column_mean_to_be_between", column="value",
+        min_value=0, max_value=1_000_000)
+    path = tempfile.mkdtemp(prefix="ges_drift_") + "/results"
+    res = None
+    for k in range(4):
+        chunk = ev.where(F.pmod(F.col("event_id"), F.lit(4)) == k)
+        if k == 3:
+            chunk = chunk.withColumn("value", F.col("value") + 1000)
+        res = run_checkpoint(chunk, suite, Splitter.mod_integer("user_id", 2),
+                             path, run_id=f"run{k}")
+    d = flag_drift(metric_series(res.results_df), z_threshold=3.0,
+                   min_history=2, order_by=["run_id"])
+    return d.select(
+        "run_id", F.round("value", 6).alias("value"), "n_prior",
+        F.round("zscore", 4).alias("zscore"), "drifted")
+
+
 @_q("table_head_docs", """
 SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 5
 """)

@@ -256,18 +256,20 @@ def _chan_merge_stdev(welford: list) -> tuple[int, float]:
     return n, m2
 
 
-def _merge_monoids(r: DataFrame) -> list[tuple]:
+def _merge_monoids(r: DataFrame, extra_keys: tuple[str, ...] = ()) -> list[tuple]:
     """Merge per-chunk aggregate monoids into whole-table verdicts.
 
-    Returns ``(expectation_index, expectation_type, kwargs_json,
-    merged_observed_json, merged_success)`` rows for every
-    (index, type, kwargs) group whose chunks ALL carry a monoid_json
-    payload — one bounded agg over the results table (sums/min/max
-    JVM-side, ``hll_union_agg`` for distinct sketches,
+    Returns ``(*extra_key_values, expectation_index, expectation_type,
+    kwargs_json, merged_observed_json, merged_success)`` rows for every
+    (*extra_keys, index, type, kwargs) group whose chunks ALL carry a
+    monoid_json payload — one bounded agg over the results table
+    (sums/min/max JVM-side, ``hll_union_agg`` for distinct sketches,
     ``kll_merge_agg_double`` for quantile sketches), then driver math on
     one row per aggregate expectation. Grouping by the same
     (index, type, kwargs) key the rollup uses keeps a run whose suite was
-    edited mid-resume from mixing monoids across expectation definitions.
+    edited mid-resume from mixing monoids across expectation definitions;
+    ``extra_keys=("run_id",)`` turns the whole-RUN merge into the per-run
+    metric series that ``history.metric_series`` tracks across runs.
     Anything incomplete (mixed options, raised exceptions, non-numeric
     columns) is left out so rollup falls back to AND-of-chunks.
     """
@@ -277,7 +279,7 @@ def _merge_monoids(r: DataFrame) -> list[tuple]:
         return F.get_json_object(F.col("monoid_json"), f"$.{f}")
 
     rows = (
-        r.groupBy("expectation_index", "expectation_type", "kwargs_json")
+        r.groupBy(*extra_keys, "expectation_index", "expectation_type", "kwargs_json")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count(F.col("monoid_json")).alias("n_monoid"),
@@ -308,6 +310,7 @@ def _merge_monoids(r: DataFrame) -> list[tuple]:
     spark = r.sparkSession
     merged: list[tuple] = []
     for row in rows:
+        extras = tuple(row[k] for k in extra_keys)
         try:
             kwargs = json.loads(row.kwargs_json)
             n = int(row.m_count or 0)
@@ -327,7 +330,7 @@ def _merge_monoids(r: DataFrame) -> list[tuple]:
                     if v is None or (lo is not None and v < lo) or (
                             hi is not None and v > hi):
                         ok = False
-                merged.append((int(row.expectation_index),
+                merged.append(extras + (int(row.expectation_index),
                                row.expectation_type, row.kwargs_json,
                                json.dumps(obs, default=str), bool(ok)))
                 continue
@@ -355,7 +358,7 @@ def _merge_monoids(r: DataFrame) -> list[tuple]:
                 success = obs == int(kwargs["value"])
             else:
                 success = _between_success(obs, kwargs)
-            merged.append((int(row.expectation_index), row.expectation_type,
+            merged.append(extras + (int(row.expectation_index), row.expectation_type,
                            row.kwargs_json, json.dumps(obs, default=str),
                            bool(success)))
         except Exception:
