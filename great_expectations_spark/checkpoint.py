@@ -41,7 +41,7 @@ RESULTS_SCHEMA = (
     "success boolean, element_count long, missing_count long, "
     "unexpected_count long, observed_value_json string, "
     "raised_exception boolean, rows_scanned long, wall_time_s double, "
-    "finished_at double, monoid_json string"
+    "finished_at double, monoid_json string, unexpected_json string"
 )
 
 # map-style expectations whose (element/missing/unexpected) counts merge as
@@ -77,9 +77,23 @@ def results_rows(result, run_id: str, chunk_id: str, chunk_predicate: str,
                 round(wall_s, 4),
                 time.time(),
                 _monoid_json(res.get("monoid")),
+                _values_json(res.get("partial_unexpected_list")),
             )
         )
     return rows
+
+
+def _values_json(vals: list | None) -> str | None:
+    """Violation-value samples as a strict-JSON array (north rule: the
+    results table carries pass/fail AND violation rows per partition).
+    NaN/Infinity elements are not strict JSON — stringify the whole list
+    rather than drop it, so the sample survives with readable values."""
+    if not vals:
+        return None
+    try:
+        return json.dumps(vals, allow_nan=False, default=str)
+    except ValueError:
+        return json.dumps([str(v) for v in vals])
 
 
 def _monoid_json(monoid: dict | None) -> str | None:
@@ -375,6 +389,42 @@ class CheckpointResult:
     skipped_chunks: list[str]
     results_df: DataFrame
 
+    def violation_samples(self, cap: int = 100) -> DataFrame:
+        """Violation rows for this run, merged across chunks.
+
+        Chunks validated at BASIC/SUMMARY/COMPLETE persist their
+        ``partial_unexpected_list`` sample into the results table
+        (``unexpected_json``); this explodes those samples back into one
+        row per violating value — (expectation, chunk_id, value) — capped
+        at ``cap`` rows per expectation. Values come back as strings (the
+        JSON atoms coerced), pairable with ``kwargs_json`` for the column.
+
+        The cap window partitions BY expectation (width = chunks x the
+        per-chunk sample cap, bounded by construction) — never a global
+        sort. BOOLEAN_ONLY runs persist no samples and return 0 rows.
+        """
+        r = self.results_df.where(F.col("run_id") == self.run_id)
+        if "unexpected_json" not in r.columns:  # pre-upgrade results table
+            return r.select(
+                "expectation_index", "expectation_type", "kwargs_json",
+                "chunk_id", F.lit(None).cast("string").alias("unexpected_value"),
+            ).limit(0)
+        from pyspark.sql import Window
+
+        ex = r.where(F.col("unexpected_json").isNotNull()).select(
+            "expectation_index", "expectation_type", "kwargs_json", "chunk_id",
+            F.explode(F.from_json("unexpected_json", "array<string>")).alias(
+                "unexpected_value"),
+        )
+        w = Window.partitionBy(
+            "expectation_index", "expectation_type", "kwargs_json"
+        ).orderBy("chunk_id", "unexpected_value")
+        return (
+            ex.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= cap)
+            .drop("__rn")
+        )
+
     def rollup(self) -> DataFrame:
         """Suite-level verdict per expectation, merged across chunks.
 
@@ -500,7 +550,9 @@ def run_checkpoint(
 
     done: set[str] = set()
     try:
-        existing = spark.read.parquet(results_path)
+        # mergeSchema: a table begun by an older engine (fewer columns)
+        # stays readable after this engine appends the current schema
+        existing = spark.read.option("mergeSchema", "true").parquet(results_path)
         done = {
             r.chunk_id
             for r in existing.where(F.col("run_id") == run_id).select("chunk_id").distinct().collect()
@@ -537,5 +589,5 @@ def run_checkpoint(
         run_id=run_id,
         completed_chunks=completed,
         skipped_chunks=skipped,
-        results_df=spark.read.parquet(results_path),
+        results_df=spark.read.option("mergeSchema", "true").parquet(results_path),
     )
