@@ -1382,6 +1382,41 @@ def _hist2(spark, sf):
         F.round("zscore", 4).alias("zscore"), "drifted")
 
 
+@_q("raw_metrics_fused", """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(avg(l_quantity), 6) AS mean_qty,
+       round(min(l_extendedprice), 6) AS min_price,
+       round(max(l_extendedprice), 6) AS max_price,
+       CAST(count(DISTINCT l_returnflag) AS BIGINT) AS rf_distinct,
+       CAST(sum(CASE WHEN l_discount >= 0.05 AND l_discount <= 0.07
+                THEN 1 ELSE 0 END) AS BIGINT) AS disc_between
+FROM lineitem
+""")
+def _raw1(spark, sf):
+    # entry point D (raw metrics, no expectation): every metric below rides
+    # ONE fused df.agg scan — the reference resolves each as its own
+    # validation-graph wave (validator/metrics_calculator.py:57-106)
+    from great_expectations_spark.interactive import get_metrics
+
+    li = _tbl(spark, sf, "lineitem")
+    out = get_metrics(li, {
+        "n": ("table.row_count", {}),
+        "mean_qty": ("column.mean", {"column": "l_quantity"}),
+        "min_price": ("column.min", {"column": "l_extendedprice"}),
+        "max_price": ("column.max", {"column": "l_extendedprice"}),
+        "rf_distinct": ("column.distinct_values.count", {"column": "l_returnflag"}),
+        "disc_between": ("column.values_between.count",
+                         {"column": "l_discount",
+                          "min_value": 0.05, "max_value": 0.07}),
+    })
+    return spark.createDataFrame(
+        [(out["n"], round(float(out["mean_qty"]), 6),
+          round(float(out["min_price"]), 6), round(float(out["max_price"]), 6),
+          out["rf_distinct"], out["disc_between"])],
+        "n long, mean_qty double, min_price double, max_price double, "
+        "rf_distinct long, disc_between long")
+
+
 @_q("agg_median_price", """
 SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS observed,
        (quantile_cont(l_extendedprice, 0.5) >= 40000

@@ -22,6 +22,11 @@ from great_expectations_spark.core.result import (
     ExpectationValidationResult,
     SuiteValidationResult,
 )
+from great_expectations_spark.interactive import (
+    InteractiveValidator,
+    get_metric,
+    get_metrics,
+)
 from great_expectations_spark.validator import SparkValidator, validate
 from great_expectations_spark.functions.conditions import (
     register_regex_expectation,
@@ -36,6 +41,9 @@ __all__ = [
     "ExpectationValidationResult",
     "SuiteValidationResult",
     "SparkValidator",
+    "InteractiveValidator",
+    "get_metric",
+    "get_metrics",
     "validate",
     "register_regex_expectation",
     "register_set_expectation",
