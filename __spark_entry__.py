@@ -1382,6 +1382,63 @@ def _hist2(spark, sf):
         F.round("zscore", 4).alias("zscore"), "drifted")
 
 
+@_q("grouped_validate_lang", """
+WITH g AS (
+  SELECT lang, count(*) AS ec,
+    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS miss_nc,
+    sum(CASE WHEN n_chars IS NOT NULL
+         AND NOT (n_chars BETWEEN 50 AND 400) THEN 1 ELSE 0 END) AS uc_nc,
+    avg(n_chars) AS mean_nc
+  FROM documents GROUP BY lang
+)
+SELECT lang, 0 AS expectation_index, CAST(ec AS BIGINT) AS element_count,
+       CAST(0 AS BIGINT) AS missing_count,
+       CAST(null_text AS BIGINT) AS unexpected_count,
+       CAST(NULL AS DOUBLE) AS observed_value,
+       CASE WHEN ec <= 0 THEN TRUE
+            ELSE (CAST(ec - null_text AS DOUBLE) / ec) >= 0.9 END AS success
+FROM g
+UNION ALL
+SELECT lang, 1, CAST(ec AS BIGINT), CAST(miss_nc AS BIGINT),
+       CAST(uc_nc AS BIGINT), CAST(NULL AS DOUBLE),
+       CASE WHEN ec - miss_nc <= 0 THEN TRUE
+            ELSE (CAST(ec - miss_nc - uc_nc AS DOUBLE) / (ec - miss_nc)) >= 0.5
+       END
+FROM g
+UNION ALL
+SELECT lang, 2, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), round(mean_nc, 6),
+       coalesce(mean_nc >= 0 AND mean_nc <= 10000, FALSE)
+FROM g
+UNION ALL
+SELECT lang, 3, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), round(CAST(ec AS DOUBLE), 6), ec >= 1
+FROM g
+""")
+def _grp1(spark, sf):
+    # per-group suite verdicts in ONE groupBy-agg scan (the reference carves
+    # k batches = k scans); result stays a DataFrame — group cardinality
+    # unbounded
+    from great_expectations_spark.grouped import validate_by
+
+    docs = _tbl(spark, sf, "documents")
+    suite = (
+        ExpectationSuite("grp")
+        .add("expect_column_values_to_not_be_null", column="text", mostly=0.9)
+        .add("expect_column_values_to_be_between", column="n_chars",
+             min_value=50, max_value=400, mostly=0.5)
+        .add("expect_column_mean_to_be_between", column="n_chars",
+             min_value=0, max_value=10000)
+        .add("expect_table_row_count_to_be_between", min_value=1)
+    )
+    out = validate_by(docs, suite, ["lang"])
+    return out.select(
+        "lang", "expectation_index", "element_count", "missing_count",
+        "unexpected_count", F.round("observed_value", 6).alias("observed_value"),
+        "success")
+
+
 @_q("raw_metrics_fused", """
 SELECT CAST(count(*) AS BIGINT) AS n,
        round(avg(l_quantity), 6) AS mean_qty,

@@ -27,6 +27,7 @@ from great_expectations_spark.interactive import (
     get_metric,
     get_metrics,
 )
+from great_expectations_spark.grouped import validate_by
 from great_expectations_spark.validator import SparkValidator, validate
 from great_expectations_spark.functions.conditions import (
     register_regex_expectation,
@@ -45,6 +46,7 @@ __all__ = [
     "get_metric",
     "get_metrics",
     "validate",
+    "validate_by",
     "register_regex_expectation",
     "register_set_expectation",
 ]

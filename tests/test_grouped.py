@@ -1,0 +1,143 @@
+"""Grouped validation: per-group suite verdicts in one scan (grouped.py).
+
+Parity target: for each group g, validate_by's row must equal what
+validate() returns on df.where(group == g) — same counts, same mostly
+semantics, same between verdicts — without running one job per group.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from great_expectations_spark import ExpectationSuite, validate
+from great_expectations_spark.grouped import validate_by
+from great_expectations_spark.plans.compiler import CompileError
+
+SUITE = (
+    ExpectationSuite("grp")
+    .add("expect_column_values_to_not_be_null", column="v", mostly=0.8)
+    .add("expect_column_values_to_be_between", column="v", min_value=0, max_value=50)
+    .add("expect_column_mean_to_be_between", column="v", min_value=0, max_value=30)
+    .add("expect_table_row_count_to_be_between", min_value=5)
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = []
+    for i in range(300):
+        g = "abc"[i % 3]
+        v = None if (g == "a" and i % 4 == 0) else float(i % 80)
+        rows.append((i, g, v))
+    return spark.createDataFrame(rows, "id long, g string, v double").cache()
+
+
+def test_matches_per_group_validate(spark, df):
+    out = {(r.g, r.expectation_index): r
+           for r in validate_by(df, SUITE, ["g"]).collect()}
+    assert len(out) == 3 * 4
+    for g in ("a", "b", "c"):
+        ref = validate(df.where(F.col("g") == g), SUITE)
+        for i, evr in enumerate(ref.results):
+            row = out[(g, i)]
+            assert row.success == evr.success, (g, i)
+            res = evr.result
+            if row.unexpected_count is not None:  # map expectation
+                assert row.element_count == res["element_count"]
+                assert row.missing_count == res["missing_count"]
+                assert row.unexpected_count == res["unexpected_count"]
+            else:
+                assert row.observed_value == pytest.approx(
+                    float(res["observed_value"]))
+
+
+def test_single_shuffle_plan(df):
+    plan = (validate_by(df, SUITE, ["g"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1  # one shuffle on g
+    assert "partial" in plan.lower()  # map-side combine
+
+
+def test_row_condition_and_multiple_keys(spark):
+    d = spark.createDataFrame(
+        [(i, i % 2, "xy"[i % 2], float(i)) for i in range(40)],
+        "id long, k int, s string, v double")
+    suite = ExpectationSuite("rc").add(
+        "expect_column_values_to_be_between", column="v", min_value=10,
+        row_condition="id >= 20", condition_parser="spark")
+    rows = validate_by(d, suite, ["k", "s"]).collect()
+    assert len(rows) == 2
+    for r in rows:
+        # rows with id < 20 are excluded by the row condition entirely
+        assert r.element_count == 10 and r.unexpected_count == 0 and r.success
+
+
+def test_distinct_count_and_proportion(spark, df):
+    suite = (
+        ExpectationSuite("dc")
+        .add("expect_column_unique_value_count_to_be_between",
+             column="v", min_value=1, max_value=100)
+        .add("expect_column_proportion_of_unique_values_to_be_between",
+             column="v", min_value=0.5)
+    )
+    rows = {(r.g, r.expectation_index): r
+            for r in validate_by(df, suite, "g").collect()}
+    for g in ("a", "b", "c"):
+        sub = df.where(F.col("g") == g)
+        dc = sub.select("v").where(F.col("v").isNotNull()).distinct().count()
+        nn = sub.where(F.col("v").isNotNull()).count()
+        assert rows[(g, 0)].observed_value == float(dc)
+        assert rows[(g, 1)].observed_value == pytest.approx(dc / nn)
+
+
+def test_row_count_equal(spark, df):
+    suite = ExpectationSuite("rce").add(
+        "expect_table_row_count_to_equal", value=100)
+    rows = validate_by(df, suite, ["g"]).collect()
+    assert all(r.success for r in rows)  # 300 rows, 3 even groups
+
+
+def test_unsupported_raises_with_reason(df):
+    suite = ExpectationSuite("u").add(
+        "expect_column_values_to_be_unique", column="id")
+    with pytest.raises(CompileError, match="whole-table semantics"):
+        validate_by(df, suite, ["g"])
+
+
+def test_unsupported_skip_keeps_rest(df):
+    suite = (
+        ExpectationSuite("u")
+        .add("expect_column_values_to_be_unique", column="id")
+        .add("expect_column_values_to_not_be_null", column="v")
+    )
+    rows = validate_by(df, suite, ["g"], on_unsupported="skip").collect()
+    assert {r.expectation_index for r in rows} == {1}
+
+
+def test_non_numeric_aggregate_raises(df):
+    suite = ExpectationSuite("nn").add(
+        "expect_column_mean_to_be_between", column="g", min_value=0)
+    with pytest.raises(CompileError, match="numeric"):
+        validate_by(df, suite, ["g"])
+
+
+def test_missing_column_raises(df):
+    suite = ExpectationSuite("mc").add(
+        "expect_column_values_to_not_be_null", column="nope")
+    with pytest.raises(CompileError, match="not found"):
+        validate_by(df, suite, ["g"])
+
+
+def test_datetime_bounds_unsupported(df):
+    suite = ExpectationSuite("dt").add(
+        "expect_column_mean_to_be_between", column="v", min_value="2024-01-01")
+    with pytest.raises(CompileError, match="numeric bounds"):
+        validate_by(df, suite, ["g"])
+
+
+def test_null_group_key_kept(spark):
+    d = spark.createDataFrame(
+        [(1, None, 1.0), (2, "x", 2.0)], "id long, g string, v double")
+    suite = ExpectationSuite("ng").add(
+        "expect_column_values_to_not_be_null", column="v")
+    rows = validate_by(d, suite, ["g"]).collect()
+    assert len(rows) == 2 and {r.g for r in rows} == {None, "x"}
