@@ -102,6 +102,19 @@ def _fused(name: str, kw: dict, o: Options):
         return one(F.min(F.length(col)))
     if name == "column_values.length_max":
         return one(F.max(F.length(col)))
+    if name == "column.histogram":
+        # reference column_histogram.py:229-296 (Bucketizer + groupBy):
+        # here the bucket counts are conditional sums fused into the same
+        # agg — [lo,hi) per bin, last bin closed, same as the KL path
+        bins = [float(b) for b in kw["bins"]]
+        exprs = {}
+        for i in range(len(bins) - 1):
+            upper = (col <= F.lit(bins[i + 1])) if i == len(bins) - 2 else (
+                col < F.lit(bins[i + 1]))
+            exprs[f"b{i}"] = F.sum(
+                ((col >= F.lit(bins[i])) & upper).cast("long"))
+        return exprs, lambda d: [int(d[f"b{i}"] or 0)
+                                 for i in range(len(bins) - 1)]
     return None
 
 
@@ -125,6 +138,33 @@ def _eager(df: DataFrame, name: str, kw: dict, o: Options):
                 f"column {c!r} has more than distinct_set_cap="
                 f"{o.distinct_set_cap} distinct values")
         return set(r[0] for r in rows)
+    if name == "column.partition":
+        # reference column_partition.py:59-113: bin edges from min/max
+        # (uniform), quantiles (quantile), or ntile-style auto — one
+        # bounded agg job, edges math on the driver
+        n_bins = int(kw.get("bins", 10)) if not isinstance(
+            kw.get("bins"), str) else 10
+        mode = kw.get("bins") if isinstance(kw.get("bins"), str) else "uniform"
+        if isinstance(kw.get("n_bins"), int):
+            n_bins = kw["n_bins"]
+        col = F.col(c)
+        if mode == "uniform":
+            row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).head()
+            if row.lo is None:
+                return None
+            lo, hi = float(row.lo), float(row.hi)
+            step = (hi - lo) / n_bins if hi > lo else 1.0
+            return [lo + i * step for i in range(n_bins)] + [hi]
+        if mode == "quantile":
+            qs = [i / n_bins for i in range(n_bins + 1)]
+            expr = (F.percentile(col, F.array(*[F.lit(q) for q in qs]))
+                    if o.exact_quantiles
+                    else F.percentile_approx(
+                        col, F.array(*[F.lit(q) for q in qs]),
+                        o.percentile_accuracy))
+            vals = df.agg(expr.alias("q")).head().q
+            return [float(v) for v in vals] if vals is not None else None
+        raise KeyError(f"unsupported column.partition bins mode {mode!r}")
     if name == "column.most_common_value":
         counts = _eager(df, "column.value_counts", kw, o)
         if not counts:
@@ -135,8 +175,8 @@ def _eager(df: DataFrame, name: str, kw: dict, o: Options):
         f"unsupported metric {name!r}; supported: table.row_count, "
         "table.columns, table.column_types, column.{sum,mean,min,max,"
         "standard_deviation,median,quantile_values,distinct_values[.count],"
-        "unique_proportion,value_counts,most_common_value,"
-        "values_between.count}, column_values.{null,nonnull}.count, "
+        "unique_proportion,value_counts,most_common_value,histogram,"
+        "partition,values_between.count}, column_values.{null,nonnull}.count, "
         "column_values.length_{min,max}")
 
 

@@ -19,12 +19,14 @@ from great_expectations_spark.streaming.dedup_stream import (
 from great_expectations_spark.streaming.stateful import cumulative_condition_rate
 from great_expectations_spark.streaming.validate_stream import (
     validate_stream,
+    validate_stream_by,
     windowed_condition_rates,
     windowed_kl_drift,
 )
 
 __all__ = [
     "validate_stream",
+    "validate_stream_by",
     "windowed_condition_rates",
     "windowed_kl_drift",
     "cumulative_condition_rate",

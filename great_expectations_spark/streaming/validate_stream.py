@@ -65,6 +65,46 @@ def validate_stream(
     return writer.start()
 
 
+def validate_stream_by(
+    stream_df: DataFrame,
+    suite: ExpectationSuite,
+    group_by: list[str] | str,
+    results_path: str,
+    checkpoint_location: str,
+    run_id: str = "stream",
+    trigger_seconds: int | None = None,
+    options: Any = None,
+    on_unsupported: str = "raise",
+) -> StreamingQuery:
+    """Per-GROUP suite verdicts per micro-batch (``grouped.validate_by``
+    inside foreachBatch), appended long-format to ``results_path`` with
+    (run_id, chunk_id=batch-<id>) lineage — a continuously-updating
+    per-key quality monitor (per-lang / per-domain verdict rows every
+    trigger). One groupBy-agg per batch regardless of group count; the
+    results table stays a plain DataFrame for downstream joins/alerts.
+    Same at-least-once replay contract as ``validate_stream``."""
+    from great_expectations_spark.grouped import validate_by
+
+    keys = [group_by] if isinstance(group_by, str) else list(group_by)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = validate_by(batch_df, suite, keys, options=options,
+                          on_unsupported=on_unsupported)
+        (out.withColumn("run_id", F.lit(run_id))
+            .withColumn("chunk_id", F.lit(f"batch-{batch_id}"))
+            .withColumn("finished_at", F.lit(float(time.time())))
+            .coalesce(1).write.mode("append").parquet(results_path))
+
+    writer = (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_location)
+        .foreachBatch(process)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def windowed_condition_rates(
     stream_df: DataFrame,
     ts_col: str,

@@ -134,6 +134,42 @@ def test_datetime_bounds_unsupported(df):
         validate_by(df, suite, ["g"])
 
 
+def test_streaming_grouped_monitor(spark, df, tmp_path):
+    # per-group verdicts per micro-batch: the continuously-updating quality
+    # monitor shape (validate_stream_by = validate_by inside foreachBatch)
+    from great_expectations_spark.streaming import validate_stream_by
+
+    src = str(tmp_path / "src")
+    df.withColumn("part", F.pmod(F.col("id"), F.lit(2))) \
+        .write.partitionBy("part").parquet(src)
+    stream = (spark.readStream.schema("id long, g string, v double")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/part=*"))
+    suite = (
+        ExpectationSuite("sg")
+        .add("expect_column_values_to_not_be_null", column="v", mostly=0.5)
+        .add("expect_column_mean_to_be_between", column="v",
+             min_value=0, max_value=100)
+    )
+    results = str(tmp_path / "res")
+    q = validate_stream_by(stream, suite, ["g"], results,
+                           str(tmp_path / "ckpt"), run_id="sg1")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rdf = spark.read.parquet(results)
+    n_batches = rdf.select("chunk_id").distinct().count()
+    assert n_batches >= 2
+    assert rdf.count() == n_batches * 3 * 2  # batches x groups x expectations
+    # per-(batch, group) verdicts are real: only group 'a' (the one with
+    # planted nulls) may dip under mostly=0.5 within a skewed micro-batch
+    bad = rdf.where("NOT success").collect()
+    assert all(r.g == "a" and r.expectation_index == 0 for r in bad)
+    assert rdf.where("expectation_index = 1 AND NOT success").count() == 0
+    assert set(rdf.columns) >= {"g", "expectation_index", "success",
+                                "run_id", "chunk_id", "finished_at"}
+
+
 def test_null_group_key_kept(spark):
     d = spark.createDataFrame(
         [(1, None, 1.0), (2, "x", 2.0)], "id long, g string, v double")

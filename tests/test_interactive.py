@@ -75,6 +75,23 @@ def test_eager_metrics_bounded(df):
                    options=Options(distinct_set_cap=5))
 
 
+def test_histogram_fused(df):
+    out = get_metrics(df, {
+        "h": ("column.histogram", {"column": "v", "bins": [0, 25, 50, 100]}),
+        "n": ("table.row_count", {}),
+    })
+    # [0,25) [25,50) [50,100] over v = 0..99
+    assert out["h"] == [25, 25, 50] and out["n"] == 100
+
+
+def test_partition_uniform_and_quantile(df):
+    edges = get_metric(df, "column.partition", column="v", n_bins=4)
+    assert edges == [pytest.approx(e) for e in [0, 24.75, 49.5, 74.25, 99.0]]
+    qedges = get_metric(df, "column.partition", column="v",
+                        bins="quantile", n_bins=4)
+    assert qedges[0] == 0.0 and qedges[-1] == 99.0 and len(qedges) == 5
+
+
 def test_unknown_metric_lists_supported(df):
     with pytest.raises(KeyError, match="unsupported metric"):
         get_metric(df, "column.nope", column="v")
