@@ -1439,6 +1439,24 @@ def _grp1(spark, sf):
         "success")
 
 
+@_q("grouped_violation_rows", """
+SELECT lang, CAST(doc_id AS BIGINT) AS doc_id
+FROM documents WHERE doc_id < 10
+""")
+def _grpv(spark, sf):
+    # per-(group, expectation) violation rows in one extra scan: only
+    # violating rows shuffle, two-phase top-k caps each group without a
+    # single-task hotspot
+    from great_expectations_spark.grouped import violations_by
+
+    docs = _tbl(spark, sf, "documents")
+    suite = ExpectationSuite("gv").add(
+        "expect_column_values_to_be_between", column="doc_id", min_value=10)
+    out = violations_by(docs, suite, ["lang"], k=20)
+    return out.select(
+        "lang", F.col("unexpected_value").cast("long").alias("doc_id"))
+
+
 @_q("raw_metrics_fused", """
 SELECT CAST(count(*) AS BIGINT) AS n,
        round(avg(l_quantity), 6) AS mean_qty,

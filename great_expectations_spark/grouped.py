@@ -206,3 +206,77 @@ def validate_by(
 
     return g.select(*keys, F.explode(F.array(*structs)).alias("r")).select(
         *keys, "r.*")
+
+
+def violations_by(
+    df: DataFrame,
+    suite: ExpectationSuite,
+    group_by: list[str] | str,
+    k: int = 20,
+    on_unsupported: str = "skip",
+) -> DataFrame:
+    """Up to ``k`` violating values per (group, map expectation) — the
+    violation-row counterpart of ``validate_by``, one extra scan.
+
+    One pass builds, per row, the array of (expectation, value) entries the
+    row violates; rows violating nothing are filtered BEFORE the shuffle,
+    so only violation rows move. The per-group cap is a two-phase top-k:
+    first ``row_number`` within (group, expectation, input-partition) —
+    bounded per task even when one group carries millions of violations —
+    then within (group, expectation) over the ≤ k x n_partitions
+    survivors. Non-scalar violation values (pair/record kernels) come back
+    as JSON.
+
+    Non-map expectations have no violating rows; ``on_unsupported="skip"``
+    (default) ignores them, ``"raise"`` refuses the suite.
+    """
+    from pyspark.sql import Window
+
+    keys = [group_by] if isinstance(group_by, str) else list(group_by)
+    entries: list[Column] = []
+    conds: list[Column] = []
+    for i, config in enumerate(suite.expectations):
+        etype, kw = config.expectation_type, config.kwargs
+        if etype not in MAP_KERNELS:
+            if on_unsupported == "skip":
+                continue
+            raise CompileError(
+                f"{etype} is not a map expectation; it has no violation rows")
+        kernel = MAP_KERNELS[etype](kw)
+        missing_cols = [c for c in kernel.columns if c not in df.columns]
+        if missing_cols:
+            raise CompileError(f"column(s) not found: {missing_cols}")
+        rc = _row_condition(kw)
+        include = kernel.include & rc if rc is not None else kernel.include
+        unexpected = include & F.coalesce(~kernel.ok, F.lit(False))
+        value = (kernel.value.cast("string") if kernel.value_format == "scalar"
+                 else F.to_json(kernel.value))
+        entries.append(F.when(unexpected, F.struct(
+            F.lit(i).alias("expectation_index"),
+            F.lit(etype).alias("expectation_type"),
+            value.alias("unexpected_value"))))
+        conds.append(unexpected)
+    if not entries:
+        raise CompileError("no map expectations in suite")
+
+    any_bad = conds[0]
+    for c in conds[1:]:
+        any_bad = any_bad | c
+    ex = (
+        df.where(F.coalesce(any_bad, F.lit(False)))
+        .select(*keys, F.spark_partition_id().alias("__pid"),
+                F.explode(F.filter(F.array(*entries),
+                                   lambda e: e.isNotNull())).alias("r"))
+        .select(*keys, "__pid", "r.*")
+    )
+    w1 = Window.partitionBy(*keys, "expectation_index", "__pid").orderBy(
+        "unexpected_value")
+    w2 = Window.partitionBy(*keys, "expectation_index").orderBy(
+        "unexpected_value")
+    return (
+        ex.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= k)
+        .withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= k)
+        .drop("__rn", "__pid")
+    )

@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from great_expectations_spark import ExpectationSuite, validate
-from great_expectations_spark.grouped import validate_by
+from great_expectations_spark.grouped import validate_by, violations_by
 from great_expectations_spark.plans.compiler import CompileError
 
 SUITE = (
@@ -168,6 +168,62 @@ def test_streaming_grouped_monitor(spark, df, tmp_path):
     assert rdf.where("expectation_index = 1 AND NOT success").count() == 0
     assert set(rdf.columns) >= {"g", "expectation_index", "success",
                                 "run_id", "chunk_id", "finished_at"}
+
+
+def test_violations_by_exact_values(spark):
+    d = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(40)],
+        "id long, g string, v double")
+    suite = (
+        ExpectationSuite("vb")
+        .add("expect_column_values_to_be_between", column="v", min_value=34)
+        .add("expect_column_mean_to_be_between", column="v", min_value=0)
+    )
+    rows = violations_by(d, suite, ["g"]).collect()
+    # ids 0..33 violate; per group 17 each, all map rows from expectation 0
+    assert len(rows) == 34
+    assert all(r.expectation_index == 0 for r in rows)
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.g, []).append(float(r.unexpected_value))
+    assert sorted(by_g["a"]) == [float(i) for i in range(0, 34, 2)]
+    assert sorted(by_g["b"]) == [float(i) for i in range(1, 34, 2)]
+
+
+def test_violations_by_cap_per_group(spark):
+    d = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(400)],
+        "id long, g string, v double")
+    suite = ExpectationSuite("vb").add(
+        "expect_column_values_to_be_between", column="v", min_value=1000)
+    out = violations_by(d, suite, ["g"], k=5)
+    counts = {r.g: r["count"] for r in out.groupBy("g").count().collect()}
+    assert counts == {"a": 5, "b": 5}
+
+
+def test_violations_by_raise_on_non_map(spark):
+    d = spark.createDataFrame([(1, "a", 1.0)], "id long, g string, v double")
+    suite = ExpectationSuite("vb").add(
+        "expect_column_mean_to_be_between", column="v", min_value=0)
+    with pytest.raises(CompileError, match="no map expectations"):
+        violations_by(d, suite, ["g"])
+    suite2 = (ExpectationSuite("vb2")
+              .add("expect_column_mean_to_be_between", column="v", min_value=0)
+              .add("expect_column_values_to_not_be_null", column="v"))
+    with pytest.raises(CompileError, match="not a map expectation"):
+        violations_by(d, suite2, ["g"], on_unsupported="raise")
+
+
+def test_violations_by_pair_values_json(spark):
+    d = spark.createDataFrame(
+        [(1, "a", 5.0, 10.0), (2, "a", 10.0, 5.0)],
+        "id long, g string, x double, y double")
+    suite = ExpectationSuite("pp").add(
+        "expect_column_pair_values_a_to_be_greater_than_b",
+        column_A="x", column_B="y")
+    rows = violations_by(d, suite, ["g"]).collect()
+    assert len(rows) == 1
+    assert "5.0" in rows[0].unexpected_value and "10.0" in rows[0].unexpected_value
 
 
 def test_null_group_key_kept(spark):
