@@ -153,7 +153,9 @@ def _eager(df: DataFrame, name: str, kw: dict, o: Options):
             if row.lo is None:
                 return None
             lo, hi = float(row.lo), float(row.hi)
-            step = (hi - lo) / n_bins if hi > lo else 1.0
+            # np.linspace semantics (reference column_partition.py:69-74):
+            # a constant column yields n_bins+1 identical edges
+            step = (hi - lo) / n_bins
             return [lo + i * step for i in range(n_bins)] + [hi]
         if mode == "quantile":
             qs = [i / n_bins for i in range(n_bins + 1)]

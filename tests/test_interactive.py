@@ -92,6 +92,12 @@ def test_partition_uniform_and_quantile(df):
     assert qedges[0] == 0.0 and qedges[-1] == 99.0 and len(qedges) == 5
 
 
+def test_partition_constant_column(spark):
+    d = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "v double")
+    edges = get_metric(d, "column.partition", column="v", n_bins=3)
+    assert edges == [5.0, 5.0, 5.0, 5.0]  # np.linspace semantics
+
+
 def test_unknown_metric_lists_supported(df):
     with pytest.raises(KeyError, match="unsupported metric"):
         get_metric(df, "column.nope", column="v")

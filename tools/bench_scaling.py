@@ -162,6 +162,47 @@ def _mono_run(label: str) -> dict:
             "rows_per_sec": round(N_ROWS / best, 2)}
 
 
+def _grouped_run(label: str) -> dict:
+    """Grouped-validation scaling: per-domain suite verdicts in one
+    groupBy-agg (grouped.validate_by) over ~1000 Zipf-skewed domains (d0
+    carries 20% of rows). Partial aggregation makes the map side do the
+    per-row work; the shuffle moves one row per (group, partition) — this
+    must track executor count like the fused suite does."""
+    from great_expectations_spark import ExpectationSuite
+    from great_expectations_spark.grouped import validate_by
+    from pyspark.sql import functions as F
+
+    spark, cores = _session(label)
+    df = (spark.read.parquet(DATA_DIR)
+          .withColumn("domain", F.regexp_extract(
+              "url", r"^https://([^/]+)/", 1)))
+    df.selectExpr("sum(length(text))", "sum(length(url))").first()
+
+    suite = (
+        ExpectationSuite(name="grp")
+        .add("expect_column_values_to_not_be_null", column="text", mostly=0.9)
+        .add("expect_column_values_to_be_in_set",
+             column="lang",
+             value_set=["en", "de", "fr", "es", "zh", "ru", "ja", "pt"],
+             mostly=0.95)
+        .add("expect_column_values_to_match_regex",
+             column="url", regex=r"^https://d\d+\.example/", mostly=0.99)
+        .add("expect_column_mean_to_be_between",
+             column="warc_ts_epoch", min_value=0)
+        .add("expect_table_row_count_to_be_between", min_value=1)
+    )
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.time()
+        n = validate_by(df, suite, ["domain"]).count()
+        best = min(best, time.time() - t0)
+        assert n >= 5  # groups x expectations
+    spark.stop()
+    return {"label": label, "master": MASTERS[label][0], "cores": cores,
+            "rows": N_ROWS, "best_sec": round(best, 4),
+            "rows_per_sec": round(N_ROWS / best, 2)}
+
+
 def _calib_run(label: str) -> dict:
     """Host scaling ceiling: embarrassingly-parallel codegen aggregation."""
     from pyspark.sql import functions as F
@@ -195,7 +236,11 @@ def _spawn(label: str, kind: str) -> dict:
 
 def main() -> None:
     _gen_data()
-    kinds = ("engine", "mono") if os.environ.get("SPARK_GRAFT_SCALING_MONO") else ("engine",)
+    kinds = ("engine",)
+    if os.environ.get("SPARK_GRAFT_SCALING_MONO"):
+        kinds += ("mono",)
+    if os.environ.get("SPARK_GRAFT_SCALING_GROUPED"):
+        kinds += ("grouped",)
     best: dict = {}
     for _round in range(3):  # alternating rounds damp host noise
         for kind in kinds:
@@ -227,12 +272,19 @@ def main() -> None:
         report["monotonic_4N"] = m_4n
         report["monotonic_scaling_efficiency"] = round(
             m_4n["rows_per_sec"] / (4 * m_n["rows_per_sec"]), 4)
+    if ("grouped", "N") in best:
+        g_n, g_4n = best[("grouped", "N")], best[("grouped", "4N")]
+        report["grouped_N"] = g_n
+        report["grouped_4N"] = g_4n
+        report["grouped_scaling_efficiency"] = round(
+            g_4n["rows_per_sec"] / (4 * g_n["rows_per_sec"]), 4)
     print(json.dumps(report, indent=2))
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 3 and sys.argv[1] == "--worker":
-        fn = {"engine": _engine_run, "mono": _mono_run, "calib": _calib_run}[sys.argv[3]]
+        fn = {"engine": _engine_run, "mono": _mono_run,
+              "grouped": _grouped_run, "calib": _calib_run}[sys.argv[3]]
         print(json.dumps(fn(sys.argv[2])))
     else:
         main()
