@@ -20,9 +20,11 @@ counts. Aggregate between-expectations evaluate their bounds as Column
 predicates per group.
 
 Out of scope (raise, or ``on_unsupported="skip"``): expectations needing
-eager jobs or cross-row state — uniqueness/distinct-set/KL/chi-square/KS,
-increasing/decreasing, schema-level checks, quantile ranges. Those have
-whole-table semantics; run them through ``validate``/``run_checkpoint``.
+eager jobs or cross-row state — distinct-set membership/KL/chi-square/KS,
+increasing/decreasing, schema-level checks. Those have whole-table
+semantics; run them through ``validate``/``run_checkpoint``. Uniqueness
+counts and quantile ranges ARE groupable (count_distinct / percentile as
+grouped agg expressions; quantiles report success only).
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ from pyspark.sql import types as T
 from great_expectations_spark.core.suite import ExpectationSuite
 from great_expectations_spark.functions.conditions import MAP_KERNELS
 from great_expectations_spark.plans.compiler import (
+    _STRING_ONLY_MAP_TYPES,
     CompileError,
     Options,
     _row_condition,
@@ -120,6 +123,10 @@ def validate_by(
                 missing_cols = [c for c in kernel.columns if c not in df.columns]
                 if missing_cols:
                     raise CompileError(f"column(s) not found: {missing_cols}")
+                if etype in _STRING_ONLY_MAP_TYPES and not isinstance(
+                        df.schema[kw["column"]].dataType, T.StringType):
+                    raise CompileError(
+                        f"Values passed to {etype} must be of type string.")
                 rc = _row_condition(kw)
                 include = kernel.include & rc if rc is not None else kernel.include
                 count_base = F.when(rc, F.lit(1)) if rc is not None else F.lit(1)
@@ -138,6 +145,27 @@ def validate_by(
                 obs = _AGG_OBSERVED[etype](F.col(kw["column"]))
                 entry["obs"] = alias(obs.cast("double"))
                 _between_cond(F.lit(0.0), kw)  # validate bounds eagerly
+            elif etype == "expect_column_quantile_values_to_be_between":
+                _numeric(df, kw["column"])
+                qr = kw["quantile_ranges"]
+                qs = [float(q) for q in qr["quantiles"]]
+                ranges = list(qr["value_ranges"])
+                if len(qs) != len(ranges):
+                    raise CompileError(
+                        "quantile_ranges: quantiles and value_ranges differ in length")
+                for lo, hi in ranges:
+                    for b in (lo, hi):
+                        if b is not None and not isinstance(b, (int, float)):
+                            raise CompileError(
+                                f"grouped validation supports numeric bounds only, got {b!r}")
+                arr = F.array(*[F.lit(q) for q in qs])
+                col = F.col(kw["column"])
+                expr = (
+                    F.percentile_approx(col, arr, o.percentile_accuracy)
+                    if kw.get("allow_relative_error") or not o.exact_quantiles
+                    else F.percentile(col, arr))
+                entry["qalias"] = alias(expr)
+                entry["ranges"] = ranges
             elif etype in _COUNT_TYPES:
                 entry["obs"] = alias(F.count(F.lit(1)).cast("double"))
                 if etype == "expect_table_row_count_to_equal":
@@ -185,6 +213,19 @@ def validate_by(
                 (nonmissing - unexp).cast("double") / nonmissing
                 >= F.lit(e["mostly"]))
             obs = F.lit(None).cast("double")
+        elif "qalias" in e:  # quantile ranges: success only, per group
+            elem = F.lit(None).cast("long")
+            missing = F.lit(None).cast("long")
+            unexp = F.lit(None).cast("long")
+            obs = F.lit(None).cast("double")
+            success = F.lit(True)
+            for qi, (lo, hi) in enumerate(e["ranges"]):
+                v = F.element_at(F.col(e["qalias"]), qi + 1)
+                success = success & v.isNotNull()
+                if lo is not None:
+                    success = success & (v >= F.lit(lo))
+                if hi is not None:
+                    success = success & (v <= F.lit(hi))
         else:
             elem = F.lit(None).cast("long")
             missing = F.lit(None).cast("long")

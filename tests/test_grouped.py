@@ -89,6 +89,33 @@ def test_distinct_count_and_proportion(spark, df):
         assert rows[(g, 1)].observed_value == pytest.approx(dc / nn)
 
 
+def test_quantile_ranges_per_group(spark, df):
+    suite = (
+        ExpectationSuite("q")
+        .add("expect_column_quantile_values_to_be_between", column="v",
+             quantile_ranges={"quantiles": [0.25, 0.75],
+                              "value_ranges": [[0, 60], [20, 79]]})
+        .add("expect_column_quantile_values_to_be_between", column="v",
+             quantile_ranges={"quantiles": [0.5],
+                              "value_ranges": [[1000, None]]})
+    )
+    rows = {(r.g, r.expectation_index): r
+            for r in validate_by(df, suite, ["g"]).collect()}
+    for g in ("a", "b", "c"):
+        ref = validate(df.where(F.col("g") == g), suite)
+        assert rows[(g, 0)].success == ref.results[0].success
+        assert rows[(g, 1)].success is False  # median nowhere near 1000
+        assert rows[(g, 0)].observed_value is None
+
+
+def test_string_only_map_type_needs_string_column(spark, df):
+    suite = ExpectationSuite("s").add(
+        "expect_column_values_to_match_strftime_format",
+        column="v", strftime_format="%Y-%m-%d")
+    with pytest.raises(CompileError, match="type string"):
+        validate_by(df, suite, ["g"])
+
+
 def test_row_count_equal(spark, df):
     suite = ExpectationSuite("rce").add(
         "expect_table_row_count_to_equal", value=100)
