@@ -130,38 +130,44 @@ def flag_drift(
     z_threshold: float = 3.0,
     min_history: int = 3,
     order_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
+    value_col: str = "value",
 ) -> DataFrame:
     """Score each run's metric against its own trailing history.
 
-    For every (expectation, metric_name) the runs are ordered (by
-    ``order_by``, default ``[run_ts, run_id]``) and each value is compared
-    to the mean/stddev of STRICTLY EARLIER runs: ``zscore = (value -
-    trailing_mean) / trailing_stddev``. ``drifted`` is true when at least
-    ``min_history`` earlier runs exist and either |zscore| > ``z_threshold``
-    or the trailing history was constant (stddev 0) and the value moved at
-    all. Runs with NULL values (non-numeric metrics, raised exceptions)
-    are passed through unflagged.
+    For every metric series (default: one per (expectation, metric_name);
+    pass ``partition_by`` to track any other identity — e.g.
+    ``["lang", "expectation_index"]`` over a grouped/streaming results
+    table, where each (group, expectation) drifts independently across
+    micro-batches) the runs are ordered (by ``order_by``, default
+    ``[run_ts, run_id]``) and each value is compared to the mean/stddev of
+    STRICTLY EARLIER runs: ``zscore = (value - trailing_mean) /
+    trailing_stddev``. ``drifted`` is true when at least ``min_history``
+    earlier runs exist and either |zscore| > ``z_threshold`` or the
+    trailing history was constant (stddev 0) and the value moved at all.
+    Rows with NULL values (non-numeric metrics, raised exceptions) are
+    passed through unflagged.
 
-    The window partitions by expectation — never a global single-partition
-    sort; width = number of runs, bounded by construction.
+    The window partitions by the series identity — never a global
+    single-partition sort; width = number of runs, bounded by construction.
     """
+    parts = partition_by or [
+        "expectation_index", "expectation_type", "kwargs_json", "metric_name"]
     order_cols = [F.col(c) for c in (order_by or ["run_ts", "run_id"])]
     w = (
-        Window.partitionBy(
-            "expectation_index", "expectation_type", "kwargs_json", "metric_name"
-        )
+        Window.partitionBy(*parts)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    prior_n = F.count("value").over(w)
-    prior_mean = F.avg("value").over(w)
-    prior_std = F.stddev_samp("value").over(w)
+    prior_n = F.count(value_col).over(w)
+    prior_mean = F.avg(value_col).over(w)
+    prior_std = F.stddev_samp(value_col).over(w)
     z = F.when(
-        prior_std > 0, (F.col("value") - prior_mean) / prior_std
+        prior_std > 0, (F.col(value_col) - prior_mean) / prior_std
     )
-    moved = F.abs(F.col("value") - prior_mean) > 0
+    moved = F.abs(F.col(value_col) - prior_mean) > 0
     drifted = (
-        F.col("value").isNotNull()
+        F.col(value_col).isNotNull()
         & (prior_n >= min_history)
         & F.coalesce(
             F.abs(z) > z_threshold,  # NULL z => constant history

@@ -111,6 +111,22 @@ def test_drift_ignores_null_values(spark, tmp_path):
     assert flag_drift(s, min_history=1).where("drifted").count() == 0
 
 
+def test_drift_over_grouped_series(spark):
+    # flag_drift over a grouped/streaming-shaped table: each (group,
+    # expectation) is its own series across batches
+    rows = []
+    for b, shift in enumerate([0.0, 0.0, 0.0, 50.0]):
+        for g in ("en", "de"):
+            rows.append((f"batch-{b}", g, 0, 10.0 + (shift if g == "en" else 0.0)))
+    d = spark.createDataFrame(
+        rows, "chunk_id string, lang string, expectation_index int, observed_value double")
+    out = flag_drift(d, z_threshold=3.0, min_history=2,
+                     partition_by=["lang", "expectation_index"],
+                     order_by=["chunk_id"], value_col="observed_value")
+    flagged = [(r.lang, r.chunk_id) for r in out.where("drifted").collect()]
+    assert flagged == [("en", "batch-3")]
+
+
 def test_run_summary_orders_runs_and_sums_rows(results):
     rows = run_summary(results).collect()
     assert [r.run_id for r in rows] == ["r1", "r2", "r3", "r4"]
