@@ -173,3 +173,73 @@ def run_actions(
         except Exception as e:  # one failing sink must not lose the others
             receipts.append({"action": type(action).__name__, "error": str(e)})
     return receipts
+
+
+def render_history_docs(
+    results_df,
+    docs_dir: str,
+    z_threshold: float = 3.0,
+    min_history: int = 3,
+) -> str:
+    """Static cross-run history page over a checkpoint results table.
+
+    Renders ``history.run_summary`` (one row per run) and the
+    ``metric_series``/``flag_drift`` output (one row per run x expectation,
+    drifted runs highlighted) as a single HTML file — the run-history
+    counterpart of ``UpdateDataDocsAction``'s per-run page. The reference
+    data-docs site rebuilds one page per stored validation JSON; it has no
+    cross-run metric view at all. Driver transfer is bounded by
+    runs x expectations.
+    """
+    import html as _html
+
+    from great_expectations_spark.history import (
+        flag_drift,
+        metric_series,
+        run_summary,
+    )
+
+    os.makedirs(docs_dir, exist_ok=True)
+    summary = run_summary(results_df).collect()
+    drift = (
+        flag_drift(metric_series(results_df), z_threshold=z_threshold,
+                   min_history=min_history)
+        .orderBy("expectation_index", "run_ts", "run_id")
+        .collect()
+    )
+
+    srows = [
+        f"<tr class={'pass' if r.success else 'fail'!r}>"
+        f"<td>{_html.escape(str(r.run_id))}</td><td>{r.n_chunks}</td>"
+        f"<td>{r.n_evaluations}</td><td>{'PASS' if r.success else 'FAIL'}</td>"
+        f"<td>{r.rows_scanned}</td><td>{round(r.wall_time_s or 0, 2)}</td></tr>"
+        for r in summary
+    ]
+    mrows = []
+    for r in drift:
+        cls = "drift" if r.drifted else ("pass" if r.success else "fail")
+        z = "" if r.zscore is None else f"{r.zscore:+.2f}"
+        v = "" if r.value is None else f"{r.value:.6g}"
+        mrows.append(
+            f"<tr class={cls!r}><td>{r.expectation_index}</td>"
+            f"<td>{_html.escape(r.expectation_type)}</td>"
+            f"<td>{_html.escape(str(r.metric_name))}</td>"
+            f"<td>{_html.escape(str(r.run_id))}</td><td>{v}</td><td>{z}</td>"
+            f"<td>{'DRIFT' if r.drifted else ('PASS' if r.success else 'FAIL')}"
+            "</td></tr>")
+    html = (
+        "<!doctype html><meta charset='utf-8'><title>validation history</title>"
+        "<style>body{font-family:sans-serif;margin:2em}"
+        "table{border-collapse:collapse;margin-bottom:2em}"
+        "td,th{border:1px solid #ccc;padding:4px 8px}"
+        ".fail td:last-child{color:red}.drift td:last-child{color:#c60;font-weight:bold}"
+        "</style><h1>Run history</h1>"
+        "<table><tr><th>run</th><th>chunks</th><th>evals</th><th>success</th>"
+        "<th>rows</th><th>wall s</th></tr>" + "".join(srows) + "</table>"
+        "<h2>Metric series (trailing-window drift)</h2>"
+        "<table><tr><th>#</th><th>expectation</th><th>metric</th><th>run</th>"
+        "<th>value</th><th>z</th><th></th></tr>" + "".join(mrows) + "</table>")
+    path = os.path.join(docs_dir, "history.html")
+    with open(path, "w") as f:
+        f.write(html)
+    return path

@@ -135,6 +135,18 @@ def test_run_summary_orders_runs_and_sums_rows(results):
         assert r.rows_scanned == 4 and r.success
 
 
+def test_render_history_docs(results, tmp_path):
+    from great_expectations_spark.actions import render_history_docs
+
+    path = render_history_docs(results, str(tmp_path / "docs"),
+                               z_threshold=3.0, min_history=3)
+    html = open(path).read()
+    for rid in ("r1", "r2", "r3", "r4"):
+        assert rid in html
+    assert "DRIFT" in html  # the shifted r4 mean is highlighted
+    assert html.count("<table>") == 2
+
+
 def test_drift_plan_partitions_by_expectation(results):
     plan = flag_drift(metric_series(results))._jdf.queryExecution().executedPlan().toString()
     assert "partitionBy" not in plan or "SinglePartition" not in plan
