@@ -532,6 +532,7 @@ def run_checkpoint(
     tables: dict[str, DataFrame] | None = None,
     on_chunk: Callable[[str, float], None] | None = None,
     options: Any = None,
+    max_concurrency: int = 1,
 ) -> CheckpointResult:
     """Validate ``df`` chunk-by-chunk, appending per-chunk EVR rows to the
     parquet results table at ``results_path``; chunks already recorded for
@@ -541,7 +542,19 @@ def run_checkpoint(
     expectations record mergeable partial state and ``rollup()`` can return
     exact whole-table aggregate verdicts; pass explicit ``Options`` to
     override (chunks written with and without monoids still roll up — the
-    merge just falls back to AND-of-chunks for mixed expectations)."""
+    merge just falls back to AND-of-chunks for mixed expectations).
+
+    ``max_concurrency`` > 1 validates that many chunks at once from driver
+    threads (Spark schedules concurrent actions fine; each chunk is a few
+    narrow jobs). With hundreds of pruned chunks, sequential submission
+    leaves the cluster idle between a chunk's last stage and the next
+    chunk's first — concurrency keeps executors saturated. The tiny
+    results-table append stays serialized behind a lock: concurrent
+    ``mode("append")`` commits to one parquet path share a _temporary
+    staging dir and can clobber each other; validation is the parallel
+    part, the write never needs to be."""
+    import threading
+
     spark = df.sparkSession
     if options is None:
         from great_expectations_spark.plans.compiler import Options
@@ -565,25 +578,37 @@ def run_checkpoint(
             raise
         existing = None  # first run: no results table yet
 
-    completed, skipped = [], []
-    for chunk_id, pred in splitter.chunks:
-        if chunk_id in done:
-            skipped.append(chunk_id)
-            continue
+    todo = [(cid, pred) for cid, pred in splitter.chunks if cid not in done]
+    skipped = [cid for cid, _ in splitter.chunks if cid in done]
+    write_lock = threading.Lock()
+    completed: list[str] = []
+
+    def _one(chunk_id: str, pred: Any) -> None:
         t0 = time.time()
         chunk_df = df.where(pred)
-        result = validate(chunk_df, suite, result_format=result_format, tables=tables,
-                          options=options)
+        result = validate(chunk_df, suite, result_format=result_format,
+                          tables=tables, options=options)
         wall = time.time() - t0
         rows = results_rows(
             result, run_id, chunk_id,
             str(pred._jc if hasattr(pred, "_jc") else pred), wall)
-        spark.createDataFrame(rows, RESULTS_SCHEMA).coalesce(1).write.mode("append").parquet(
-            results_path
-        )
-        completed.append(chunk_id)
-        if on_chunk:
-            on_chunk(chunk_id, wall)
+        with write_lock:
+            spark.createDataFrame(rows, RESULTS_SCHEMA).coalesce(1).write.mode(
+                "append").parquet(results_path)
+            completed.append(chunk_id)
+            if on_chunk:
+                on_chunk(chunk_id, wall)
+
+    if max_concurrency > 1 and len(todo) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            futures = [pool.submit(_one, cid, pred) for cid, pred in todo]
+            for f in futures:
+                f.result()  # re-raise the first failure; done chunks persist
+    else:
+        for cid, pred in todo:
+            _one(cid, pred)
 
     return CheckpointResult(
         run_id=run_id,

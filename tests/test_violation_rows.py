@@ -96,6 +96,40 @@ def test_nan_values_fall_back_to_stringified_sample():
     assert _values_json([]) is None and _values_json(None) is None
 
 
+def test_concurrent_checkpoint_matches_sequential(spark, df, tmp_path):
+    from great_expectations_spark.checkpoint import Splitter as S
+
+    seq = run_checkpoint(df, SUITE, S.mod_integer("id", 4),
+                         str(tmp_path / "seq"), "r", result_format="SUMMARY")
+    par = run_checkpoint(df, SUITE, S.mod_integer("id", 4),
+                         str(tmp_path / "par"), "r", result_format="SUMMARY",
+                         max_concurrency=4)
+    assert sorted(par.completed_chunks) == sorted(seq.completed_chunks)
+    key = ["expectation_index", "chunk_id"]
+    a = {tuple(r[k] for k in key): (r.element_count, r.unexpected_count, r.success)
+         for r in seq.results_df.collect()}
+    b = {tuple(r[k] for k in key): (r.element_count, r.unexpected_count, r.success)
+         for r in par.results_df.collect()}
+    assert a == b
+    sa = {r.expectation_index: (r.success, r.merged_observed_json)
+          for r in seq.rollup().collect()}
+    sb = {r.expectation_index: (r.success, r.merged_observed_json)
+          for r in par.rollup().collect()}
+    assert sa == sb
+
+
+def test_concurrent_checkpoint_resume_skips_done(spark, df, tmp_path):
+    from great_expectations_spark.checkpoint import Splitter as S
+
+    full = S.mod_integer("id", 4)
+    half = type(full)(full.name, full.chunks[:2])
+    path = str(tmp_path / "res")
+    run_checkpoint(df, SUITE, half, path, "r", max_concurrency=2)
+    res = run_checkpoint(df, SUITE, full, path, "r", max_concurrency=4)
+    assert sorted(res.skipped_chunks) == sorted(c for c, _ in full.chunks[:2])
+    assert sorted(res.completed_chunks) == sorted(c for c, _ in full.chunks[2:])
+
+
 def test_streaming_results_table_carries_samples(spark, tmp_path):
     # the shared row builder gives foreachBatch validation the same column
     from great_expectations_spark.checkpoint import RESULTS_SCHEMA, results_rows
