@@ -7,7 +7,8 @@
         --results <iceberg results table | parquet path> \
         --run-id <stable id for resume> \
         [--split hashed_column:<col>:<n> | column_value:<col> | date_part:<part>:<col>:v1,v2,...] \
-        [--result-format BOOLEAN_ONLY|BASIC|SUMMARY|COMPLETE]
+        [--result-format BOOLEAN_ONLY|BASIC|SUMMARY|COMPLETE] \
+        [--max-concurrency N]
 
 The suite JSON is the engine's serialized ExpectationSuite:
     {"name": "...", "expectations": [{"expectation_type": "...", "kwargs": {...}}, ...]}
@@ -46,6 +47,8 @@ def main() -> None:
     ap.add_argument("--split", default="hashed_column:url:256")
     ap.add_argument("--result-format", default="BOOLEAN_ONLY")
     ap.add_argument("--snapshot-id", type=int, default=None)
+    ap.add_argument("--max-concurrency", type=int, default=1,
+                    help="validate this many chunks at once (driver threads)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -68,6 +71,7 @@ def main() -> None:
     res = run_checkpoint(
         df, suite, splitter, args.results, args.run_id,
         result_format=args.result_format,
+        max_concurrency=args.max_concurrency,
         on_chunk=lambda cid, wall: print(f"chunk {cid}: {wall:.1f}s", file=sys.stderr),
     )
     print(json.dumps({
