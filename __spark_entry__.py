@@ -1439,6 +1439,37 @@ def _grp1(spark, sf):
         "success")
 
 
+@_q("grouped_unique_lang", """
+WITH c AS (
+  SELECT lang, source, count(*) AS n FROM documents
+  WHERE source IS NOT NULL GROUP BY lang, source
+), dup AS (
+  SELECT lang, sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS uc FROM c GROUP BY lang
+), base AS (
+  SELECT lang, count(*) AS ec,
+         sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS mc
+  FROM documents GROUP BY lang
+)
+SELECT b.lang, CAST(b.ec AS BIGINT) AS element_count,
+       CAST(b.mc AS BIGINT) AS missing_count,
+       CAST(coalesce(d.uc, 0) AS BIGINT) AS unexpected_count,
+       CASE WHEN b.ec - b.mc <= 0 THEN TRUE
+            ELSE (CAST(b.ec - b.mc - coalesce(d.uc, 0) AS DOUBLE)
+                  / (b.ec - b.mc)) >= 0.001 END AS success
+FROM base b LEFT JOIN dup d ON b.lang IS NOT DISTINCT FROM d.lang
+""")
+def _grpu(spark, sf):
+    # uniqueness WITHIN group (source unique per lang): its own two-stage
+    # (keys, value) shuffle joined back null-safely
+    from great_expectations_spark.grouped import validate_by
+
+    docs = _tbl(spark, sf, "documents")
+    suite = ExpectationSuite("gu").add(
+        "expect_column_values_to_be_unique", column="source", mostly=0.001)
+    return validate_by(docs, suite, ["lang"]).select(
+        "lang", "element_count", "missing_count", "unexpected_count", "success")
+
+
 @_q("grouped_violation_rows", """
 SELECT lang, CAST(doc_id AS BIGINT) AS doc_id
 FROM documents WHERE doc_id < 10

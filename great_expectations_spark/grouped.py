@@ -20,11 +20,13 @@ counts. Aggregate between-expectations evaluate their bounds as Column
 predicates per group.
 
 Out of scope (raise, or ``on_unsupported="skip"``): expectations needing
-eager jobs or cross-row state — distinct-set membership/KL/chi-square/KS,
-increasing/decreasing, schema-level checks. Those have whole-table
-semantics; run them through ``validate``/``run_checkpoint``. Uniqueness
-counts and quantile ranges ARE groupable (count_distinct / percentile as
-grouped agg expressions; quantiles report success only).
+eager jobs or cross-row state beyond the group — distinct-set membership/
+KL/chi-square/KS, increasing/decreasing, schema-level checks. Those have
+whole-table semantics; run them through ``validate``/``run_checkpoint``.
+Groupable beyond map conditions: aggregate betweens, quantile ranges
+(success only), distinct counts/proportions, and uniqueness-WITHIN-group
+(``expect_column_values_to_be_unique`` — its own (keys, value) two-stage
+shuffle joined back null-safely).
 """
 
 from __future__ import annotations
@@ -108,6 +110,7 @@ def validate_by(
     o = options or Options()
     aggs: list[Column] = []
     rows: list[dict[str, Any]] = []  # per expectation: aliases + static cols
+    aux_frames: list[DataFrame] = []  # per-group joins (uniqueness counts)
 
     def alias(expr: Column) -> str:
         a = f"m{len(aggs)}"
@@ -118,7 +121,32 @@ def validate_by(
         etype, kw = config.expectation_type, config.kwargs
         entry: dict[str, Any] = {"index": i, "type": etype, "kwargs": kw}
         try:
-            if etype in MAP_KERNELS:
+            if etype == "expect_column_values_to_be_unique" and not kw.get(
+                    "row_condition"):
+                # unique WITHIN group: needs its own (keys, value) two-stage
+                # shuffle — counts per value, then rows-in-duplicated-values
+                # per group — joined back null-safely. The compiler's
+                # whole-table groupBy plan can't express per-group scope.
+                c = kw["column"]
+                if c not in df.columns:
+                    raise CompileError(f"column not found: {c!r}")
+                col = F.col(c)
+                ua = f"u{i}"
+                aux = (
+                    df.where(col.isNotNull())
+                    .groupBy(*keys, col)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .groupBy(*keys)
+                    .agg(F.sum(F.when(F.col("__n") > 1, F.col("__n"))
+                               .otherwise(F.lit(0))).alias(ua))
+                )
+                aux_frames.append(aux)
+                entry["elem"] = alias(F.count(F.lit(1)))
+                entry["missing"] = alias(
+                    F.sum(col.isNull().cast("long")))
+                entry["unexp"] = ua
+                entry["mostly"] = float(kw.get("mostly", 1.0))
+            elif etype in MAP_KERNELS:
                 kernel = MAP_KERNELS[etype](kw)
                 missing_cols = [c for c in kernel.columns if c not in df.columns]
                 if missing_cols:
@@ -200,6 +228,15 @@ def validate_by(
         raise CompileError("no groupable expectations in suite")
 
     g = df.groupBy(*keys).agg(*aggs)
+    for aux in aux_frames:
+        a = aux
+        for k2 in keys:
+            a = a.withColumnRenamed(k2, f"__aux_{k2}")
+        cond = None
+        for k2 in keys:  # eqNullSafe: a NULL group key still matches its counts
+            p = g[k2].eqNullSafe(a[f"__aux_{k2}"])
+            cond = p if cond is None else (cond & p)
+        g = g.join(a, cond, "left").drop(*[f"__aux_{k2}" for k2 in keys])
 
     structs = []
     for e in rows:

@@ -123,9 +123,40 @@ def test_row_count_equal(spark, df):
     assert all(r.success for r in rows)  # 300 rows, 3 even groups
 
 
+def test_unique_within_group(spark):
+    # value 7 appears twice in group a (ids 7 and 21 -> 7 % 40...), build
+    # explicit duplicates instead: group a has v=1 twice + nulls
+    d = spark.createDataFrame(
+        [(0, "a", 1.0), (1, "a", 1.0), (2, "a", 2.0), (3, "a", None),
+         (4, "b", 1.0), (5, "b", 2.0), (6, None, 3.0), (7, None, 3.0)],
+        "id long, g string, v double")
+    suite = ExpectationSuite("uq").add(
+        "expect_column_values_to_be_unique", column="v", mostly=0.5)
+    rows = {r.g: r for r in validate_by(d, suite, ["g"]).collect()}
+    a = rows["a"]
+    assert (a.element_count, a.missing_count, a.unexpected_count) == (4, 1, 2)
+    assert not a.success  # (3-2)/3 = 0.33 < mostly 0.5
+    b = rows["b"]
+    assert b.unexpected_count == 0 and b.success
+    n = rows[None]  # NULL group key keeps its duplicate counts (eqNullSafe)
+    assert n.unexpected_count == 2 and not n.success
+
+
+def test_unique_within_group_parity(spark, df):
+    suite = ExpectationSuite("uqp").add(
+        "expect_column_values_to_be_unique", column="v", mostly=0.3)
+    out = {r.g: r for r in validate_by(df, suite, ["g"]).collect()}
+    for g in ("a", "b", "c"):
+        ref = validate(df.where(F.col("g") == g), suite).results[0]
+        r = out[g]
+        assert r.unexpected_count == ref.result["unexpected_count"]
+        assert r.success == ref.success
+
+
 def test_unsupported_raises_with_reason(df):
     suite = ExpectationSuite("u").add(
-        "expect_column_values_to_be_unique", column="id")
+        "expect_column_kl_divergence_to_be_less_than", column="g",
+        partition_object={"values": ["a"], "weights": [1.0]}, threshold=1.0)
     with pytest.raises(CompileError, match="whole-table semantics"):
         validate_by(df, suite, ["g"])
 
@@ -133,7 +164,8 @@ def test_unsupported_raises_with_reason(df):
 def test_unsupported_skip_keeps_rest(df):
     suite = (
         ExpectationSuite("u")
-        .add("expect_column_values_to_be_unique", column="id")
+        .add("expect_column_kl_divergence_to_be_less_than", column="g",
+             partition_object={"values": ["a"], "weights": [1.0]}, threshold=1.0)
         .add("expect_column_values_to_not_be_null", column="v")
     )
     rows = validate_by(df, suite, ["g"], on_unsupported="skip").collect()
