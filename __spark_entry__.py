@@ -673,6 +673,74 @@ def _p2(spark, sf):
     return minhash_lsh_candidates(_tbl(spark, sf, "documents"), "doc_id", "text")
 
 
+def _cc_oracle() -> str:
+    """DuckDB replica of connected components over the LSH candidate pairs:
+    min-label transitive closure via a recursive CTE (set-semantics UNION
+    terminates it) — the exact label definition the alternating
+    Large-Star/Small-Star contraction converges to."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS n FROM sym),
+reach(n, lbl) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN sym e ON e.u = r.n
+)
+SELECT n AS node, CAST(min(lbl) AS BIGINT) AS component FROM reach GROUP BY n
+"""
+
+
+@_q("pipeline_dedup_clusters", _cc_oracle())
+def _p2b(spark, sf):
+    """Near-dup clusters: alternating Large-Star/Small-Star connected
+    components (Kiveris et al. 2014) over the MinHash-LSH candidate pairs —
+    the transitive stage between pairwise candidates and keep-one-per-cluster
+    dedup. Oracle: recursive-CTE min-label closure on the same pairs."""
+    from great_expectations_spark.pipeline.cluster import connected_components
+    from great_expectations_spark.pipeline.dedup import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(_tbl(spark, sf, "documents"), "doc_id", "text")
+    return connected_components(pairs, "id_a", "id_b")
+
+
+def _canonical_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+exact AS (
+  SELECT d.doc_id AS id_a, h.hub AS id_b
+  FROM (SELECT doc_id, md5(text) AS eh FROM documents WHERE text IS NOT NULL) d
+  JOIN (SELECT md5(text) AS eh, min(doc_id) AS hub FROM documents
+        WHERE text IS NOT NULL GROUP BY 1 HAVING count(*) > 1) h USING (eh)
+  WHERE d.doc_id != h.hub
+),
+alledges AS (SELECT id_a, id_b FROM pairs UNION SELECT id_a, id_b FROM exact),
+sym AS (SELECT id_a AS u, id_b AS v FROM alledges UNION SELECT id_b, id_a FROM alledges),
+nodes AS (SELECT DISTINCT u AS n FROM sym),
+reach(n, lbl) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN sym e ON e.u = r.n
+),
+comp AS (SELECT n, min(lbl) AS component FROM reach GROUP BY n)
+SELECT d.doc_id AS id,
+       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster,
+       (coalesce(c.component, d.doc_id) = d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+"""
+
+
+@_q("pipeline_dedup_canonical", _canonical_oracle())
+def _p2c(spark, sf):
+    """End-to-end dedup clustering over the corpus: LSH candidates ∪
+    exact-duplicate edges → components → per-doc (id, cluster,
+    is_canonical); docs outside every edge are singleton canonicals."""
+    from great_expectations_spark.pipeline.cluster import dedup_cluster_assignments
+
+    return dedup_cluster_assignments(
+        _tbl(spark, sf, "documents"), "doc_id", "text", include_exact=True)
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     def vote(j: int) -> str:
         return (

@@ -1,0 +1,306 @@
+"""Duplicate-cluster resolution: connected components over near-duplicate
+candidate edges, canonical-document selection, and one-call corpus dedup.
+
+The LSH/SimHash/embedding stages (`pipeline/dedup.py`) emit *pairs*; a real
+web-scale dedup pass must then group transitively-linked documents into
+clusters and keep one canonical document per cluster (A~B and B~C must
+collapse to ONE kept doc even when A~C was never emitted as a pair).
+The reference repo has no such operator at all — its closest notion is the
+per-batch `expect_column_values_to_be_unique` count
+(reference expectations/core/expect_column_values_to_be_unique.py) — so this
+module is part of the training-data-pipeline extension surface.
+
+Scale design
+------------
+Connected components run the alternating Large-Star / Small-Star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC 2014):
+each round is two groupBy-min + join passes over the (shrinking) edge list
+and converges in O(log^2 n) rounds (2-3 rounds for the small, dense clusters
+near-dup graphs produce). Everything stays in whole-stage-codegen DataFrame
+ops:
+
+* `min` per node is a commutative monoid → map-side partial aggregation
+  absorbs hub skew (a 10^6-member boilerplate cluster contributes ONE row
+  per map partition to the shuffle, not 10^6);
+* the per-round join is edge-list × (node → min) — the right side is one
+  row per distinct node, and AQE broadcast-joins it once components start
+  collapsing;
+* lineage is truncated every round with an eager `localCheckpoint()`
+  (iterative plans otherwise grow exponentially and stall the optimizer);
+  set `spark.sparkContext.setCheckpointDir(...)` and pass `reliable=True`
+  for fault-tolerant lineage cuts on a real cluster.
+
+Labels are the component's MINIMUM node id, so results are deterministic
+and partitioning-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct undirected edges as (u, v), self-loops and NULL endpoints
+    dropped, each edge stored once with u > v (large endpoint first — the
+    orientation Small-Star expects)."""
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    return (
+        e.where(F.col("__s").isNotNull() & F.col("__d").isNotNull()
+                & (F.col("__s") != F.col("__d")))
+        .select(
+            F.greatest("__s", "__d").alias("u"),
+            F.least("__s", "__d").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to u's minimum neighborhood
+    member: for each node u with neighbors N(u), emit (v, min(N(u) ∪ {u}))
+    for v ∈ N(u), v > u."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("__mn"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(
+            F.col("v").alias("u"),
+            F.least(F.col("u"), F.col("__mn")).alias("v"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Within each node's smaller-or-equal neighborhood, connect everything
+    (including u itself) to the minimum: edges arrive oriented u > v."""
+    mins = e.groupBy("u").agg(F.min("v").alias("__mn"))
+    j = e.join(mins, "u")
+    nbrs = (
+        j.where(F.col("v") != F.col("__mn"))
+        .select(F.col("v").alias("u"), F.col("__mn").alias("v"))
+    )
+    selfs = j.select(F.col("u"), F.col("__mn").alias("v"))
+    return nbrs.union(selfs).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+    max_iter: int = 25,
+    reliable: bool = False,
+) -> DataFrame:
+    """Component label per node: ``(node, component)`` where ``component``
+    is the smallest node id in the connected component.
+
+    ``nodes`` (with ``node_col``, defaulting to ``src``) optionally supplies
+    the full node universe — isolated nodes (no incident edge) come back as
+    singleton components labeled by themselves; without it only nodes that
+    appear in ``edges`` are labeled.
+
+    ``reliable=True`` uses ``checkpoint()`` (requires
+    ``setCheckpointDir``) instead of ``localCheckpoint()`` for the per-round
+    lineage cut — survives executor loss on a real cluster.
+    """
+    e = _canonical_edges(edges, src, dst)
+    e = e.checkpoint(eager=True) if reliable else e.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # Small-Star expects the u > v orientation; Large-Star output may
+        # break it (least(u, mn) can exceed the new head v), so re-orient.
+        grown = _large_star(e)
+        stars = _small_star(
+            grown.select(F.greatest("u", "v").alias("u"),
+                         F.least("u", "v").alias("v")))
+        stars = (stars.checkpoint(eager=True) if reliable
+                 else stars.localCheckpoint(eager=True))
+        # convergence: the distinct edge set is unchanged (both are
+        # distinct, so equal counts + empty difference ⇔ equal sets)
+        if stars.count() == e.count() and stars.subtract(e).isEmpty():
+            e = stars
+            break
+        e = stars
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+
+    # converged star forest: every edge is (member, root); roots label
+    # themselves
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    out = labels.union(roots).distinct()
+
+    if nodes is not None:
+        nc = node_col or src
+        universe = nodes.select(F.col(nc).alias("node")).where(
+            F.col("node").isNotNull()).distinct()
+        singletons = universe.join(out, "node", "left_anti").select(
+            F.col("node"), F.col("node").alias("component"))
+        out = out.union(singletons)
+    return out
+
+
+# ------------------------------------------------------- pair verification
+
+
+def pair_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact word-shingle Jaccard for EXACTLY the candidate pairs given
+    (columns ``id_a``/``id_b``) — unlike ``ngram_jaccard_pairs`` (which
+    enumerates every shared-shingle pair) this stays linear in
+    |pairs| × shingles-per-doc: only docs referenced by some pair are
+    shingled (semi-join pushdown), and intersections are counted via two
+    hash joins on the 8-byte shingle hash."""
+    from great_expectations_spark.pipeline.dedup import (
+        hashed_shingles,
+        hashed_tokens,
+        tokens,
+    )
+
+    wanted = (
+        pairs.select(F.col("id_a").alias("__id"))
+        .union(pairs.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    sh = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"))
+        .join(F.broadcast(wanted), "__id", "left_semi")
+        .select("__id", tokens(F.col("__txt")).alias("__t"))
+        .select("__id", hashed_tokens(F.col("__t")).alias("__th"))
+        .select("__id", hashed_shingles(F.col("__th"), shingle_n).alias("__h"))
+    )
+    ex = sh.select("__id", F.explode("__h").alias("s"))
+    sizes = sh.select("__id", F.size("__h").alias("sz"))
+    inter = (
+        pairs.join(ex.select(F.col("__id").alias("id_a"), "s"), "id_a")
+        .join(ex.select(F.col("__id").alias("id_b"), "s"), ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sa, "id_a", "left")
+        .join(sb, "id_b", "left")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0))
+                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ------------------------------------------------------ end-to-end dedup
+
+
+def exact_duplicate_edges(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id_a, id_b) edges linking every exact duplicate (same md5 digest of
+    ``text_col``) to its group's minimum id — |duplicates| edges total, one
+    groupBy on the 16-byte digest."""
+    d = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.md5(F.col(text_col).cast("binary")).alias("__h"))
+    hubs = d.groupBy("__h").agg(F.min("__id").alias("__hub"),
+                                F.count(F.lit(1)).alias("__n"))
+    return (
+        d.join(hubs.where(F.col("__n") > 1), "__h")
+        .where(F.col("__id") != F.col("__hub"))
+        .select(F.col("__id").alias("id_a"), F.col("__hub").alias("id_b"))
+    )
+
+
+def dedup_cluster_assignments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float | None = None,
+    include_exact: bool = True,
+    max_bucket_size: int | None = None,
+    max_iter: int = 25,
+    reliable: bool = False,
+) -> DataFrame:
+    """Full near-dup clustering: one row per input doc with
+    ``(id, cluster, is_canonical)``.
+
+    Stages: MinHash-LSH candidate pairs (optionally verified by exact
+    shingle Jaccard ≥ ``jaccard_threshold``) ∪ exact-duplicate edges →
+    connected components → cluster = component min id; the canonical doc is
+    the cluster-id holder (deterministic min-id policy — swap in a quality
+    score upstream by remapping ids if needed). Docs with no near-dup are
+    singleton clusters of themselves.
+    """
+    from great_expectations_spark.pipeline.dedup import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(
+        df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n,
+        max_bucket_size=max_bucket_size)
+    if jaccard_threshold is not None:
+        pairs = (
+            pair_jaccard(df, pairs, id_col, text_col, shingle_n=shingle_n)
+            .where(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b")
+        )
+    if include_exact:
+        pairs = pairs.union(exact_duplicate_edges(df, id_col, text_col))
+
+    comp = connected_components(pairs, "id_a", "id_b",
+                                max_iter=max_iter, reliable=reliable)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp.withColumnRenamed("node", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("component"), F.col("id")).alias("cluster"),
+        )
+        .withColumn("is_canonical", F.col("id") == F.col("cluster"))
+    )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **kwargs,
+) -> DataFrame:
+    """The corpus with one canonical doc kept per near-dup cluster (all
+    original columns preserved). Kwargs forward to
+    ``dedup_cluster_assignments``."""
+    assign = dedup_cluster_assignments(df, id_col, text_col, **kwargs)
+    keep = assign.where("is_canonical").select(F.col("id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def cluster_size_stats(assignments: DataFrame) -> DataFrame:
+    """Cluster-size histogram from an assignment frame:
+    ``(cluster_size, n_clusters, n_docs)`` — the shape of the duplicate
+    mass (how much of the corpus sits in how-big clusters)."""
+    sizes = assignments.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long"),
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        )
+    )
