@@ -246,6 +246,143 @@ def _q9d(spark, sf):
         "domain", "pages", F.col("distinct_urls").cast("long").alias("distinct_urls"))
 
 
+_MESSY_URL_SQL = """'HtTpS://WWW.' || source || '.Example:443/p/' || doc_id ||
+CASE doc_id % 4
+  WHEN 0 THEN '?utm_source=feed&b=2&a=1#top'
+  WHEN 1 THEN '#sec'
+  WHEN 2 THEN '?z=9&fbclid=abc&y=8'
+  ELSE '' END"""
+
+_CANON_SQL_TAIL = r"""
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 1)) AS scheme,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 2)) AS auth0,
+    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 3) AS path0,
+    regexp_replace(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 4), '^\?', '') AS rawq
+  FROM u),
+canon AS (
+  SELECT doc_id, url, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+         ELSE auth0 END AS auth,
+    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+    list_sort(list_filter(string_split(rawq, '&'),
+      p -> p != '' AND NOT regexp_matches(p,
+        '^(utm_[^=&]*|fbclid|gclid|msclkid|yclid|igshid|spm|ref|mc_cid|mc_eid)(=.*)?$')))
+      AS params
+  FROM parts),
+canonized AS (
+  SELECT doc_id,
+    CASE WHEN scheme = '' THEN url
+         ELSE scheme || '://' || auth || path ||
+              CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+                   ELSE '' END
+    END AS canonical_url
+  FROM canon)
+"""
+
+
+def _messy_urls(spark, sf):
+    docs = _tbl(spark, sf, "documents").where(F.col("source").isNotNull())
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed&b=2&a=1#top"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("#sec"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("?z=9&fbclid=abc&y=8"))
+        .otherwise(F.lit(""))
+    )
+    return docs.withColumn(
+        "url",
+        F.concat(F.lit("HtTpS://WWW."), F.col("source"), F.lit(".Example:443/p/"),
+                 F.col("doc_id").cast("string"), suffix),
+    )
+
+
+@_q("webtext_canonical_url", f"""
+WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url
+           FROM documents WHERE source IS NOT NULL),
+{_CANON_SQL_TAIL}
+SELECT doc_id, canonical_url FROM canonized
+""")
+def _q9e(spark, sf):
+    """URL canonicalization parity on planted messy URLs (mixed case, :443,
+    fragments, tracking params, unsorted query): pipeline/webtext.py
+    canonical_url (pure Column regexp + array ops) vs a full DuckDB replica
+    — byte equality per doc."""
+    from great_expectations_spark.pipeline.webtext import canonical_url
+
+    return _messy_urls(spark, sf).select(
+        "doc_id", canonical_url(F.col("url")).alias("canonical_url"))
+
+
+@_q("webtext_revisits_latest", f"""
+WITH snaps AS (
+  SELECT doc_id, 'https://' || source || '.example/p/' || doc_id AS raw_url,
+         0 AS rev FROM documents WHERE source IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 'https://' || source || '.example/p/' || doc_id || '?utm_source=x',
+         1 FROM documents WHERE source IS NOT NULL AND doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, 'HTTPS://' || source || '.example/p/' || doc_id || '#frag',
+         2 FROM documents WHERE source IS NOT NULL AND doc_id % 3 = 0
+),
+u AS (SELECT doc_id, raw_url AS url, rev FROM snaps),
+{_CANON_SQL_TAIL.replace("SELECT doc_id,", "SELECT doc_id, rev,")}
+SELECT canonical_url, doc_id, CAST(rev AS BIGINT) AS rev
+FROM (SELECT *, row_number() OVER (PARTITION BY canonical_url
+                                   ORDER BY rev DESC, doc_id) AS rk
+      FROM canonized)
+WHERE rk = 1
+""")
+def _q9f(spark, sf):
+    """Crawl revisit resolution: three planted snapshot generations of the
+    same page (tracking-param and case/fragment variants of the url) must
+    collapse to ONE row per canonical url with the newest snapshot winning —
+    resolve_revisits' monoid max_by vs the oracle's window."""
+    from great_expectations_spark.pipeline.webtext import resolve_revisits
+
+    docs = _tbl(spark, sf, "documents").where(F.col("source").isNotNull())
+    base = F.concat(F.lit("https://"), F.col("source"), F.lit(".example/p/"),
+                    F.col("doc_id").cast("string"))
+    s0 = docs.select("doc_id", base.alias("url"), F.lit(0).alias("rev"))
+    s1 = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.concat(base, F.lit("?utm_source=x")).alias("url"),
+        F.lit(1).alias("rev"))
+    s2 = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.concat(F.lit("HTTPS://"), F.col("source"),
+                           F.lit(".example/p/"), F.col("doc_id").cast("string"),
+                           F.lit("#frag")).alias("url"),
+        F.lit(2).alias("rev"))
+    snaps = s0.unionByName(s1).unionByName(s2)
+    return resolve_revisits(snaps, "url", "rev", tiebreak=["doc_id"]).select(
+        "canonical_url", "doc_id", F.col("rev").cast("long").alias("rev"))
+
+
+@_q("webtext_domain_cap", """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (
+    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+) WHERE rk <= 7
+""")
+def _q9g(spark, sf):
+    """Per-domain quota (anti-spam cap): keep the 7 largest pages per
+    registered domain under a deterministic total order. The two-phase
+    salted top-k must equal the oracle's plain per-domain window exactly."""
+    from great_expectations_spark.pipeline.webtext import domain_cap
+
+    docs = _tbl(spark, sf, "documents").where(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull())
+    urls = docs.select(
+        "doc_id", "n_chars",
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/p/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    return domain_cap(
+        urls, "url", k=7,
+        order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+    ).select("doc_id")
+
+
 @_q("fused_violation_counts", """
 SELECT 'lang_in_set' AS expectation, lang AS value, count(*) AS cnt
 FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en') GROUP BY lang

@@ -96,6 +96,119 @@ def extraction_invariant_suite(mostly: float | None = None):
         "expect_column_pair_values_to_be_equal", **kwargs)
 
 
+# --------------------------------------------------- URL canonicalization
+
+# tracking parameters stripped by canonical_url: the name alone or name=value
+_TRACKING_PARAM_RE = (
+    r"^(utm_[^=&]*|fbclid|gclid|msclkid|yclid|igshid|spm|ref|mc_cid|mc_eid)(=.*)?$"
+)
+_URL_SPLIT_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?"
+
+
+def canonical_url(url: Column) -> Column:
+    """Deterministic URL canonical form — the dedup key for revisit
+    resolution and cross-snapshot URL dedup:
+
+    * scheme and authority lowercased; default ports (``:80`` http,
+      ``:443`` https) stripped;
+    * fragment dropped;
+    * tracking query parameters removed (``utm_*``, ``fbclid``, ``gclid``,
+      ``msclkid``, ``yclid``, ``igshid``, ``spm``, ``ref``, ``mc_cid``,
+      ``mc_eid``), remaining parameters sorted so param order never splits
+      a URL's identity; empty query dropped;
+    * empty path becomes ``/``.
+
+    Pure Column expressions (regexp split + higher-order array ops, no UDF);
+    non-absolute inputs (no ``scheme://``) pass through unchanged.
+    """
+    scheme = F.lower(F.regexp_extract(url, _URL_SPLIT_RE, 1))
+    auth = F.lower(F.regexp_extract(url, _URL_SPLIT_RE, 2))
+    auth = F.when(scheme == "http", F.regexp_replace(auth, ":80$", "")) \
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", "")) \
+        .otherwise(auth)
+    path = F.regexp_extract(url, _URL_SPLIT_RE, 3)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    rawq = F.regexp_replace(F.regexp_extract(url, _URL_SPLIT_RE, 4), r"^\?", "")
+    params = F.array_sort(F.filter(
+        F.split(rawq, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    ))
+    query = F.when(F.size(params) > 0,
+                   F.concat(F.lit("?"), F.array_join(params, "&"))) \
+        .otherwise(F.lit(""))
+    rebuilt = F.concat(scheme, F.lit("://"), auth, path, query)
+    return F.when(scheme == "", url).otherwise(rebuilt)
+
+
+def resolve_revisits(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    *,
+    canonicalize: bool = True,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """One row per (canonical) URL — the LATEST snapshot wins. The crawl
+    revisit policy for Common-Crawl-style tables: the same page fetched in
+    several WARC segments collapses to its newest capture.
+
+    ``max_by(row, (ts, *tiebreak))`` is a commutative monoid, so the plan is
+    one groupBy with map-side partial aggregation — a hot URL (redirect
+    targets, parked domains) contributes one candidate row per map
+    partition, never a single-task window. Pass ``tiebreak`` (e.g. a record
+    id) to make equal-timestamp winners deterministic.
+
+    Output: the input columns plus ``canonical_url`` first.
+    """
+    canon = (canonical_url(F.col(url_col)) if canonicalize
+             else F.col(url_col)).alias("canonical_url")
+    order = F.struct(F.col(ts_col), *[F.col(c) for c in (tiebreak or [])])
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.select(canon, order.alias("__ord"), row.alias("__row"))
+        .groupBy("canonical_url")
+        .agg(F.max_by("__row", "__ord").alias("__r"))
+        .select("canonical_url", "__r.*")
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    url_col: str = "url",
+    k: int = 100,
+    order_by: list[Column] | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """At most ``k`` pages per registered domain, keeping the top-k under
+    ``order_by`` (default: url ascending — pass quality DESC + a unique id
+    for a deterministic quality cap). The anti-spam quota every web corpus
+    applies before training.
+
+    Skew-safe two-phase top-k: a window over ``(domain, salt)`` first
+    (bounds any task to domain_size / salt_buckets rows), then the final
+    window over the ≤ k·salt_buckets survivors per domain — the head
+    domain of a crawl (often 10-20% of pages) never lands on one task.
+    ``order_by`` must be a total order for deterministic output.
+    """
+    from pyspark.sql.window import Window
+
+    order = order_by or [F.col(url_col).asc()]
+    d = df.withColumn("__domain", registered_domain(F.col(url_col)))
+    salt = F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy("__domain", salt).orderBy(*order)
+    survivors = (
+        d.withColumn("__rk", F.row_number().over(w1))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+    w2 = Window.partitionBy("__domain").orderBy(*order)
+    return (
+        survivors.withColumn("__rk", F.row_number().over(w2))
+        .where(F.col("__rk") <= k)
+        .drop("__rk", "__domain")
+    )
+
+
 def domain_stats(
     df: DataFrame, url_col: str = "url", buckets: int = 16
 ) -> DataFrame:

@@ -116,3 +116,105 @@ def test_domain_stats_salted(spark, pages):
     )
     assert {r.d: r["count"] for r in plain} == {
         r.domain: r.pages for r in stats}
+
+
+# ------------------------------------------------- URL canonicalization
+
+
+def test_canonical_url_cases(spark):
+    from great_expectations_spark.pipeline.webtext import canonical_url
+
+    cases = [
+        # scheme/host case + default port + fragment
+        ("HtTpS://WWW.Example.COM:443/Path/Pg#frag",
+         "https://www.example.com/Path/Pg"),
+        ("http://Example.com:80/", "http://example.com/"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        # tracking params stripped, rest sorted, empty query dropped
+        ("https://a.io/p?utm_source=feed&b=2&a=1", "https://a.io/p?a=1&b=2"),
+        ("https://a.io/p?gclid=xyz&utm_campaign=q", "https://a.io/p"),
+        ("https://a.io/p?z=9&fbclid=abc&y=8#sec", "https://a.io/p?y=8&z=9"),
+        ("https://a.io/p?ref", "https://a.io/p"),
+        # empty path → /
+        ("https://a.io", "https://a.io/"),
+        ("https://a.io?b=1", "https://a.io/?b=1"),
+        # relative / garbage input passes through
+        ("/just/a/path", "/just/a/path"),
+        ("not a url", "not a url"),
+        # case preserved in path and query VALUES
+        ("https://A.io/Mixed/Case?Key=Val", "https://a.io/Mixed/Case?Key=Val"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in
+           df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_canonical_url_null_passthrough(spark):
+    from great_expectations_spark.pipeline.webtext import canonical_url
+
+    df = spark.createDataFrame([(None,)], "url string")
+    assert df.select(canonical_url(F.col("url")).alias("c")).first()["c"] is None
+
+
+def test_resolve_revisits_latest_wins(spark):
+    from great_expectations_spark.pipeline.webtext import resolve_revisits
+
+    rows = [
+        ("https://a.io/p?utm_source=x", "2024-01-01 00:00:00", 1),
+        ("https://A.IO/p", "2024-01-03 00:00:00", 2),   # same canonical, later
+        ("https://a.io/p#frag", "2024-01-02 00:00:00", 3),
+        ("https://b.io/q", "2024-01-01 00:00:00", 4),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts string, rev long") \
+        .withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    out = resolve_revisits(df, "url", "warc_ts", tiebreak=["rev"])
+    got = {r["canonical_url"]: r["rev"] for r in out.collect()}
+    assert got == {"https://a.io/p": 2, "https://b.io/q": 4}
+    # original columns preserved after canonical_url
+    assert out.columns == ["canonical_url", "url", "warc_ts", "rev"]
+
+
+def test_resolve_revisits_tiebreak_deterministic(spark):
+    from great_expectations_spark.pipeline.webtext import resolve_revisits
+
+    rows = [("https://a.io/p", "2024-01-01 00:00:00", i) for i in (3, 9, 5)]
+    df = spark.createDataFrame(rows, "url string, warc_ts string, rev long") \
+        .withColumn("warc_ts", F.to_timestamp("warc_ts")).repartition(5)
+    for _ in range(3):
+        out = resolve_revisits(df, "url", "warc_ts", tiebreak=["rev"])
+        assert [r["rev"] for r in out.collect()] == [9]
+
+
+def test_domain_cap_keeps_topk_per_domain(spark):
+    from great_expectations_spark.pipeline.webtext import domain_cap
+
+    rows = []
+    for d, n in (("big", 40), ("mid", 7), ("tiny", 2)):
+        for i in range(n):
+            rows.append((f"https://{d}.example/p/{i}", (i * 13) % n, i))
+    df = spark.createDataFrame(rows, "url string, quality long, i long")
+    out = domain_cap(df, "url", k=5,
+                     order_by=[F.col("quality").desc(), F.col("i").asc()])
+    kept = {}
+    for r in out.collect():
+        dom = r["url"].split("//")[1].split(".")[0]
+        kept.setdefault(dom, []).append((r["quality"], r["i"]))
+    assert len(kept["big"]) == 5 and len(kept["mid"]) == 5 and len(kept["tiny"]) == 2
+    # exact top-5 by (quality desc, i asc) for the big domain
+    expect_big = sorted(((i * 13) % 40, i) for i in range(40))
+    expect_big = sorted(expect_big, key=lambda t: (-t[0], t[1]))[:5]
+    assert sorted(kept["big"], key=lambda t: (-t[0], t[1])) == expect_big
+    assert "__domain" not in out.columns and "__rk" not in out.columns
+
+
+def test_domain_cap_partitioning_invariant(spark):
+    from great_expectations_spark.pipeline.webtext import domain_cap
+
+    rows = [(f"https://only.example/p/{i}", i) for i in range(30)]
+    df = spark.createDataFrame(rows, "url string, i long")
+    a = domain_cap(df, "url", k=4, order_by=[F.col("i").desc()],
+                   salt_buckets=3)
+    b = domain_cap(df.repartition(11), "url", k=4,
+                   order_by=[F.col("i").desc()], salt_buckets=16)
+    assert sorted(r["i"] for r in a.collect()) == sorted(r["i"] for r in b.collect()) == [26, 27, 28, 29]
