@@ -316,7 +316,31 @@ def main() -> None:
         validate_by(pg, suite, ["domain"], options=SCALE).select(
             F.count(F.lit(1))).first()
 
+    @timed("url_revisits")
+    def _q13():
+        # URL canonicalization (pure Column regexp/array ops) + latest-
+        # snapshot revisit resolution (max_by monoid groupBy) over every
+        # page url — the crawl-ingest path at full row count
+        from great_expectations_spark.pipeline.webtext import resolve_revisits
+
+        resolve_revisits(pg.select("url", "warc_ts", "domain"),
+                         "url", "warc_ts", tiebreak=["domain"]).select(
+            F.count(F.lit(1))).first()
+
     pg.unpersist()
+
+    # NOT counted in rows_validated (appended in round 2)
+
+    @timed("dedup_cluster")
+    def _q14():
+        # end-to-end duplicate-cluster resolution: LSH pairs ∪ exact edges
+        # → Large-Star/Small-Star connected components → per-doc canonical
+        from great_expectations_spark.pipeline.cluster import (
+            dedup_cluster_assignments,
+        )
+
+        dedup_cluster_assignments(docs, "doc_id", "text").where(
+            "NOT is_canonical").select(F.count(F.lit(1))).first()
 
     # NOT counted in rows_validated (appended in round 2)
 
