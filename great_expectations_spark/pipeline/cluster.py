@@ -110,22 +110,22 @@ def connected_components(
     """
     e = _canonical_edges(edges, src, dst)
     e = e.checkpoint(eager=True) if reliable else e.localCheckpoint(eager=True)
+    prev_n = e.count()
 
     for _ in range(max_iter):
-        # Small-Star expects the u > v orientation; Large-Star output may
-        # break it (least(u, mn) can exceed the new head v), so re-orient.
-        grown = _large_star(e)
-        stars = _small_star(
-            grown.select(F.greatest("u", "v").alias("u"),
-                         F.least("u", "v").alias("v")))
+        # Large-Star output already satisfies the u > v orientation
+        # Small-Star expects: it emits (v, least(u, mn)) with v > u ≥
+        # least(u, mn), so no re-orientation pass is needed.
+        stars = _small_star(_large_star(e))
         stars = (stars.checkpoint(eager=True) if reliable
                  else stars.localCheckpoint(eager=True))
         # convergence: the distinct edge set is unchanged (both are
         # distinct, so equal counts + empty difference ⇔ equal sets)
-        if stars.count() == e.count() and stars.subtract(e).isEmpty():
+        n = stars.count()
+        if n == prev_n and stars.subtract(e).isEmpty():
             e = stars
             break
-        e = stars
+        e, prev_n = stars, n
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds")
@@ -173,14 +173,20 @@ def pair_jaccard(
         .union(pairs.select(F.col("id_b").alias("__id")))
         .distinct()
     )
+    # no broadcast hint: the endpoint set scales with |pairs| (can be 10^8
+    # ids on a web corpus) — AQE picks broadcast only when it actually fits
     sh = (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"))
-        .join(F.broadcast(wanted), "__id", "left_semi")
+        .join(wanted, "__id", "left_semi")
         .select("__id", tokens(F.col("__txt")).alias("__t"))
         .select("__id", hashed_tokens(F.col("__t")).alias("__th"))
         .select("__id", hashed_shingles(F.col("__th"), shingle_n).alias("__h"))
     )
+    # the shingling subtree (tokenize + per-token md5) feeds four plan
+    # branches (both join sides + both size lookups); a lazy localCheckpoint
+    # materializes it once and reuses the blocks instead of recomputing
+    sh = sh.localCheckpoint(eager=False)
     ex = sh.select("__id", F.explode("__h").alias("s"))
     sizes = sh.select("__id", F.size("__h").alias("sz"))
     inter = (
@@ -213,8 +219,10 @@ def exact_duplicate_edges(df: DataFrame, id_col: str, text_col: str) -> DataFram
     """(id_a, id_b) edges linking every exact duplicate (same md5 digest of
     ``text_col``) to its group's minimum id — |duplicates| edges total, one
     groupBy on the 16-byte digest."""
+    from great_expectations_spark.pipeline.dedup import _md5
+
     d = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("__id"), F.md5(F.col(text_col).cast("binary")).alias("__h"))
+        F.col(id_col).alias("__id"), _md5(F.col(text_col)).alias("__h"))
     hubs = d.groupBy("__h").agg(F.min("__id").alias("__hub"),
                                 F.count(F.lit(1)).alias("__n"))
     return (
@@ -271,7 +279,10 @@ def dedup_cluster_assignments(
             "id",
             F.coalesce(F.col("component"), F.col("id")).alias("cluster"),
         )
-        .withColumn("is_canonical", F.col("id") == F.col("cluster"))
+        # eqNullSafe: a NULL id never joins an edge (edges drop NULL
+        # endpoints), so it is its own singleton canonical — a plain ==
+        # would yield NULL and silently drop the row from any filter
+        .withColumn("is_canonical", F.col("id").eqNullSafe(F.col("cluster")))
     )
 
 
@@ -286,7 +297,10 @@ def dedup_corpus(
     ``dedup_cluster_assignments``."""
     assign = dedup_cluster_assignments(df, id_col, text_col, **kwargs)
     keep = assign.where("is_canonical").select(F.col("id").alias(id_col))
-    return df.join(keep, id_col, "left_semi")
+    kept = df.join(keep, id_col, "left_semi")
+    # NULL-id rows are singleton canonicals but an equi-semi-join never
+    # matches NULL keys — pass them through explicitly
+    return kept.unionByName(df.where(F.col(id_col).isNull()))
 
 
 def cluster_size_stats(assignments: DataFrame) -> DataFrame:

@@ -158,12 +158,14 @@ def resolve_revisits(
     partition, never a single-task window. Pass ``tiebreak`` (e.g. a record
     id) to make equal-timestamp winners deterministic.
 
-    Output: the input columns plus ``canonical_url`` first.
+    Output: the input columns plus ``canonical_url`` first (an existing
+    ``canonical_url`` input column — e.g. when re-resolving this function's
+    own output — is replaced, not duplicated).
     """
     canon = (canonical_url(F.col(url_col)) if canonicalize
              else F.col(url_col)).alias("canonical_url")
     order = F.struct(F.col(ts_col), *[F.col(c) for c in (tiebreak or [])])
-    row = F.struct(*[F.col(c) for c in df.columns])
+    row = F.struct(*[F.col(c) for c in df.columns if c != "canonical_url"])
     return (
         df.select(canon, order.alias("__ord"), row.alias("__row"))
         .groupBy("canonical_url")

@@ -187,3 +187,15 @@ def test_cluster_size_stats(spark):
     hist = {r["cluster_size"]: (r["n_clusters"], r["n_docs"])
             for r in cluster_size_stats(assign).collect()}
     assert hist == {3: (1, 3), 2: (1, 2), 1: (2, 2)}
+
+
+def test_null_id_rows_survive_as_singletons(spark):
+    df = spark.createDataFrame(
+        [(None, "some text that belongs to nobody in particular right here"),
+         (1, "another perfectly unique document about shuffle partitions")],
+        "doc_id long, text string")
+    assign = dedup_cluster_assignments(df, "doc_id", "text")
+    rows = {r["id"]: r["is_canonical"] for r in assign.collect()}
+    assert rows[None] is True and rows[1] is True
+    kept = dedup_corpus(df, "doc_id", "text")
+    assert kept.count() == 2

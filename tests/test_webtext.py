@@ -218,3 +218,16 @@ def test_domain_cap_partitioning_invariant(spark):
     b = domain_cap(df.repartition(11), "url", k=4,
                    order_by=[F.col("i").desc()], salt_buckets=16)
     assert sorted(r["i"] for r in a.collect()) == sorted(r["i"] for r in b.collect()) == [26, 27, 28, 29]
+
+
+def test_resolve_revisits_reresolvable(spark):
+    from great_expectations_spark.pipeline.webtext import resolve_revisits
+
+    df = spark.createDataFrame(
+        [("https://a.io/p?utm_source=x", 1, 10), ("https://A.IO/p", 2, 20)],
+        "url string, snap long, rev long")
+    once = resolve_revisits(df, "url", "snap", tiebreak=["rev"])
+    twice = resolve_revisits(once, "canonical_url", "snap",
+                             canonicalize=False, tiebreak=["rev"])
+    assert twice.columns.count("canonical_url") == 1
+    assert [r["rev"] for r in twice.collect()] == [20]
