@@ -771,7 +771,10 @@ _TOKEN_HASH_SQL = (
 )
 
 
-def _minhash_oracle(k: int = 12, bands: int = 4, n: int = 3) -> str:
+def _bands_subquery(src_sql: str = "documents",
+                    k: int = 12, bands: int = 4, n: int = 3) -> str:
+    """DuckDB replica of dedup._band_buckets as a derived-table subquery
+    ``(doc_id, band, bucket)`` over any source providing (doc_id, text)."""
     from great_expectations_spark.pipeline.dedup import MINHASH_P, minhash_params
 
     r = k // bands
@@ -786,19 +789,25 @@ def _minhash_oracle(k: int = 12, bands: int = 4, n: int = 3) -> str:
         )
         for b in range(bands)
     )
-    return f"""
+    return f"""(
 WITH toks AS (
   SELECT doc_id, {_TOKEN_HASH_SQL} AS th
-  FROM documents WHERE text IS NOT NULL
+  FROM {src_sql} WHERE text IS NOT NULL
 ),
 hashed AS (
   SELECT doc_id, {_hashed_shingle_sql(n)} AS hs
   FROM toks WHERE len(th) >= {n}
 ),
-sig AS (SELECT doc_id, {sig_cols} FROM hashed),
-bands AS ({band_selects})
+sig AS (SELECT doc_id, {sig_cols} FROM hashed)
+{band_selects}
+)"""
+
+
+def _minhash_oracle(k: int = 12, bands: int = 4, n: int = 3) -> str:
+    bq = _bands_subquery("documents", k, bands, n)
+    return f"""
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+FROM {bq} a JOIN {bq} b ON a.band = b.band AND a.bucket = b.bucket
 WHERE a.doc_id < b.doc_id
 """
 
@@ -876,6 +885,66 @@ def _p2c(spark, sf):
 
     return dedup_cluster_assignments(
         _tbl(spark, sf, "documents"), "doc_id", "text", include_exact=True)
+
+
+_NEW_BATCH_SQL = """(SELECT doc_id, text FROM documents WHERE doc_id >= 250
+ UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 100)"""
+
+
+def _new_batch(spark, sf):
+    docs = _tbl(spark, sf, "documents")
+    return docs.where(F.col("doc_id") >= 250).select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") < 100).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"))
+
+
+@_q("pipeline_incremental_exact", f"""
+WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents
+              WHERE doc_id < 250 AND text IS NOT NULL),
+newb AS (SELECT * FROM {_NEW_BATCH_SQL} t),
+d AS (SELECT doc_id, md5(text) AS h FROM newb WHERE text IS NOT NULL),
+firsts AS (SELECT h, min(doc_id) AS keep FROM d GROUP BY h)
+SELECT d.doc_id FROM d
+JOIN firsts ON d.h = firsts.h AND d.doc_id = firsts.keep
+WHERE d.h NOT IN (SELECT h FROM seen)
+UNION ALL SELECT doc_id FROM newb WHERE text IS NULL
+""")
+def _p2d(spark, sf):
+    """Cross-batch exact dedup: a new ingest batch (docs ≥ 250 plus planted
+    re-crawls of docs < 100 under new ids) anti-joined against the ALREADY-
+    INGESTED corpus's persistable (id, digest) signature table — plus
+    in-batch keep-first. Only digests shuffle; the history's text is never
+    read."""
+    from great_expectations_spark.pipeline.dedup import (
+        exact_digest_table,
+        incremental_exact_dedup,
+    )
+
+    docs = _tbl(spark, sf, "documents")
+    sig = exact_digest_table(docs.where(F.col("doc_id") < 250), "doc_id", "text")
+    return incremental_exact_dedup(_new_batch(spark, sf), sig,
+                                   "doc_id", "text").select("doc_id")
+
+
+@_q("pipeline_incremental_lsh", f"""
+SELECT DISTINCT n.doc_id AS id_new, s.doc_id AS id_seen
+FROM {_bands_subquery(_NEW_BATCH_SQL + " t")} n
+JOIN {_bands_subquery("(SELECT doc_id, text FROM documents WHERE doc_id < 250) s0")} s
+  ON n.band = s.band AND n.bucket = s.bucket
+""")
+def _p2e(spark, sf):
+    """Cross-batch near-dup candidates: the new batch is shingled/banded,
+    the history contributes only its stored (id, band, bucket) LSH table —
+    (id_new, id_seen) pairs from the (band, bucket) equi-join."""
+    from great_expectations_spark.pipeline.dedup import (
+        incremental_lsh_candidates,
+        lsh_bucket_table,
+    )
+
+    docs = _tbl(spark, sf, "documents")
+    buckets = lsh_bucket_table(docs.where(F.col("doc_id") < 250), "doc_id", "text")
+    return incremental_lsh_candidates(_new_batch(spark, sf), buckets,
+                                      "doc_id", "text")
 
 
 def _simhash_oracle(bits: int = 16) -> str:

@@ -280,6 +280,94 @@ def lsh_hot_buckets(
     )
 
 
+# ------------------------------------------------- incremental (cross-batch)
+
+
+def exact_digest_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, digest) — the persistable exact-dedup state of a corpus. Write
+    it once per ingested batch (16 bytes + id per doc); future batches
+    anti-join against the union of these tables instead of re-reading the
+    corpus text."""
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), _md5(F.col(text_col)).alias("digest"))
+
+
+def lsh_bucket_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, bucket) — the persistable near-dup state of a corpus: the
+    same banded MinHash buckets ``minhash_lsh_candidates`` pairs on,
+    ``bands`` rows per doc. New batches bucket themselves with the SAME
+    (k, bands, shingle_n) and equi-join on (band, bucket) — near-dup
+    detection against a 10^12-doc history without touching its text."""
+    return _band_buckets(df, id_col, text_col, k, bands, shingle_n).select(
+        F.col("__id").alias("id"), "band", "bucket")
+
+
+def incremental_exact_dedup(
+    new: DataFrame,
+    seen_digests: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Rows of ``new`` that survive exact dedup against BOTH the already-
+    ingested corpus (``seen_digests`` from ``exact_digest_table``) and the
+    new batch itself (keep the min-id row per digest, matching
+    ``exact_dedup``'s keep-first policy). NULL-text rows pass through
+    (nothing to hash — same contract as ``exact_dedup``).
+
+    Plan: one digest groupBy over the new batch + one anti-join on the
+    16-byte digest; the seen side is a column-pruned scan of the signature
+    table, never the corpus text."""
+    d = new.where(F.col(text_col).isNotNull()).withColumn(
+        "__h", _md5(F.col(text_col)))
+    firsts = d.groupBy("__h").agg(F.min(F.col(id_col)).alias("__keep"))
+    in_batch = d.join(firsts, "__h").where(F.col(id_col) == F.col("__keep"))
+    survivors = (
+        in_batch.join(
+            seen_digests.select(F.col("digest").alias("__h")).distinct(),
+            "__h", "left_anti")
+        .drop("__h", "__keep")
+    )
+    return survivors.unionByName(new.where(F.col(text_col).isNull()))
+
+
+def incremental_lsh_candidates(
+    new: DataFrame,
+    seen_buckets: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(id_new, id_seen) near-dup candidate pairs between a new batch and
+    the ingested history's ``lsh_bucket_table`` (same k/bands/shingle_n or
+    the buckets don't line up — the caller owns that contract).
+
+    Only the new batch is shingled/hashed; the history contributes its
+    stored (band, bucket, id) triples. ``max_bucket_size`` caps degenerate
+    HISTORY buckets (boilerplate) exactly like ``minhash_lsh_candidates``
+    does for self-joins."""
+    nb = _band_buckets(new, id_col, text_col, k, bands, shingle_n)
+    sb = seen_buckets.select("id", "band", "bucket")
+    if max_bucket_size is not None:
+        sizes = sb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
+        sb = (sb.join(sizes, ["band", "bucket"])
+              .where(F.col("__bsz") <= max_bucket_size).drop("__bsz"))
+    return (
+        nb.join(sb, ["band", "bucket"])
+        .select(F.col("__id").alias("id_new"), F.col("id").alias("id_seen"))
+        .distinct()
+    )
+
+
 # ------------------------------------------------------------------- SimHash
 
 

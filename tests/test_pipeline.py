@@ -304,3 +304,73 @@ def test_heavy_hitters_candidate_cap_raises(spark):
     df = spark.createDataFrame(rows, "id long, v string")
     with pytest.raises(ValueError, match="candidate set exceeds cap"):
         heavy_hitters(df, "v", 0.001, candidate_cap=5)
+
+
+# ------------------------------------------- incremental (cross-batch) dedup
+
+
+def _ingest_frames(spark):
+    seen = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "one two three four five six seven eight nine ten eleven twelve"),
+         (3, "unique seen document about watermarks and late arriving data")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # exact dup of 1
+         (11, "fresh document describing adaptive query execution plans"),
+         (12, "fresh document describing adaptive query execution plans"),  # in-batch dup of 11
+         (13, "one two three four five six seven eight nine ten eleven TWELVE"),  # near-dup of 2
+         (14, None)],
+        "doc_id long, text string")
+    return seen, new
+
+
+def test_incremental_exact_dedup(spark):
+    from great_expectations_spark.pipeline.dedup import (
+        exact_digest_table,
+        incremental_exact_dedup,
+    )
+
+    seen, new = _ingest_frames(spark)
+    sig = exact_digest_table(seen, "doc_id", "text")
+    assert sig.columns == ["id", "digest"]
+    out = incremental_exact_dedup(new, sig, "doc_id", "text")
+    # 10 dropped (seen), 12 dropped (in-batch, 11 kept as min id), 14 null passes
+    assert sorted(r["doc_id"] for r in out.collect()) == [11, 13, 14]
+    assert out.columns == new.columns
+
+
+def test_incremental_lsh_candidates(spark):
+    from great_expectations_spark.pipeline.dedup import (
+        incremental_lsh_candidates,
+        lsh_bucket_table,
+    )
+
+    seen, new = _ingest_frames(spark)
+    buckets = lsh_bucket_table(seen, "doc_id", "text")
+    assert buckets.columns == ["id", "band", "bucket"]
+    pairs = {(r["id_new"], r["id_seen"]) for r in
+             incremental_lsh_candidates(new, buckets, "doc_id", "text").collect()}
+    # the exact copy always collides; the one-token edit of doc 2 should too
+    assert (10, 1) in pairs
+    assert (13, 2) in pairs
+    # fresh docs never pair with history
+    assert not any(n in (11, 12) for n, _ in pairs)
+
+
+def test_incremental_lsh_bucket_cap_drops_hot_history_bucket(spark):
+    from great_expectations_spark.pipeline.dedup import (
+        incremental_lsh_candidates,
+        lsh_bucket_table,
+    )
+
+    boiler = "cookie banner accept terms privacy policy copyright footer nav"
+    seen = spark.createDataFrame(
+        [(i, boiler) for i in range(20)], "doc_id long, text string")
+    new = spark.createDataFrame([(100, boiler)], "doc_id long, text string")
+    buckets = lsh_bucket_table(seen, "doc_id", "text")
+    uncapped = incremental_lsh_candidates(new, buckets, "doc_id", "text")
+    capped = incremental_lsh_candidates(new, buckets, "doc_id", "text",
+                                        max_bucket_size=5)
+    assert uncapped.count() == 20
+    assert capped.count() == 0
