@@ -102,3 +102,73 @@ def test_heavy_hitters_summaries_single_column_input(spark, fresh_docs):
         _mg_summaries("lang", 16), schema="value string, cnt long")
     plan = _plan(summaries)
     assert "ReadSchema: struct<lang:string>" in plan
+
+
+def test_resolve_revisits_single_exchange_no_window(spark, fresh_docs):
+    """Revisit resolution is ONE hash shuffle of pre-aggregated max_by
+    partials — no Window (a per-url window would hotspot hot urls) and
+    map-side partial aggregation before the exchange."""
+    from great_expectations_spark.pipeline.webtext import resolve_revisits
+
+    pages = fresh_docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("doc_id").alias("rev"))
+    plan = _plan(resolve_revisits(pages, "url", "rev", tiebreak=["rev"]))
+    assert "Window" not in plan
+    assert plan.count(") Exchange") == 1
+    assert re.search(r"partial_max_by|ObjectHashAggregate", plan)
+
+
+def test_domain_cap_two_phase_windows(spark, fresh_docs):
+    """The salted top-k runs exactly two Window nodes; phase 1 partitions
+    by (domain, salt) so no single task ever sees a whole hot domain."""
+    from great_expectations_spark.pipeline.webtext import domain_cap
+
+    pages = fresh_docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "doc_id", "n_chars")
+    plan = _plan(domain_cap(pages, "url", k=5,
+                            order_by=[F.col("n_chars").desc(),
+                                      F.col("doc_id").asc()]))
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 2
+    # Spark's rank-limit pushdown kicks in: per-partition WindowGroupLimit
+    # truncates each group to k rows BEFORE the shuffle
+    assert "WindowGroupLimit" in plan
+    assert "pmod" in plan  # the salt reaches the phase-1 partition spec
+
+
+def test_incremental_exact_dedup_anti_join_on_digests(spark, fresh_docs, tmp_path):
+    """The new batch anti-joins 16-byte digests: LeftAnti join present,
+    digest groupBy partially aggregated, and the SEEN side reads only the
+    signature table's digest column (column pruning)."""
+    from great_expectations_spark.pipeline.dedup import (
+        exact_digest_table,
+        incremental_exact_dedup,
+    )
+
+    sig_path = str(tmp_path / "sig.parquet")
+    exact_digest_table(fresh_docs, "doc_id", "text").write.parquet(sig_path)
+    seen = spark.read.parquet(sig_path)
+    plan = _plan(incremental_exact_dedup(fresh_docs, seen, "doc_id", "text"))
+    assert "LeftAnti" in plan
+    assert "ReadSchema: struct<digest:string>" in plan
+    assert "partial_min" in plan
+
+
+def test_incremental_lsh_no_cartesian(spark, fresh_docs, tmp_path):
+    """History bucket join stays an equi-join on (band, bucket) — never a
+    cartesian/nested-loop product."""
+    from great_expectations_spark.pipeline.dedup import (
+        incremental_lsh_candidates,
+        lsh_bucket_table,
+    )
+
+    b_path = str(tmp_path / "buckets.parquet")
+    lsh_bucket_table(fresh_docs, "doc_id", "text").write.parquet(b_path)
+    buckets = spark.read.parquet(b_path)
+    plan = _plan(incremental_lsh_candidates(fresh_docs, buckets,
+                                            "doc_id", "text"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

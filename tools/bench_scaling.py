@@ -203,6 +203,41 @@ def _grouped_run(label: str) -> dict:
             "rows_per_sec": round(N_ROWS / best, 2)}
 
 
+CC_NODES = int(os.environ.get("SPARK_GRAFT_SCALING_CC_NODES", 10_000_000))
+
+
+def _cc_run(label: str) -> dict:
+    """Connected-components scaling: duplicate-cluster resolution
+    (pipeline/cluster.py Large-Star/Small-Star) over a synthetic dedup-shaped
+    edge list — size-5 star clusters, the small-dense-cluster shape near-dup
+    graphs produce (converges in one round + the fixpoint check). Every
+    round is groupBy-min + join + distinct over the edge list; min's
+    map-side partial aggregation is what must keep this tracking executor
+    count."""
+    from great_expectations_spark.pipeline.cluster import connected_components
+
+    spark, cores = _session(label)
+    edges = (
+        spark.range(0, CC_NODES, 1, 256)
+        .where("id % 5 != 0")
+        .selectExpr("id AS id_a", "id - (id % 5) AS id_b")
+    )
+    n_edges = CC_NODES - (CC_NODES + 4) // 5
+    best = float("inf")
+    # 2 in-process reps (each CC run is ~10 Spark jobs; the outer
+    # alternating rounds still sample each topology 3 more times)
+    for _ in range(2):
+        t0 = time.time()
+        members = connected_components(edges, "id_a", "id_b").where(
+            "node != component").count()
+        best = min(best, time.time() - t0)
+        assert members == n_edges  # every non-hub points at its hub
+    spark.stop()
+    return {"label": label, "master": MASTERS[label][0], "cores": cores,
+            "rows": n_edges, "best_sec": round(best, 4),
+            "rows_per_sec": round(n_edges / best, 2)}
+
+
 def _calib_run(label: str) -> dict:
     """Host scaling ceiling: embarrassingly-parallel codegen aggregation."""
     from pyspark.sql import functions as F
@@ -241,6 +276,8 @@ def main() -> None:
         kinds += ("mono",)
     if os.environ.get("SPARK_GRAFT_SCALING_GROUPED"):
         kinds += ("grouped",)
+    if os.environ.get("SPARK_GRAFT_SCALING_CC"):
+        kinds += ("cc",)
     best: dict = {}
     for _round in range(3):  # alternating rounds damp host noise
         for kind in kinds:
@@ -278,13 +315,20 @@ def main() -> None:
         report["grouped_4N"] = g_4n
         report["grouped_scaling_efficiency"] = round(
             g_4n["rows_per_sec"] / (4 * g_n["rows_per_sec"]), 4)
+    if ("cc", "N") in best:
+        x_n, x_4n = best[("cc", "N")], best[("cc", "4N")]
+        report["cc_N"] = x_n
+        report["cc_4N"] = x_4n
+        report["cc_scaling_efficiency"] = round(
+            x_4n["rows_per_sec"] / (4 * x_n["rows_per_sec"]), 4)
     print(json.dumps(report, indent=2))
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 3 and sys.argv[1] == "--worker":
         fn = {"engine": _engine_run, "mono": _mono_run,
-              "grouped": _grouped_run, "calib": _calib_run}[sys.argv[3]]
+              "grouped": _grouped_run, "cc": _cc_run,
+              "calib": _calib_run}[sys.argv[3]]
         print(json.dumps(fn(sys.argv[2])))
     else:
         main()
