@@ -755,6 +755,63 @@ def _p1(spark, sf):
     return exact_dedup_stats(planted, "text")
 
 
+@_q("pipeline_paragraph_dedup", """
+WITH p AS (
+  SELECT doc_id, unnest(lst) AS para, generate_subscripts(lst, 1) - 1 AS idx
+  FROM (SELECT doc_id, string_split(text, ' ') AS lst
+        FROM documents WHERE text IS NOT NULL)
+), k AS (
+  SELECT doc_id, idx, para,
+         (length(para) < 4) OR
+         (row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) = 1) AS keep
+  FROM p
+)
+SELECT doc_id,
+       coalesce(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE keep), '') AS text
+FROM k GROUP BY doc_id
+UNION ALL
+SELECT doc_id, text FROM documents WHERE text IS NULL
+""")
+def _p1b(spark, sf):
+    # corpus-wide paragraph (here: word-segment) dedup — keep-first by
+    # (doc_id, position), short segments exempt, docs reassembled in order
+    from great_expectations_spark.pipeline.paragraph import paragraph_dedup
+
+    docs = _tbl(spark, sf, "documents").select("doc_id", "text")
+    return paragraph_dedup(docs, sep=" ", min_chars=4)
+
+
+@_q("pipeline_paragraph_stats", """
+WITH p AS (
+  SELECT doc_id, unnest(lst) AS para
+  FROM (SELECT doc_id, string_split(text, ' ') AS lst
+        FROM documents WHERE text IS NOT NULL)
+), t AS (
+  SELECT count(DISTINCT doc_id) AS n_docs, count(*) AS n_paragraphs,
+         coalesce(sum(CASE WHEN length(para) < 4 THEN 1 ELSE 0 END), 0)
+           AS n_exempt_short
+  FROM p
+), g AS (
+  SELECT para, count(*) AS n FROM p WHERE length(para) >= 4 GROUP BY 1
+), s AS (
+  SELECT coalesce(count(*), 0) AS n_distinct,
+         coalesce(sum(n - 1), 0) AS dup_paragraphs
+  FROM g
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_paragraphs AS BIGINT) AS n_paragraphs,
+       CAST(n_exempt_short AS BIGINT) AS n_exempt_short,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(dup_paragraphs AS BIGINT) AS dup_paragraphs
+FROM t, s
+""")
+def _p1c(spark, sf):
+    from great_expectations_spark.pipeline.paragraph import paragraph_dedup_stats
+
+    docs = _tbl(spark, sf, "documents").select("doc_id", "text")
+    return paragraph_dedup_stats(docs, sep=" ", min_chars=4)
+
+
 def _hashed_shingle_sql(n: int = 3) -> str:
     """DuckDB replica of dedup.hashed_shingles over column ``th``."""
     from great_expectations_spark.pipeline.dedup import MINHASH_P, SHINGLE_C
@@ -1899,11 +1956,10 @@ def _r2g(spark, sf):
 
 def _lsh_bucket_stats_oracle() -> str:
     # same signature pipeline as the minhash oracle, aggregated per bucket
-    base = _minhash_oracle()
-    head, _sep, _tail = base.rpartition("SELECT DISTINCT")
-    return head + """
+    bq = _bands_subquery("documents")
+    return f"""
 SELECT band, bucket, CAST(count(*) AS BIGINT) AS n_docs
-FROM bands GROUP BY band, bucket HAVING count(*) >= 2
+FROM {bq} t GROUP BY band, bucket HAVING count(*) >= 2
 """
 
 
