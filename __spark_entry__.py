@@ -1159,6 +1159,27 @@ def _p8(spark, sf):
     return cosine_topk(emb, q, k=10)
 
 
+@_q("pipeline_cosine_topk_gemm", f"""
+WITH s AS (
+  SELECT b.vec_id AS q_id, a.vec_id AS vec_id, round({_COS_SQL}, 4) AS sim
+  FROM embeddings a, embeddings b
+  WHERE b.vec_id < 8 AND a.vec_id <> b.vec_id
+),
+r AS (SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      FROM s)
+SELECT q_id, vec_id, sim, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10
+""")
+def _p8b(spark, sf):
+    # Arrow/BLAS edition of the exact top-k — same total order, same oracle
+    from great_expectations_spark.pipeline.similarity import cosine_topk_gemm
+
+    emb = _tbl(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return cosine_topk_gemm(emb, q, k=10)
+
+
 def _ann_oracle(dims: int = 64, planes: int = 6, tables: int = 4, k: int = 10) -> str:
     from great_expectations_spark.pipeline.similarity import hyperplane_weights
 

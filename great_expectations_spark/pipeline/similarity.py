@@ -280,3 +280,105 @@ def ann_topk_lsh(
         .where(F.col("rank") <= k)
         .select("q_id", "vec_id", "sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ------------------------------------------------- GEMM exact top-k
+
+
+def cosine_topk_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k, Arrow/BLAS edition — same results as
+    ``cosine_topk`` (identical round-4 + id-tiebreak total order), built
+    for wide query sets where the unrolled ``zip_with`` dot products
+    dominate.
+
+    Plan: the query matrix is collected driver-side (small by the same
+    contract that lets ``cosine_topk`` broadcast it), L2-normalized once,
+    and closed over a ``mapInPandas`` kernel; each Arrow batch of the
+    corpus becomes ONE ``numpy`` GEMM (batch x dims @ dims x n_queries)
+    followed by a per-query partial top-k. Only ``n_partitions * k`` rows
+    per query reach the final shuffle — the corpus itself never moves.
+    The per-batch prune and the final window use the SAME total order
+    (sim rounded to 4 desc, id asc), so the union of per-batch top-k
+    provably contains the global top-k.
+
+    Rows with NULL or zero-norm embeddings are excluded (cosine is
+    undefined there; ``cosine_topk`` ranks them last via NULL sims — the
+    two differ only for queries with fewer than k well-defined neighbors).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")
+    ).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    q_ids = [r["q_id"] for r in qrows]
+    qm = np.array([r["q_vec"] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    if (qn == 0).any():
+        raise ValueError("zero-norm query vector")
+    qm /= qn[:, None]
+    dims = qm.shape[1]
+
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"))
+    q_id_type = queries.schema[q_id_col].dataType.simpleString()
+    vec_id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"q_id {q_id_type}, vec_id {vec_id_type}, sim double"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            vecs = pdf["__v"]
+            mask = vecs.notna().to_numpy()
+            if not mask.any():
+                continue
+            ids = pdf["vec_id"].to_numpy()[mask]
+            cm = np.stack(vecs[mask].to_numpy()).astype(np.float64)
+            if cm.shape[1] != dims:
+                raise ValueError(
+                    f"corpus dims {cm.shape[1]} != query dims {dims}")
+            cn = np.linalg.norm(cm, axis=1)
+            ok = cn > 0
+            if not ok.all():
+                ids, cm, cn = ids[ok], cm[ok], cn[ok]
+            if ids.size == 0:
+                continue
+            sims = np.round((cm / cn[:, None]) @ qm.T, 4)  # rows x queries
+            out_q, out_id, out_sim = [], [], []
+            for j, qid in enumerate(q_ids):
+                s = sims[:, j]
+                cand_ids, cand_s = ids, s
+                if exclude_self:
+                    ne = cand_ids != qid
+                    cand_ids, cand_s = cand_ids[ne], cand_s[ne]
+                if cand_ids.size == 0:
+                    continue
+                take = min(k, cand_ids.size)
+                # total order: sim desc, id asc — same as the final window
+                order = np.lexsort((cand_ids, -cand_s))[:take]
+                out_q.extend([qid] * take)
+                out_id.extend(cand_ids[order].tolist())
+                out_sim.extend(cand_s[order].tolist())
+            if out_q:
+                yield pd.DataFrame(
+                    {"q_id": out_q, "vec_id": out_id, "sim": out_sim}
+                )
+
+    partial = c.mapInPandas(kernel, schema=out_schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )

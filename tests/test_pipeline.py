@@ -374,3 +374,50 @@ def test_incremental_lsh_bucket_cap_drops_hot_history_bucket(spark):
                                         max_bucket_size=5)
     assert uncapped.count() == 20
     assert capped.count() == 0
+
+
+# ------------------------------------------------------------- GEMM top-k
+
+
+def test_cosine_topk_gemm_matches_zipwith_exact(spark, emb):
+    from great_expectations_spark.pipeline.similarity import cosine_topk, cosine_topk_gemm
+
+    q = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    a = sorted(tuple(r) for r in cosine_topk(emb, q, k=7).collect())
+    b = sorted(tuple(r) for r in cosine_topk_gemm(emb, q, k=7).collect())
+    assert a == b
+
+
+def test_cosine_topk_gemm_partitioning_independent(spark, emb):
+    from great_expectations_spark.pipeline.similarity import cosine_topk_gemm
+
+    q = emb.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    one = sorted(tuple(r) for r in cosine_topk_gemm(emb.coalesce(1), q, k=5).collect())
+    many = sorted(tuple(r) for r in cosine_topk_gemm(emb.repartition(13), q, k=5).collect())
+    assert one == many
+
+
+def test_cosine_topk_gemm_null_and_self(spark):
+    from great_expectations_spark.pipeline.similarity import cosine_topk_gemm
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None), (4, [0.0, 1.0])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([(1, [1.0, 0.0])], "q_id long, q_vec array<float>")
+    got = {(r.vec_id, r.rank) for r in cosine_topk_gemm(corpus, q, k=10).collect()}
+    # NULL embedding excluded, self excluded, rest ranked by cosine
+    assert got == {(2, 1), (4, 2)}
+    with_self = cosine_topk_gemm(corpus, q, k=10, exclude_self=False)
+    assert with_self.where(F.col("rank") == 1).collect()[0].vec_id == 1
+
+
+def test_cosine_topk_gemm_dim_mismatch_and_empty_queries(spark, emb):
+    from great_expectations_spark.pipeline.similarity import cosine_topk_gemm
+
+    bad_q = spark.createDataFrame([(1, [1.0, 0.0])], "q_id long, q_vec array<float>")
+    with pytest.raises(Exception):
+        cosine_topk_gemm(emb, bad_q, k=3).collect()
+    empty_q = spark.createDataFrame([], "q_id long, q_vec array<float>")
+    with pytest.raises(ValueError):
+        cosine_topk_gemm(emb, empty_q, k=3)
