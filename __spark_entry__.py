@@ -1355,6 +1355,39 @@ def _prof1(spark, sf):
         F.round(F.col("mean"), 6).alias("mean"))
 
 
+@_q("assistant_chunk_metrics", """
+SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS chunk,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_chars__nulls,
+       round(avg(n_chars), 6) AS n_chars__mean,
+       CAST(min(n_chars) AS BIGINT) AS n_chars__min,
+       CAST(max(n_chars) AS BIGINT) AS n_chars__max,
+       round(stddev_samp(n_chars), 6) AS n_chars__std,
+       CAST(coalesce(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS lang__nulls,
+       CAST(min(length(lang)) AS INT) AS lang__len_min,
+       CAST(max(length(lang)) AS INT) AS lang__len_max
+FROM documents GROUP BY 1
+""")
+def _assist1(spark, sf):
+    # the assistant's one-scan pseudo-batch profile, on an engine-portable
+    # md5 chunk key (sketch/set columns excluded: HLL estimates and
+    # collect_set ordering are engine-specific by design)
+    from great_expectations_spark.assistant import chunk_metrics
+    from great_expectations_spark.pipeline.dedup import _md5_int
+
+    docs = _tbl(spark, sf, "documents")
+    key = F.pmod(_md5_int(F.col("doc_id").cast("string")), F.lit(4))
+    m = chunk_metrics(docs, ["n_chars", "lang"], n_chunks=4, chunk_by=key)
+    return m.select(
+        "chunk", "n_rows", "n_chars__nulls",
+        F.round("n_chars__mean", 6).alias("n_chars__mean"),
+        "n_chars__min", "n_chars__max",
+        F.round("n_chars__std", 6).alias("n_chars__std"),
+        "lang__nulls", "lang__len_min", "lang__len_max")
+
+
 # ---- query-metric escape hatch ----------------------------------------------
 
 

@@ -344,6 +344,29 @@ def main() -> None:
 
     # NOT counted in rows_validated (appended in round 2)
 
+    @timed("ann_gemm_wide")
+    def _q15():
+        # 8x the ann_cosine query width through the Arrow/BLAS kernel —
+        # one numpy GEMM per corpus batch instead of unrolled zip_with
+        # dot products (same results, same oracle)
+        from great_expectations_spark.pipeline.similarity import cosine_topk_gemm
+
+        queries_df = emb.where(F.col("vec_id") < 64).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        cosine_topk_gemm(emb, queries_df, k=10).select(
+            F.count(F.lit(1))).first()
+
+    @timed("paragraph_dedup")
+    def _q16():
+        # corpus-wide keep-first paragraph dedup + reassembly at full doc
+        # count (C4/CCNet-style; digest-only shuffle in keeper election)
+        from great_expectations_spark.pipeline.paragraph import paragraph_dedup
+
+        paragraph_dedup(docs.select("doc_id", "text"), sep=" ",
+                        min_chars=4).select(F.count(F.lit(1))).first()
+
+    # NOT counted in rows_validated (appended in round 2)
+
     total = round(sum(timings.values()), 4)
     suite_secs = sum(timings[k] for k in timings if k.startswith("suite_"))
     throughput = round(rows_validated / suite_secs, 2) if suite_secs > 0 else 0.0

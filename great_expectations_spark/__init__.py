@@ -27,6 +27,7 @@ from great_expectations_spark.interactive import (
     get_metric,
     get_metrics,
 )
+from great_expectations_spark.assistant import chunk_metrics, onboarding_suite
 from great_expectations_spark.grouped import validate_by, violations_by
 from great_expectations_spark.validator import SparkValidator, validate
 from great_expectations_spark.functions.conditions import (
@@ -47,6 +48,8 @@ __all__ = [
     "get_metrics",
     "validate",
     "validate_by",
+    "chunk_metrics",
+    "onboarding_suite",
     "violations_by",
     "register_regex_expectation",
     "register_set_expectation",

@@ -1,0 +1,207 @@
+"""Onboarding assistant: calibrated suite generation from pseudo-batches.
+
+The reference's data assistants (great_expectations/rule_based_profiler/
+data_assistant/onboarding_data_assistant.py; parameter estimation in
+rule_based_profiler/estimators/*) fit expectation thresholds from the
+metric spread across MANY batches, then emit a suite whose bounds cover
+that spread. This module re-expresses the idea engine-side with one scan:
+the table is split into ``n_chunks`` deterministic content-hash
+pseudo-batches, every per-column statistic is computed per chunk in a
+single ``groupBy().agg`` (all JVM-side Column aggregates), and bounds are
+the cross-chunk [min, max] envelope widened by a relative ``margin`` —
+the reference's "bootstrapped range" estimator with the chunk spread
+standing in for the batch spread.
+
+Scale: ONE shuffle on an 8-way (default) chunk key — every aggregate is
+map-side combinable, the driver sees n_chunks rows of a few hundred
+columns. No per-value collects; value sets are bounded by
+``set_cardinality_cap`` via the same slice-capped collect_set guard the
+distinct-values expectation uses.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from great_expectations_spark.core.suite import ExpectationSuite
+
+
+def content_chunk(cols: list[str], n_chunks: int) -> Column:
+    """Deterministic pseudo-batch id: xxhash64 of the row content modulo
+    ``n_chunks`` — stable across partitionings and runs."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_chunks))
+
+
+def _is_numeric(dt: T.DataType) -> bool:
+    return isinstance(dt, T.NumericType)
+
+
+def chunk_metrics(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    n_chunks: int = 8,
+    chunk_by: Column | str | None = None,
+    set_cardinality_cap: int = 20,
+) -> DataFrame:
+    """Per-chunk calibration statistics, one row per chunk.
+
+    Emits ``chunk, n_rows`` plus, per column: ``<c>__nulls``; numeric:
+    ``__mean/__min/__max/__std``; string: ``__len_min/__len_max``,
+    ``__n_distinct`` (approx), ``__set`` (collect_set sliced to cap+1 —
+    the +1 overflow sentinel, never unbounded). All aggregates ride ONE
+    fused groupBy. ``chunk_by`` overrides the content-hash chunk key
+    (e.g. an ingest-date or batch-id column).
+    """
+    if n_chunks < 2:
+        raise ValueError(f"n_chunks must be >= 2, got {n_chunks}")
+    columns = columns or df.columns
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+    if chunk_by is None:
+        key = content_chunk(columns, n_chunks)
+    elif isinstance(chunk_by, str):
+        key = F.pmod(F.xxhash64(F.col(chunk_by)), F.lit(n_chunks))
+    else:
+        # a Column IS the chunk id (e.g. an ingest-date bucket or an
+        # engine-portable md5-derived key) — used verbatim, not re-hashed
+        key = chunk_by
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        dt = df.schema[c].dataType
+        col = F.col(c)
+        aggs.append(
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls")
+        )
+        if _is_numeric(dt):
+            aggs += [
+                F.avg(col).alias(f"{c}__mean"),
+                F.min(col).alias(f"{c}__min"),
+                F.max(col).alias(f"{c}__max"),
+                F.stddev_samp(col).alias(f"{c}__std"),
+            ]
+        elif isinstance(dt, T.StringType):
+            aggs += [
+                F.min(F.length(col)).alias(f"{c}__len_min"),
+                F.max(F.length(col)).alias(f"{c}__len_max"),
+                F.approx_count_distinct(col).alias(f"{c}__n_distinct"),
+                F.slice(
+                    F.collect_set(col), 1, set_cardinality_cap + 1
+                ).alias(f"{c}__set"),
+            ]
+    return df.groupBy(key.alias("chunk")).agg(*aggs)
+
+
+def _widen(lo: float, hi: float, margin: float) -> tuple[float, float]:
+    spread = hi - lo
+    pad = margin * max(spread, abs(lo), abs(hi), 1e-9)
+    return lo - pad, hi + pad
+
+
+def onboarding_suite(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    name: str = "onboarding",
+    n_chunks: int = 8,
+    margin: float = 0.1,
+    chunk_by: Column | str | None = None,
+    set_cardinality_cap: int = 20,
+    include_row_count: bool = True,
+) -> ExpectationSuite:
+    """Generate a calibrated expectation suite from one profiling scan.
+
+    Per column, bounds are the cross-chunk envelope widened by ``margin``
+    (relative): numeric columns get mean/min/max/stddev between-bounds,
+    string columns get length bounds and — when the whole-table
+    cardinality stays under ``set_cardinality_cap`` — an in-set
+    expectation over the observed values; every column gets a
+    not-be-null expectation with ``mostly`` calibrated to the worst
+    chunk's null rate; the table gets a row-count range. The suite
+    passes on the profiled data by construction and on any batch whose
+    per-chunk statistics stay inside the widened envelope — the
+    reference assistant's contract.
+    """
+    if not 0 <= margin < 1:
+        raise ValueError(f"margin must be in [0, 1), got {margin}")
+    columns = columns or df.columns
+    rows = chunk_metrics(
+        df, columns, n_chunks=n_chunks, chunk_by=chunk_by,
+        set_cardinality_cap=set_cardinality_cap,
+    ).collect()
+    suite = ExpectationSuite(name=name)
+    if not rows:
+        suite.add("expect_table_row_count_to_be_between", min_value=0, max_value=0)
+        return suite
+
+    def env(field: str) -> tuple[Any, Any] | None:
+        vals = [r[field] for r in rows if r[field] is not None]
+        if not vals:
+            return None
+        return min(vals), max(vals)
+
+    if include_row_count:
+        # calibrated to THIS table's size — disable when future batches
+        # legitimately vary in volume (the reference's volume assistant
+        # models that trend instead; see history.flag_drift here)
+        n_total = sum(r["n_rows"] for r in rows)
+        lo, hi = _widen(float(n_total), float(n_total), margin)
+        suite.add(
+            "expect_table_row_count_to_be_between",
+            min_value=max(0, math.floor(lo)), max_value=math.ceil(hi),
+        )
+
+    for c in columns:
+        dt = df.schema[c].dataType
+        # worst-chunk null rate -> mostly (floored to 2 decimals, clamped)
+        worst_null = max(
+            (r[f"{c}__nulls"] / r["n_rows"]) for r in rows if r["n_rows"]
+        )
+        mostly = max(0.01, min(1.0, math.floor((1.0 - worst_null) * (1.0 - margin) * 100) / 100))
+        if worst_null < 1.0:
+            suite.add(
+                "expect_column_values_to_not_be_null", column=c, mostly=mostly
+            )
+        if _is_numeric(dt):
+            for stat, exp in (
+                ("mean", "expect_column_mean_to_be_between"),
+                ("min", "expect_column_min_to_be_between"),
+                ("max", "expect_column_max_to_be_between"),
+                ("std", "expect_column_stdev_to_be_between"),
+            ):
+                e = env(f"{c}__{stat}")
+                if e is None:
+                    continue
+                lo, hi = _widen(float(e[0]), float(e[1]), margin)
+                if stat == "std":
+                    lo = max(0.0, lo)
+                suite.add(exp, column=c, min_value=lo, max_value=hi)
+        elif isinstance(dt, T.StringType):
+            e = env(f"{c}__len_min")
+            e2 = env(f"{c}__len_max")
+            if e and e2:
+                lo, hi = _widen(float(e[0]), float(e2[1]), margin)
+                suite.add(
+                    "expect_column_value_lengths_to_be_between",
+                    column=c, min_value=max(0, math.floor(lo)),
+                    max_value=math.ceil(hi), mostly=mostly,
+                )
+            observed: set[str] = set()
+            overflow = False
+            for r in rows:
+                s = r[f"{c}__set"]
+                observed.update(s or [])
+            if len(observed) > set_cardinality_cap:
+                overflow = True
+            approx_total = max((r[f"{c}__n_distinct"] for r in rows), default=0)
+            if observed and not overflow and approx_total <= set_cardinality_cap:
+                suite.add(
+                    "expect_column_values_to_be_in_set",
+                    column=c, value_set=sorted(observed), mostly=mostly,
+                )
+    return suite

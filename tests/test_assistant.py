@@ -1,0 +1,103 @@
+"""Onboarding assistant: calibrated suite generation (assistant.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from great_expectations_spark.assistant import chunk_metrics, onboarding_suite
+from great_expectations_spark.validator import validate
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_suite_passes_on_profiled_data(spark, docs):
+    suite = onboarding_suite(docs)
+    res = validate(docs, suite, result_format="BOOLEAN_ONLY")
+    failed = [r.expectation_config.expectation_type for r in res.results if not r.success]
+    assert res.success, failed
+
+
+def test_suite_passes_on_same_distribution_holdout(spark, docs):
+    # disjoint 30% holdout: row count and id extremes legitimately differ
+    # (same caveat as the reference assistant), so calibrate on the
+    # distribution-stable columns with a wider margin and no row-count
+    from great_expectations_spark.pipeline.sampling import train_holdout_split
+
+    train, holdout = train_holdout_split(docs, "doc_id", holdout_fraction=0.3)
+    suite = onboarding_suite(
+        train, columns=["n_chars", "lang", "text"], margin=0.25,
+        include_row_count=False,
+    )
+    res = validate(holdout, suite, result_format="BOOLEAN_ONLY")
+    failed = [r.expectation_config.expectation_type for r in res.results if not r.success]
+    assert res.success, failed
+
+
+def test_suite_fails_on_drifted_data(spark, docs):
+    suite = onboarding_suite(docs, columns=["n_chars", "lang"])
+    # shift the numeric column far outside the envelope; inject an unseen
+    # category
+    drifted = docs.withColumn("n_chars", F.col("n_chars") + F.lit(10**6)) \
+                  .withColumn("lang", F.lit("??"))
+    res = validate(drifted, suite, result_format="BOOLEAN_ONLY")
+    assert not res.success
+    failed = {r.expectation_config.expectation_type for r in res.results if not r.success}
+    assert "expect_column_mean_to_be_between" in failed
+
+
+def test_suite_fails_on_null_surge(spark, docs):
+    suite = onboarding_suite(docs, columns=["text"])
+    surged = docs.withColumn(
+        "text", F.when(F.pmod(F.col("doc_id"), 2) == 0, None).otherwise(F.col("text")))
+    res = validate(surged, suite, result_format="BOOLEAN_ONLY")
+    assert not res.success
+
+
+def test_high_cardinality_column_gets_no_in_set(spark, docs):
+    suite = onboarding_suite(docs, columns=["text", "lang"], set_cardinality_cap=5)
+    types_by_col = {}
+    for e in suite.expectations:
+        types_by_col.setdefault(e.kwargs.get("column"), set()).add(e.expectation_type)
+    assert "expect_column_values_to_be_in_set" not in types_by_col.get("text", set())
+    # lang is low-cardinality -> in_set present with the observed values
+    assert "expect_column_values_to_be_in_set" in types_by_col.get("lang", set())
+
+
+def test_chunk_metrics_shape_and_determinism(spark, docs):
+    m1 = chunk_metrics(docs, ["n_chars", "lang"], n_chunks=4)
+    assert {r["chunk"] for r in m1.collect()} <= {0, 1, 2, 3}
+    a = sorted(tuple(r) for r in m1.select("chunk", "n_rows", "n_chars__mean").collect())
+    b = sorted(
+        tuple(r)
+        for r in chunk_metrics(docs.repartition(9), ["n_chars", "lang"], n_chunks=4)
+        .select("chunk", "n_rows", "n_chars__mean").collect()
+    )
+    assert a == b
+
+
+def test_explicit_chunk_column_used_verbatim(spark, docs):
+    key = F.pmod(F.col("doc_id"), F.lit(3))
+    m = chunk_metrics(docs, ["n_chars"], n_chunks=3, chunk_by=key)
+    assert {r["chunk"] for r in m.collect()} == {0, 1, 2}
+
+
+def test_bad_args(spark, docs):
+    with pytest.raises(ValueError):
+        chunk_metrics(docs, ["nope"])
+    with pytest.raises(ValueError):
+        chunk_metrics(docs, ["lang"], n_chunks=1)
+    with pytest.raises(ValueError):
+        onboarding_suite(docs, margin=1.5)
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "a long, b string")
+    suite = onboarding_suite(df)
+    kinds = {e.expectation_type for e in suite.expectations}
+    assert kinds == {"expect_table_row_count_to_be_between"}
