@@ -781,6 +781,31 @@ def _p1b(spark, sf):
     return paragraph_dedup(docs, sep=" ", min_chars=4)
 
 
+@_q("pipeline_paragraph_dedup_within", """
+WITH p AS (
+  SELECT doc_id, unnest(lst) AS para, generate_subscripts(lst, 1) - 1 AS idx
+  FROM (SELECT doc_id, string_split(text, ' ') AS lst
+        FROM documents WHERE text IS NOT NULL)
+), k AS (
+  SELECT doc_id, idx, para,
+         (length(para) < 4) OR
+         (row_number() OVER (PARTITION BY doc_id, para ORDER BY idx) = 1) AS keep
+  FROM p
+)
+SELECT doc_id,
+       coalesce(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE keep), '') AS text
+FROM k GROUP BY doc_id
+UNION ALL
+SELECT doc_id, text FROM documents WHERE text IS NULL
+""")
+def _p1d(spark, sf):
+    # intra-document repetition removal — cross-doc duplicates untouched
+    from great_expectations_spark.pipeline.paragraph import paragraph_dedup_within_doc
+
+    docs = _tbl(spark, sf, "documents").select("doc_id", "text")
+    return paragraph_dedup_within_doc(docs, sep=" ", min_chars=4)
+
+
 @_q("pipeline_paragraph_stats", """
 WITH p AS (
   SELECT doc_id, unnest(lst) AS para

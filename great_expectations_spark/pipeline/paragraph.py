@@ -30,7 +30,7 @@ suite checks (north rule).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -158,3 +158,64 @@ def paragraph_dedup_stats(
 
 def _sum_bool(cond):
     return F.sum(F.when(cond, 1).otherwise(0))
+
+
+def paragraph_dedup_within_doc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 1,
+    removed_count_col: str | None = None,
+) -> DataFrame:
+    """Intra-document repetition removal: keep only the FIRST occurrence of
+    each paragraph WITHIN its own document (boilerplate nav blocks, looped
+    template sections), leaving cross-document duplicates alone.
+
+    The corpus-wide keeper election disappears: the keep decision is a
+    per-(doc, digest) min-position — one hash shuffle on the doc id, no
+    digest join, no cross-doc data movement. The complement of
+    ``paragraph_dedup`` for pipelines that dedup across docs with MinHash
+    and only need exact repetition stripped inside each page.
+    """
+    if not sep:
+        raise ValueError("sep must be a non-empty literal string")
+    if min_chars < 0:
+        raise ValueError(f"min_chars must be >= 0, got {min_chars}")
+
+    paras = _exploded(df, id_col, text_col, sep)
+    short = F.length(F.col("__p")) < min_chars
+    w = Window.partitionBy("__id", "__d").orderBy("__idx")
+    kept = paras.withColumn(
+        "__keep", short | (F.row_number().over(w) == 1)
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("__idx", "__p"))
+                    )
+                ),
+                lambda s: s["__p"],
+            ),
+        ).alias("__new_text"),
+        F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias("__n_removed"),
+    )
+
+    nn = df.where(F.col(text_col).isNotNull())
+    out_cols = [
+        F.col("__new_text").alias(c) if c == text_col else F.col(c)
+        for c in df.columns
+    ]
+    if removed_count_col:
+        out_cols.append(F.col("__n_removed").alias(removed_count_col))
+    deduped = nn.join(
+        rebuilt, nn[id_col] == rebuilt["__id"], "inner"
+    ).select(*out_cols)
+
+    nulls = df.where(F.col(text_col).isNull())
+    if removed_count_col:
+        nulls = nulls.withColumn(removed_count_col, F.lit(None).cast("long"))
+    return deduped.unionByName(nulls)

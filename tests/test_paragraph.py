@@ -114,3 +114,40 @@ def test_bad_args(docs):
         paragraph_dedup(docs, sep="")
     with pytest.raises(ValueError):
         paragraph_dedup(docs, min_chars=-1)
+
+
+# ------------------------------------------------------------ within-doc
+
+
+def test_within_doc_keeps_cross_doc_duplicates(spark):
+    from great_expectations_spark.pipeline.paragraph import paragraph_dedup_within_doc
+
+    df = spark.createDataFrame(
+        [
+            (1, "nav\nbody one\nnav\nfooter"),
+            (2, "nav\nbody two\nnav\nnav"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           paragraph_dedup_within_doc(df, removed_count_col="nr").collect()}
+    nr = {r["doc_id"]: r["nr"] for r in
+          paragraph_dedup_within_doc(df, removed_count_col="nr").collect()}
+    # each doc keeps its OWN first 'nav'; cross-doc copies untouched
+    assert out[1] == "nav\nbody one\nfooter"
+    assert out[2] == "nav\nbody two"
+    assert out[3] is None
+    assert nr == {1: 1, 2: 2, 3: None}
+
+
+def test_within_doc_partitioning_independent(spark):
+    from great_expectations_spark.pipeline.paragraph import paragraph_dedup_within_doc
+
+    df = spark.createDataFrame(
+        [(i, "a\nb\na\nc\nb") for i in range(20)], "doc_id long, text string"
+    )
+    one = sorted(tuple(r) for r in paragraph_dedup_within_doc(df.coalesce(1)).collect())
+    many = sorted(tuple(r) for r in paragraph_dedup_within_doc(df.repartition(7)).collect())
+    assert one == many
+    assert one[0][1] == "a\nb\nc"
