@@ -30,7 +30,7 @@ suite checks (north rule).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -40,9 +40,16 @@ def _literal_split(col, sep: str):
     return F.split(col, "\\Q" + sep + "\\E", -1)
 
 
+def _dedupable(df: DataFrame, id_col: str, text_col: str) -> Column:
+    # NULL text has nothing to dedup; NULL ids can't key the reassembly
+    # join (and distinct null-id docs would merge in the groupBy) — both
+    # pass through untouched, like the NULL conventions in pipeline/dedup.py
+    return F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+
+
 def _exploded(df: DataFrame, id_col: str, text_col: str, sep: str) -> DataFrame:
     return (
-        df.where(F.col(text_col).isNotNull())
+        df.where(_dedupable(df, id_col, text_col))
         .select(
             F.col(id_col).alias("__id"),
             F.posexplode(_literal_split(F.col(text_col), sep)).alias("__idx", "__p"),
@@ -63,8 +70,8 @@ def paragraph_dedup(
 
     Returns ``df`` with ``text_col`` rewritten to the surviving paragraphs
     (original order, re-joined with ``sep``; a doc whose every paragraph
-    was removed becomes ``""``). Rows with NULL text pass through
-    unchanged. ``min_chars`` exempts short paragraphs (< that many chars)
+    was removed becomes ``""``). Rows with NULL text or NULL id pass
+    through unchanged. ``min_chars`` exempts short paragraphs (< that many chars)
     from dedup — default 1 exempts only empty segments. ``id_col`` values
     must be unique (they key the reassembly join). Optionally emits the
     number of removed paragraphs per doc in ``removed_count_col``.
@@ -104,7 +111,7 @@ def paragraph_dedup(
         F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias("__n_removed"),
     )
 
-    nn = df.where(F.col(text_col).isNotNull())
+    nn = df.where(_dedupable(df, id_col, text_col))
     out_cols = [
         F.col("__new_text").alias(c) if c == text_col else F.col(c)
         for c in df.columns
@@ -115,7 +122,7 @@ def paragraph_dedup(
         rebuilt, nn[id_col] == rebuilt["__id"], "inner"
     ).select(*out_cols)
 
-    nulls = df.where(F.col(text_col).isNull())
+    nulls = df.where(~_dedupable(df, id_col, text_col))
     if removed_count_col:
         nulls = nulls.withColumn(removed_count_col, F.lit(None).cast("long"))
     return deduped.unionByName(nulls)
@@ -204,7 +211,7 @@ def paragraph_dedup_within_doc(
         F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias("__n_removed"),
     )
 
-    nn = df.where(F.col(text_col).isNotNull())
+    nn = df.where(_dedupable(df, id_col, text_col))
     out_cols = [
         F.col("__new_text").alias(c) if c == text_col else F.col(c)
         for c in df.columns
@@ -215,7 +222,7 @@ def paragraph_dedup_within_doc(
         rebuilt, nn[id_col] == rebuilt["__id"], "inner"
     ).select(*out_cols)
 
-    nulls = df.where(F.col(text_col).isNull())
+    nulls = df.where(~_dedupable(df, id_col, text_col))
     if removed_count_col:
         nulls = nulls.withColumn(removed_count_col, F.lit(None).cast("long"))
     return deduped.unionByName(nulls)

@@ -151,3 +151,20 @@ def test_within_doc_partitioning_independent(spark):
     many = sorted(tuple(r) for r in paragraph_dedup_within_doc(df.repartition(7)).collect())
     assert one == many
     assert one[0][1] == "a\nb\nc"
+
+
+def test_null_id_rows_pass_through(spark):
+    from great_expectations_spark.pipeline.paragraph import (
+        paragraph_dedup,
+        paragraph_dedup_within_doc,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "dup\ndup"), (None, "dup\ndup"), (1, "dup\nkeep")],
+        "doc_id long, text string",
+    )
+    for fn in (paragraph_dedup, paragraph_dedup_within_doc):
+        rows = fn(df).collect()
+        null_texts = sorted(r["text"] for r in rows if r["doc_id"] is None)
+        # both null-id docs keep their full text, never merged or deduped
+        assert null_texts == ["dup\ndup", "dup\ndup"]

@@ -238,6 +238,42 @@ def _cc_run(label: str) -> dict:
             "rows_per_sec": round(n_edges / best, 2)}
 
 
+PARA_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_PARA_ROWS", 8_000_000))
+
+
+def _para_run(label: str) -> dict:
+    """Paragraph-dedup scaling: the shuffle-bound counterpart to the
+    agg-only workloads. Keep-first election is a map-combinable groupBy
+    over word digests (tiny after combine — the vocabulary is small), the
+    keeper join broadcasts under AQE, and the reassembly hash-shuffles all
+    ~30 segments/doc — the exchange volume is what must track executor
+    count. Rows/s is docs/s."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.pipeline.paragraph import paragraph_dedup
+
+    spark, cores = _session(label)
+    # deterministic ~PARA_ROWS hash-sample (scan-parallel, no global limit);
+    # id = hash(url, warc_ts) — unique here (dup urls differ in warc_ts)
+    k = max(1, N_ROWS // PARA_ROWS)
+    df = (spark.read.parquet(DATA_DIR)
+          .where(F.pmod(F.xxhash64("url"), F.lit(k)) == 0)
+          .select(F.xxhash64("url", "warc_ts").alias("id"), "text"))
+    n_in = df.count()  # also warms the page cache
+
+    best = float("inf")
+    for _ in range(2):  # explode-heavy: 2 in-process reps
+        t0 = time.time()
+        n = paragraph_dedup(df, id_col="id", text_col="text",
+                            sep=" ", min_chars=1).count()
+        best = min(best, time.time() - t0)
+        assert n == n_in
+    spark.stop()
+    return {"label": label, "master": MASTERS[label][0], "cores": cores,
+            "rows": n_in, "best_sec": round(best, 4),
+            "rows_per_sec": round(n_in / best, 2)}
+
+
 def _calib_run(label: str) -> dict:
     """Host scaling ceiling: embarrassingly-parallel codegen aggregation."""
     from pyspark.sql import functions as F
@@ -278,6 +314,8 @@ def main() -> None:
         kinds += ("grouped",)
     if os.environ.get("SPARK_GRAFT_SCALING_CC"):
         kinds += ("cc",)
+    if os.environ.get("SPARK_GRAFT_SCALING_PARA"):
+        kinds += ("para",)
     best: dict = {}
     for _round in range(3):  # alternating rounds damp host noise
         for kind in kinds:
@@ -321,13 +359,19 @@ def main() -> None:
         report["cc_4N"] = x_4n
         report["cc_scaling_efficiency"] = round(
             x_4n["rows_per_sec"] / (4 * x_n["rows_per_sec"]), 4)
+    if ("para", "N") in best:
+        p_n, p_4n = best[("para", "N")], best[("para", "4N")]
+        report["para_N"] = p_n
+        report["para_4N"] = p_4n
+        report["para_scaling_efficiency"] = round(
+            p_4n["rows_per_sec"] / (4 * p_n["rows_per_sec"]), 4)
     print(json.dumps(report, indent=2))
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 3 and sys.argv[1] == "--worker":
         fn = {"engine": _engine_run, "mono": _mono_run,
-              "grouped": _grouped_run, "cc": _cc_run,
+              "grouped": _grouped_run, "cc": _cc_run, "para": _para_run,
               "calib": _calib_run}[sys.argv[3]]
         print(json.dumps(fn(sys.argv[2])))
     else:
