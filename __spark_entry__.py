@@ -1305,6 +1305,118 @@ def _p9b(spark, sf):
     return ann_topk_ivf(emb, q, dims=64, k=10, n_centroids=8, n_probe=3)
 
 
+def _kmeans_cent_chain(k: int = 8, iters: int = 2) -> tuple[str, str]:
+    """CTE chain replaying ``kmeans_fit`` exactly: md5 seed buckets →
+    ``iters`` × (round-6 nearest-centroid assignment, min-cid tiebreak →
+    per-dim avg recenter, empty cluster keeps previous centroid).
+    Returns (cte_sql_fragment, final_centroid_cte_name)."""
+    cos = ("round(list_dot_product(e.v, c.c) / "
+           "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.c, c.c))), 6)")
+    parts = [f"""
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+x0 AS (SELECT (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % {k}) AS cid,
+              generate_subscripts(v, 1) AS d, unnest(v) AS x
+       FROM e),
+c0 AS (SELECT cid, list(m ORDER BY d) AS c
+       FROM (SELECT cid, d, avg(x) AS m FROM x0 GROUP BY cid, d) GROUP BY cid)"""]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(f"""
+s{i} AS (SELECT e.vec_id, e.v, c.cid, {cos} AS s FROM e CROSS JOIN {prev} c),
+a{i} AS (SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM s{i}) WHERE rn = 1),
+m{i} AS (SELECT cid, list(m ORDER BY d) AS c FROM (
+    SELECT cid, d, avg(x) AS m
+    FROM (SELECT cid, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM a{i})
+    GROUP BY cid, d) GROUP BY cid),
+c{i} AS (SELECT p.cid, coalesce(m{i}.c, p.c) AS c
+         FROM {prev} p LEFT JOIN m{i} ON p.cid = m{i}.cid)""")
+        prev = f"c{i}"
+    return ",".join(parts), prev
+
+
+def _kmeans_stats_oracle(k: int = 8, iters: int = 2) -> str:
+    chain, cfin = _kmeans_cent_chain(k, iters)
+    cos = ("round(list_dot_product(e.v, c.c) / "
+           "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.c, c.c))), 6)")
+    return f"""
+WITH {chain},
+sf AS (SELECT e.vec_id, c.cid, {cos} AS s FROM e CROSS JOIN {cfin} c),
+af AS (SELECT vec_id, cid, s FROM (
+    SELECT vec_id, cid, s,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM sf) WHERE rn = 1)
+SELECT CAST(cid AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+       round(avg(s), 4) AS mean_sim
+FROM af GROUP BY cid
+"""
+
+
+@_q("pipeline_kmeans_stats", _kmeans_stats_oracle())
+def _p9c(spark, sf):
+    """Distributed Lloyd's k-means (2 iterations, k=8) over the embedding
+    corpus: E-step is literal-centroid codegen, M-step ONE map-combinable
+    groupBy of per-dim avgs; the oracle unrolls the identical trajectory
+    as DuckDB CTEs."""
+    from great_expectations_spark.pipeline.embcluster import (
+        kmeans_cluster_stats, kmeans_fit)
+
+    emb = _tbl(spark, sf, "embeddings")
+    cents = kmeans_fit(emb, dims=64, k=8, iters=2)
+    return kmeans_cluster_stats(emb, cents)
+
+
+def _semantic_dedup_oracle(k: int = 8, iters: int = 2,
+                           threshold: float = 0.38) -> str:
+    chain, cfin = _kmeans_cent_chain(k, iters)
+    cos = ("round(list_dot_product(e.v, c.c) / "
+           "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.c, c.c))), 6)")
+    pcos = ("round(list_dot_product(a.v, b.v) / "
+            "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)")
+    return f"""
+WITH RECURSIVE {chain},
+sf AS (SELECT e.vec_id, e.v, c.cid, {cos} AS s FROM e CROSS JOIN {cfin} c),
+af AS (SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM sf) WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {pcos} >= {threshold}
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS n FROM sym),
+reach(n, lbl) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.n
+),
+comp AS (SELECT n, min(lbl) AS component FROM reach GROUP BY n)
+SELECT emb.vec_id AS id,
+       CAST(coalesce(c.component, emb.vec_id) AS BIGINT) AS "group",
+       (coalesce(c.component, emb.vec_id) = emb.vec_id) AS is_kept
+FROM embeddings emb LEFT JOIN comp c ON c.n = emb.vec_id
+"""
+
+
+@_q("pipeline_semantic_dedup", _semantic_dedup_oracle())
+def _p9d(spark, sf):
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, pair
+    only WITHIN clusters (quadratic term bounded by cluster size), keep
+    one exemplar per transitively-connected near-dup group via the
+    Large-Star/Small-Star components operator."""
+    from great_expectations_spark.pipeline.embcluster import (
+        semantic_dedup_assignments)
+
+    emb = _tbl(spark, sf, "embeddings")
+    return semantic_dedup_assignments(emb, dims=64, k=8, threshold=0.38,
+                                      iters=2)
+
+
 @_q("pipeline_embedding_neardup", f"""
 SELECT id_a, id_b, cosine FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_SQL}, 6) AS cosine

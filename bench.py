@@ -365,6 +365,18 @@ def main() -> None:
         paragraph_dedup(docs.select("doc_id", "text"), sep=" ",
                         min_chars=4).select(F.count(F.lit(1))).first()
 
+    @timed("semantic_dedup")
+    def _q17():
+        # SemDeDup: 2-iteration k-means (literal-centroid codegen E-step,
+        # ONE map-combinable groupBy M-step) + within-cluster pairing +
+        # connected-components keeper election
+        from great_expectations_spark.pipeline.embcluster import (
+            semantic_dedup_assignments)
+
+        semantic_dedup_assignments(
+            emb, dims=64, k=8, threshold=0.38, iters=2,
+        ).select(F.count(F.lit(1))).first()
+
     # NOT counted in rows_validated (appended in round 2)
 
     total = round(sum(timings.values()), 4)

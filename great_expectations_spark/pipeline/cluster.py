@@ -86,6 +86,36 @@ def _small_star(e: DataFrame) -> DataFrame:
     return nbrs.union(selfs).distinct()
 
 
+def _driver_components(e: DataFrame) -> DataFrame:
+    """Min-label union-find over a small collected edge list — identical
+    labels to the converged star forest (component = smallest member id),
+    one job instead of several per contraction round."""
+    from pyspark.sql.types import StructField, StructType
+
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r["u"]), find(r["v"])
+        if ra != rb:
+            # canonical edges guarantee orderable, non-null endpoints
+            parent[max(ra, rb)] = min(ra, rb)
+    out_rows = [(n, find(n)) for n in parent]
+
+    typ = e.schema["u"].dataType
+    schema = StructType([
+        StructField("node", typ, False),
+        StructField("component", typ, False),
+    ])
+    return e.sparkSession.createDataFrame(out_rows, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -95,6 +125,7 @@ def connected_components(
     node_col: str | None = None,
     max_iter: int = 25,
     reliable: bool = False,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Component label per node: ``(node, component)`` where ``component``
     is the smallest node id in the connected component.
@@ -107,34 +138,49 @@ def connected_components(
     ``reliable=True`` uses ``checkpoint()`` (requires
     ``setCheckpointDir``) instead of ``localCheckpoint()`` for the per-round
     lineage cut — survives executor loss on a real cluster.
+
+    When the deduplicated edge set is at most ``driver_threshold`` rows
+    (known for free — the first lineage cut already counts it), labels come
+    from a driver-side min-label union-find instead of iterative star
+    rounds: near-dup edge sets are usually tiny relative to the corpus
+    (pairs survive LSH/threshold filtering), and each distributed round
+    costs several jobs that dwarf a 100k-edge local pass. Past the
+    threshold — billions of edges at crawl scale — the alternating
+    Large-Star/Small-Star contraction runs unchanged. Set
+    ``driver_threshold=0`` to force the distributed path.
     """
     e = _canonical_edges(edges, src, dst)
     e = e.checkpoint(eager=True) if reliable else e.localCheckpoint(eager=True)
     prev_n = e.count()
 
-    for _ in range(max_iter):
-        # Large-Star output already satisfies the u > v orientation
-        # Small-Star expects: it emits (v, least(u, mn)) with v > u ≥
-        # least(u, mn), so no re-orientation pass is needed.
-        stars = _small_star(_large_star(e))
-        stars = (stars.checkpoint(eager=True) if reliable
-                 else stars.localCheckpoint(eager=True))
-        # convergence: the distinct edge set is unchanged (both are
-        # distinct, so equal counts + empty difference ⇔ equal sets)
-        n = stars.count()
-        if n == prev_n and stars.subtract(e).isEmpty():
-            e = stars
-            break
-        e, prev_n = stars, n
+    if prev_n <= driver_threshold:
+        out = _driver_components(e)
     else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds")
+        for _ in range(max_iter):
+            # Large-Star output already satisfies the u > v orientation
+            # Small-Star expects: it emits (v, least(u, mn)) with v > u ≥
+            # least(u, mn), so no re-orientation pass is needed.
+            stars = _small_star(_large_star(e))
+            stars = (stars.checkpoint(eager=True) if reliable
+                     else stars.localCheckpoint(eager=True))
+            # convergence: the distinct edge set is unchanged (both are
+            # distinct, so equal counts + empty difference ⇔ equal sets)
+            n = stars.count()
+            if n == prev_n and stars.subtract(e).isEmpty():
+                e = stars
+                break
+            e, prev_n = stars, n
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds")
 
-    # converged star forest: every edge is (member, root); roots label
-    # themselves
-    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
-    roots = e.select(F.col("v").alias("node"), F.col("v").alias("component"))
-    out = labels.union(roots).distinct()
+        # converged star forest: every edge is (member, root); roots label
+        # themselves
+        labels = e.select(
+            F.col("u").alias("node"), F.col("v").alias("component"))
+        roots = e.select(
+            F.col("v").alias("node"), F.col("v").alias("component"))
+        out = labels.union(roots).distinct()
 
     if nodes is not None:
         nc = node_col or src

@@ -47,29 +47,35 @@ def cc_spark(spark, edges, nodes=None, **kw):
     return {r["node"]: r["component"] for r in out.collect()}
 
 
-def test_two_cliques_and_chain(spark):
+# dt=0 forces the distributed star contraction; the default takes the
+# driver union-find fallback for graphs this small — both must agree
+@pytest.mark.parametrize("dt", [0, 100_000])
+def test_two_cliques_and_chain(spark, dt):
     edges = [(1, 2), (2, 3), (1, 3),        # clique
              (10, 11), (11, 12),            # path
              (20, 21)]                      # pair
-    assert cc_spark(spark, edges) == uf_components(edges)
+    assert cc_spark(spark, edges, driver_threshold=dt) == uf_components(edges)
 
 
-def test_long_chain_worst_case_diameter(spark):
+@pytest.mark.parametrize("dt", [0, 100_000])
+def test_long_chain_worst_case_diameter(spark, dt):
     # a 60-node path: worst case for naive label propagation; the
     # alternating star algorithm must still converge within max_iter
     edges = [(i, i + 1) for i in range(60)]
-    got = cc_spark(spark, edges, max_iter=25)
+    got = cc_spark(spark, edges, max_iter=25, driver_threshold=dt)
     assert got == uf_components(edges)
     assert set(got.values()) == {0}
 
 
-def test_random_graphs_match_union_find(spark):
+@pytest.mark.parametrize("dt", [0, 100_000])
+def test_random_graphs_match_union_find(spark, dt):
     rng = random.Random(7)
     for trial in range(3):
         n = 120
         edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
         edges = [e for e in edges if e[0] != e[1]]
-        assert cc_spark(spark, edges) == uf_components(edges), f"trial {trial}"
+        assert cc_spark(spark, edges, driver_threshold=dt) == \
+            uf_components(edges), f"trial {trial}"
 
 
 def test_self_loops_nulls_and_duplicate_edges_ignored(spark):
@@ -86,19 +92,21 @@ def test_isolated_nodes_from_universe(spark):
     assert got == {1: 1, 2: 1, 3: 3, 4: 4}
 
 
-def test_string_ids(spark):
+@pytest.mark.parametrize("dt", [0, 100_000])
+def test_string_ids(spark, dt):
     e = spark.createDataFrame(
         [("b", "a"), ("b", "c"), ("x", "y")], "id_a string, id_b string")
     out = {r["node"]: r["component"]
-           for r in connected_components(e).collect()}
+           for r in connected_components(e, driver_threshold=dt).collect()}
     assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
-def test_partitioning_invariance(spark):
+@pytest.mark.parametrize("dt", [0, 100_000])
+def test_partitioning_invariance(spark, dt):
     edges = [(i, i + 1) for i in range(0, 40, 2)] + [(0, 39)]
     e = spark.createDataFrame(edges, "id_a long, id_b long").repartition(7)
     out1 = {r["node"]: r["component"]
-            for r in connected_components(e).collect()}
+            for r in connected_components(e, driver_threshold=dt).collect()}
     assert out1 == uf_components(edges)
 
 
@@ -106,7 +114,7 @@ def test_max_iter_exhaustion_raises(spark):
     e = spark.createDataFrame([(i, i + 1) for i in range(50)],
                               "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(e, max_iter=1)
+        connected_components(e, max_iter=1, driver_threshold=0)
 
 
 # ------------------------------------------------------------ dedup stages
