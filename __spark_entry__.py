@@ -1417,6 +1417,84 @@ def _p9d(spark, sf):
                                       iters=2)
 
 
+def _substr_win_cte(window: int = 8) -> str:
+    """DuckDB replica of substring._window_occurrences: stride-1 token
+    windows, 0-based offsets, md5 of the space-joined window."""
+    return f"""
+lst AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+win AS (
+  SELECT doc_id, i - 1 AS idx, md5(array_to_string(l[i:i+{window - 1}], ' ')) AS wkey
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) - {window} + 2)) AS i
+        FROM lst WHERE len(l) >= {window})
+)"""
+
+
+@_q("pipeline_substring_stats", f"""
+WITH {_substr_win_cte(8)}
+SELECT wkey, CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM win GROUP BY wkey HAVING count(*) >= 2
+""")
+def _p9e(spark, sf):
+    """ExactSubstr dedup (Lee et al. 2022) detection half: corpus-wide
+    duplicated 8-token windows — ONE linear shuffle of (16-byte md5, id,
+    offset) triples, map-combinable counting."""
+    from great_expectations_spark.pipeline.substring import (
+        duplicate_window_stats)
+
+    return duplicate_window_stats(
+        _tbl(spark, sf, "documents"), "doc_id", "text", window=8)
+
+
+@_q("pipeline_substring_dedup", f"""
+WITH {_substr_win_cte(8)},
+flagged AS (
+  SELECT doc_id, idx FROM (
+    SELECT doc_id, idx, count(*) OVER (PARTITION BY wkey) AS c,
+           row_number() OVER (PARTITION BY wkey ORDER BY doc_id, idx) AS rn
+    FROM win) WHERE c >= 2 AND rn > 1),
+toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) - 1 AS p
+         FROM lst),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM flagged f
+                    WHERE f.doc_id = t.doc_id
+                      AND f.idx <= t.p AND t.p < f.idx + 8)),
+reb AS (SELECT k.doc_id,
+               coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS txt,
+               count(*) AS n_kept
+        FROM kept k GROUP BY k.doc_id),
+tot AS (SELECT doc_id, len(l) AS n_toks,
+               (SELECT count(*) FROM flagged f WHERE f.doc_id = lst.doc_id) > 0
+               AS has_flags
+        FROM lst)
+SELECT d.doc_id,
+       md5(CASE WHEN d.text IS NULL THEN NULL
+                WHEN coalesce(t.has_flags, FALSE) THEN coalesce(r.txt, '')
+                ELSE d.text END) AS text_md5,
+       CAST(CASE WHEN d.text IS NULL OR NOT coalesce(t.has_flags, FALSE) THEN 0
+                 ELSE t.n_toks - coalesce(r.n_kept, 0) END AS BIGINT)
+           AS n_removed
+FROM documents d
+LEFT JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN reb r ON r.doc_id = d.doc_id
+""")
+def _p9f(spark, sf):
+    """ExactSubstr dedup removal half: every non-keeper duplicated span
+    cut, per-doc rewritten-text digest + tokens-removed count (full-corpus
+    byte parity via md5)."""
+    from great_expectations_spark.pipeline.substring import dedup_substrings
+
+    out = dedup_substrings(
+        _tbl(spark, sf, "documents"), "doc_id", "text", window=8)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.col("n_removed_tokens").alias("n_removed"),
+    )
+
+
 @_q("pipeline_embedding_neardup", f"""
 SELECT id_a, id_b, cosine FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_SQL}, 6) AS cosine

@@ -377,6 +377,17 @@ def main() -> None:
             emb, dims=64, k=8, threshold=0.38, iters=2,
         ).select(F.count(F.lit(1))).first()
 
+    @timed("substring_dedup")
+    def _q18():
+        # ExactSubstr (Lee et al. 2022) at token granularity: stride-1
+        # window occurrence shuffle + min-struct keeper election + pure
+        # Column span removal over the full documents table
+        from great_expectations_spark.pipeline.substring import dedup_substrings
+
+        dedup_substrings(docs.select("doc_id", "text"), "doc_id", "text",
+                         window=8).select(
+            F.sum("n_removed_tokens")).first()
+
     # NOT counted in rows_validated (appended in round 2)
 
     total = round(sum(timings.values()), 4)
