@@ -172,3 +172,62 @@ def test_incremental_lsh_no_cartesian(spark, fresh_docs, tmp_path):
                                             "doc_id", "text"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_substring_stats_prunes_and_partially_aggregates(spark, fresh_docs):
+    """Duplicated-window inventory: only (doc_id, text) read from
+    parquet; the corpus-wide window count is partial-aggregated per map
+    partition BEFORE the (wkey) exchange — boilerplate skew never ships
+    raw occurrence rows for the count."""
+    from great_expectations_spark.pipeline.substring import (
+        duplicate_window_stats)
+
+    plan = _plan(duplicate_window_stats(fresh_docs, "doc_id", "text",
+                                        window=8))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert _partial_agg_before_exchange(plan)
+
+
+def test_substring_dedup_no_cartesian(spark, fresh_docs):
+    """Span removal joins occurrences to duplicated keys and flags to
+    docs by equi-keys only."""
+    from great_expectations_spark.pipeline.substring import dedup_substrings
+
+    plan = _plan(dedup_substrings(fresh_docs.select("doc_id", "text"),
+                                  "doc_id", "text", window=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_kmeans_mstep_partial_aggregation(spark, fresh_emb):
+    """The Lloyd M-step (per-dim avgs grouped by assignment) must
+    partial-aggregate before its exchange: at 10^12 rows each map
+    partition ships k rows of per-dim sums, never raw vectors; the scan
+    reads only the embedding/id columns."""
+    from great_expectations_spark.pipeline.embcluster import (
+        _assign_col, kmeans_fit)
+    from great_expectations_spark.pipeline.similarity import ivf_centroids
+
+    pts = fresh_emb.where(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull())
+    cents = ivf_centroids(pts, 64, 4)
+    means = [F.avg(F.element_at(F.col("embedding"), d + 1).cast("double"))
+             .alias(f"d{d}") for d in range(64)]
+    plan = _plan(pts.groupBy(
+        _assign_col(F.col("embedding"), cents, "gemm").alias("__c"))
+        .agg(*means))
+    assert _partial_agg_before_exchange(plan)
+    assert "ArrowEvalPython" in plan  # the GEMM E-step is Arrow-batched
+
+
+def test_semantic_pairs_equi_join_on_cluster(spark, fresh_emb):
+    """Within-cluster pairing is an equi-join on the cluster id — the
+    quadratic term is confined to clusters, never a corpus cross
+    product."""
+    from great_expectations_spark.pipeline.embcluster import (
+        kmeans_fit, semantic_pairs)
+
+    cents = kmeans_fit(fresh_emb, 64, 4, iters=1)
+    plan = _plan(semantic_pairs(fresh_emb, cents, 0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
