@@ -1495,6 +1495,79 @@ def _p9f(spark, sf):
     )
 
 
+def _lm_scores_cte(vocab: int = 20, alpha: float = 0.5) -> str:
+    """DuckDB replica of unigram_lm + doc_logprob: same tokenization,
+    same top-V (count desc, token) vocabulary cut, same add-alpha
+    smoothing with a single OOV probability."""
+    return f"""
+toks AS (
+  SELECT id, token FROM (
+    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+  WHERE token != ''),
+counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+meta AS (SELECT (SELECT sum(c) FROM counts) AS n,
+                (SELECT count(*) FROM
+                 (SELECT 1 FROM counts ORDER BY c DESC, token LIMIT {vocab}))
+                AS v),
+model AS (
+  SELECT token, ln((c + {alpha}) / (n + {alpha} * (v + 1))) AS logp
+  FROM (SELECT token, c FROM counts ORDER BY c DESC, token LIMIT {vocab}),
+       meta),
+scored AS (
+  SELECT t.id,
+         coalesce(m.logp,
+                  (SELECT ln({alpha} / (n + {alpha} * (v + 1))) FROM meta))
+         AS lp
+  FROM toks t LEFT JOIN model m USING (token)),
+per AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(-avg(lp), 6) AS avg_neg_logp
+        FROM scored GROUP BY id),
+lm_scores AS (
+  SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, p.avg_neg_logp
+  FROM documents d LEFT JOIN per p ON p.id = d.doc_id)"""
+
+
+@_q("pipeline_lm_scores", f"""
+WITH {_lm_scores_cte()}
+SELECT * FROM lm_scores
+""")
+def _p9g(spark, sf):
+    """CCNet-style corpus-trained unigram LM scoring: one token-count
+    scan trains the model, one broadcast join + doc-keyed groupBy scores
+    every doc. vocab=20 of the 31 synthetic tokens so the OOV path is
+    exercised on real rows."""
+    from great_expectations_spark.pipeline.lm import doc_logprob, unigram_lm
+
+    docs = _tbl(spark, sf, "documents")
+    model = unigram_lm(docs, "doc_id", "text", vocab_size=20, alpha=0.5)
+    return doc_logprob(docs, model, "doc_id", "text")
+
+
+@_q("pipeline_lm_buckets", f"""
+WITH {_lm_scores_cte()},
+cuts AS (SELECT round(quantile_cont(avg_neg_logp, 1.0/3), 6) AS lo,
+                round(quantile_cont(avg_neg_logp, 2.0/3), 6) AS hi
+         FROM lm_scores)
+SELECT s.doc_id, s.n_tokens, s.avg_neg_logp,
+       CASE WHEN s.avg_neg_logp IS NULL THEN NULL
+            WHEN s.avg_neg_logp <= c.lo THEN 'head'
+            WHEN s.avg_neg_logp <= c.hi THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM lm_scores s, cuts c
+""")
+def _p9h(spark, sf):
+    """CCNet head/middle/tail perplexity stratification: exact tercile
+    thresholds from ONE bounded agg, CASE assignment — no global-order
+    ntile window."""
+    from great_expectations_spark.pipeline.lm import (
+        doc_logprob, perplexity_buckets, unigram_lm)
+
+    docs = _tbl(spark, sf, "documents")
+    model = unigram_lm(docs, "doc_id", "text", vocab_size=20, alpha=0.5)
+    return perplexity_buckets(doc_logprob(docs, model, "doc_id", "text"))
+
+
 @_q("pipeline_embedding_neardup", f"""
 SELECT id_a, id_b, cosine FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_SQL}, 6) AS cosine

@@ -388,6 +388,19 @@ def main() -> None:
                          window=8).select(
             F.sum("n_removed_tokens")).first()
 
+    @timed("lm_perplexity")
+    def _q19():
+        # CCNet recipe: train corpus unigram LM (one count scan), score
+        # every doc (broadcast join + doc-keyed groupBy), head/middle/tail
+        # split from exact tercile thresholds
+        from great_expectations_spark.pipeline.lm import (
+            doc_logprob, perplexity_buckets, unigram_lm)
+
+        model = unigram_lm(docs, "doc_id", "text", vocab_size=50_000)
+        perplexity_buckets(
+            doc_logprob(docs, model, "doc_id", "text")
+        ).groupBy("bucket").count().collect()
+
     # NOT counted in rows_validated (appended in round 2)
 
     total = round(sum(timings.values()), 4)

@@ -1,0 +1,154 @@
+"""Corpus-trained unigram language-model scoring and perplexity-bucket
+quality stratification (the CCNet recipe of Wenzek et al. 2020,
+arXiv:1911.00359, with the KenLM 5-gram model replaced by a unigram LM
+the engine trains on the corpus itself — no external model files, and
+every step stays a DataFrame plan).
+
+Pipeline shape
+--------------
+* ``unigram_lm`` — ONE token-count scan (map-combinable groupBy) +
+  a bounded ``orderBy(count desc).limit(vocab)`` (TakeOrdered — k rows
+  per partition, never a global sort) → a ``(token, logp)`` model table
+  with add-alpha smoothing; OOV mass is a single NULL-token row, so the
+  model is self-contained and persistable like the incremental-dedup
+  signature tables.
+* ``doc_logprob`` — broadcast-join the (tiny) model onto the exploded
+  token stream and sum per doc: one linear shuffle keyed by doc id,
+  map-side partial sums.
+* ``perplexity_buckets`` — CCNet's head/middle/tail split: exact
+  corpus quantile thresholds (one bounded agg to the driver) + a CASE
+  assignment; never an ``ntile`` global-order window (single-task at
+  10^12 rows).
+
+Determinism: vocabulary ties at the count cutoff break toward the
+lexicographically smaller token; scores round to 6 decimals before
+thresholding, so any engine replays bucket assignments bit-for-bit
+(DuckDB oracle: pipeline_lm_scores / pipeline_lm_buckets).
+
+The reference repo has no LM-scoring surface; this module extends the
+training-data-pipeline addendum like ``pipeline/quality.py`` (Gopher
+heuristics) — perplexity is the quality axis those heuristics can't
+see.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (
+        df.where(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+
+
+def unigram_lm(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    vocab_size: int = 50_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Add-alpha-smoothed unigram model: ``(token, logp)`` for the top
+    ``vocab_size`` tokens by corpus frequency (count ties break toward
+    the smaller token string — deterministic across engines), plus ONE
+    ``token IS NULL`` row carrying the out-of-vocabulary log-probability
+    (every OOV token scores ``ln(alpha / (N + alpha * (V + 1)))``).
+
+    The model is a small persistable table (broadcast-sized by
+    construction); train once, score any batch — the 10^12-token corpus
+    is never re-read to score new data.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    counts = (
+        _tokens(df, id_col, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("token")).limit(vocab_size)
+    # N = total corpus tokens (including tokens cut from the vocab);
+    # V = vocabulary actually selected. One tiny driver agg each.
+    n_total = counts.agg(F.sum("c")).first()[0] or 0
+    v = top.count()
+    denom = float(n_total) + alpha * (v + 1)
+    logp = F.log((F.col("c").cast("double") + F.lit(alpha)) / F.lit(denom))
+    oov = df.sparkSession.createDataFrame(
+        [(None, math.log(alpha / denom))], "token string, logp double")
+    return top.select("token", logp.alias("logp")).unionByName(oov)
+
+
+def doc_logprob(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-doc unigram score: ``(id_col, n_tokens, avg_neg_logp)`` with
+    ``avg_neg_logp`` rounded to 6 decimals (lower = more natural text;
+    ``exp`` of it is the unigram perplexity). Docs with NULL/empty text
+    get NULL score and ``n_tokens = 0``.
+
+    One broadcast join of the model onto the exploded token stream +
+    one map-combinable groupBy by doc id."""
+    vocab = model.where(F.col("token").isNotNull())
+    oov_row = model.where(F.col("token").isNull()).select("logp").first()
+    if oov_row is None:
+        raise ValueError("model has no OOV row (token IS NULL)")
+    oov_logp = float(oov_row["logp"])
+
+    toks = _tokens(df, id_col, text_col)
+    scored = toks.join(F.broadcast(vocab), "token", "left").select(
+        "id", F.coalesce(F.col("logp"), F.lit(oov_logp)).alias("lp"))
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(-F.avg("lp"), 6).alias("avg_neg_logp"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+            .alias("n_tokens"),
+            "avg_neg_logp",
+        )
+    )
+
+
+def perplexity_buckets(
+    scores: DataFrame,
+    *,
+    score_col: str = "avg_neg_logp",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet head/middle/tail stratification: docs at or below the
+    ``cuts[0]`` quantile of ``score_col`` are ``head`` (most natural),
+    above ``cuts[1]`` are ``tail``, the rest ``middle``; NULL scores
+    (empty docs) get a NULL bucket.
+
+    Thresholds come from ONE exact-percentile aggregate collected to the
+    driver (two doubles) and fold into the plan as literals — no global
+    sort, no single-task ``ntile`` window. Thresholds round to 6
+    decimals so the split replays identically in any engine."""
+    lo, hi = scores.agg(
+        F.round(F.percentile(score_col, cuts[0]), 6),
+        F.round(F.percentile(score_col, cuts[1]), 6),
+    ).first()
+    s = F.col(score_col)
+    bucket = (
+        F.when(s.isNull(), F.lit(None).cast("string"))
+        .when(s <= lo, F.lit("head"))
+        .when(s <= hi, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scores.withColumn("bucket", bucket)

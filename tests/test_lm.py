@@ -1,0 +1,90 @@
+"""Corpus-trained unigram LM scoring + CCNet perplexity buckets
+(pipeline/lm.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from great_expectations_spark.pipeline.lm import (
+    doc_logprob,
+    perplexity_buckets,
+    unigram_lm,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(1, "a a b"), (2, "a c"), (3, ""), (4, None)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_model_probabilities_hand_computed(spark, docs):
+    # counts: a=3, b=1, c=1; top-2 = a, b (count tie c vs b breaks to b);
+    # N=5, V=2, denom = 5 + 1*(2+1) = 8
+    m = {r["token"]: r["logp"]
+         for r in unigram_lm(docs, "doc_id", "text",
+                             vocab_size=2, alpha=1.0).collect()}
+    assert set(m) == {"a", "b", None}
+    assert m["a"] == pytest.approx(math.log(4 / 8))
+    assert m["b"] == pytest.approx(math.log(2 / 8))
+    assert m[None] == pytest.approx(math.log(1 / 8))
+
+
+def test_doc_scores_hand_computed(spark, docs):
+    model = unigram_lm(docs, "doc_id", "text", vocab_size=2, alpha=1.0)
+    s = {r["doc_id"]: r for r in
+         doc_logprob(docs, model, "doc_id", "text").collect()}
+    # doc 1: a a b -> -(2 ln .5 + ln .25)/3 ; doc 2: a + OOV(c)
+    assert s[1]["n_tokens"] == 3
+    assert s[1]["avg_neg_logp"] == pytest.approx(
+        (2 * math.log(2) + math.log(4)) / 3, abs=1e-6)
+    assert s[2]["n_tokens"] == 2
+    assert s[2]["avg_neg_logp"] == pytest.approx(
+        (math.log(2) + math.log(8)) / 2, abs=1e-6)
+    # empty / NULL text: zero tokens, NULL score
+    assert s[3]["n_tokens"] == 0 and s[3]["avg_neg_logp"] is None
+    assert s[4]["n_tokens"] == 0 and s[4]["avg_neg_logp"] is None
+
+
+def test_buckets_head_and_tail(spark, docs):
+    model = unigram_lm(docs, "doc_id", "text", vocab_size=2, alpha=1.0)
+    b = {r["doc_id"]: r["bucket"] for r in
+         perplexity_buckets(
+             doc_logprob(docs, model, "doc_id", "text")).collect()}
+    assert b[1] == "head"      # most natural (in-vocab) doc
+    assert b[2] == "tail"      # OOV-heavy doc
+    assert b[3] is None and b[4] is None
+
+
+def test_model_scores_unseen_batch(spark, docs):
+    """Train once, score a NEW batch — the training corpus is not
+    re-read (incremental-scoring contract)."""
+    model = unigram_lm(docs, "doc_id", "text", vocab_size=2, alpha=1.0)
+    new = spark.createDataFrame(
+        [(10, "a a a"), (11, "z z")], "doc_id long, text string")
+    s = {r["doc_id"]: r["avg_neg_logp"] for r in
+         doc_logprob(new, model, "doc_id", "text").collect()}
+    assert s[10] == pytest.approx(math.log(2), abs=1e-6)
+    assert s[11] == pytest.approx(math.log(8), abs=1e-6)  # all OOV
+
+
+def test_partitioning_invariance(spark, docs):
+    key = lambda t: (t[0] is None, t[0] or "", t[1])  # noqa: E731
+    m1 = sorted(map(tuple, unigram_lm(
+        docs.repartition(1), "doc_id", "text",
+        vocab_size=2, alpha=1.0).collect()), key=key)
+    m8 = sorted(map(tuple, unigram_lm(
+        docs.repartition(8, "doc_id"), "doc_id", "text",
+        vocab_size=2, alpha=1.0).collect()), key=key)
+    assert m1 == m8
+
+
+def test_bad_inputs_raise(spark, docs):
+    with pytest.raises(ValueError, match="alpha"):
+        unigram_lm(docs, "doc_id", "text", alpha=0.0)
+    no_oov = unigram_lm(docs, "doc_id", "text", vocab_size=2).where(
+        "token IS NOT NULL")
+    with pytest.raises(ValueError, match="OOV"):
+        doc_logprob(docs, no_oov, "doc_id", "text")
