@@ -104,6 +104,28 @@ def _widen(lo: float, hi: float, margin: float) -> tuple[float, float]:
     return lo - pad, hi + pad
 
 
+def _merged_std(rows: list, c: str) -> float | None:
+    """Whole-table sample stddev of column ``c`` from per-chunk
+    (count, mean, std) moments — Chan's parallel-variance merge, same math
+    as the checkpoint rollup's numeric monoid. Driver-side over n_chunks
+    rows."""
+    parts = []  # (n_nonnull, mean, M2)
+    for r in rows:
+        n = (r["n_rows"] or 0) - (r[f"{c}__nulls"] or 0)
+        m = r[f"{c}__mean"]
+        if n <= 0 or m is None:
+            continue
+        s = r[f"{c}__std"]
+        m2 = (float(s) ** 2) * (n - 1) if (s is not None and n > 1) else 0.0
+        parts.append((n, float(m), m2))
+    total = sum(p[0] for p in parts)
+    if total < 2:
+        return None
+    gmean = sum(p[0] * p[1] for p in parts) / total
+    m2 = sum(p[2] + p[0] * (p[1] - gmean) ** 2 for p in parts)
+    return math.sqrt(m2 / (total - 1))
+
+
 def onboarding_suite(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -179,6 +201,18 @@ def onboarding_suite(
                     continue
                 lo, hi = _widen(float(e[0]), float(e[1]), margin)
                 if stat == "std":
+                    # the whole-table stddev adds BETWEEN-chunk variance the
+                    # per-chunk envelope can't see (total variance = within +
+                    # between), so a column correlated with the chunk key —
+                    # e.g. a low-cardinality numeric, whose content-hash
+                    # chunks are value-pure with std 0 — would fail its own
+                    # calibration suite. Fold the Chan-merged whole-table
+                    # stddev into the envelope before widening.
+                    merged = _merged_std(rows, c)
+                    if merged is not None:
+                        lo2, hi2 = _widen(min(float(e[0]), merged),
+                                          max(float(e[1]), merged), margin)
+                        lo, hi = lo2, hi2
                     lo = max(0.0, lo)
                 suite.add(exp, column=c, min_value=lo, max_value=hi)
         elif isinstance(dt, T.StringType):

@@ -317,22 +317,31 @@ def incremental_exact_dedup(
 ) -> DataFrame:
     """Rows of ``new`` that survive exact dedup against BOTH the already-
     ingested corpus (``seen_digests`` from ``exact_digest_table``) and the
-    new batch itself (keep the min-id row per digest, matching
-    ``exact_dedup``'s keep-first policy). NULL-text rows pass through
-    (nothing to hash — same contract as ``exact_dedup``).
+    new batch itself (keep EXACTLY ONE row per digest — min id first,
+    NULL ids last, matching ``exact_dedup``'s keep-first policy; like
+    ``exact_dedup``, equal-id ties break by physical order). NULL-text
+    rows pass through (nothing to hash — same contract as
+    ``exact_dedup``); NULL-ID rows are still data and still dedup by
+    digest, never silently dropped.
 
-    Plan: one digest groupBy over the new batch + one anti-join on the
-    16-byte digest; the seen side is a column-pruned scan of the signature
+    Plan: one row_number window partitioned by the 16-byte digest over
+    the new batch (the same shape as ``exact_dedup``) + one anti-join on
+    the digest; the seen side is a column-pruned scan of the signature
     table, never the corpus text."""
     d = new.where(F.col(text_col).isNotNull()).withColumn(
         "__h", _md5(F.col(text_col)))
-    firsts = d.groupBy("__h").agg(F.min(F.col(id_col)).alias("__keep"))
-    in_batch = d.join(firsts, "__h").where(F.col(id_col) == F.col("__keep"))
+    w = Window.partitionBy("__h").orderBy(
+        F.col(id_col).asc_nulls_last(), F.monotonically_increasing_id())
+    in_batch = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     survivors = (
         in_batch.join(
             seen_digests.select(F.col("digest").alias("__h")).distinct(),
             "__h", "left_anti")
-        .drop("__h", "__keep")
+        .drop("__h")
     )
     return survivors.unionByName(new.where(F.col(text_col).isNull()))
 

@@ -15,8 +15,9 @@ Pipeline shape
 * ``doc_logprob`` — broadcast-join the (tiny) model onto the exploded
   token stream and sum per doc: one linear shuffle keyed by doc id,
   map-side partial sums.
-* ``perplexity_buckets`` — CCNet's head/middle/tail split: exact
-  corpus quantile thresholds (one bounded agg to the driver) + a CASE
+* ``perplexity_buckets`` — CCNet's head/middle/tail split: corpus
+  quantile thresholds (one agg to the driver — exact interpolated by
+  default, GK sketch via ``exact=False`` at crawl scale) + a CASE
   assignment; never an ``ntile`` global-order window (single-task at
   10^12 rows).
 
@@ -74,17 +75,24 @@ def unigram_lm(
         _tokens(df, id_col, text_col)
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
-    )
-    top = counts.orderBy(F.col("c").desc(), F.col("token")).limit(vocab_size)
-    # N = total corpus tokens (including tokens cut from the vocab);
-    # V = vocabulary actually selected. One tiny driver agg each.
-    n_total = counts.agg(F.sum("c")).first()[0] or 0
-    v = top.count()
+    ).persist()
+    try:
+        # both actions hit the persisted token counts: the corpus text is
+        # read EXACTLY once per training run
+        n_total = counts.agg(F.sum("c")).first()[0] or 0
+        top = (counts.orderBy(F.col("c").desc(), F.col("token"))
+               .limit(vocab_size).collect())
+    finally:
+        counts.unpersist()
+    # the model materializes to the driver (vocab_size + 1 rows — broadcast-
+    # sized by construction, the same bound the scoring join relies on), so
+    # the returned DataFrame is a local relation: scoring actions never
+    # re-run the training scan
+    v = len(top)
     denom = float(n_total) + alpha * (v + 1)
-    logp = F.log((F.col("c").cast("double") + F.lit(alpha)) / F.lit(denom))
-    oov = df.sparkSession.createDataFrame(
-        [(None, math.log(alpha / denom))], "token string, logp double")
-    return top.select("token", logp.alias("logp")).unionByName(oov)
+    rows = [(r["token"], math.log((r["c"] + alpha) / denom)) for r in top]
+    rows.append((None, math.log(alpha / denom)))
+    return df.sparkSession.createDataFrame(rows, "token string, logp double")
 
 
 def doc_logprob(
@@ -130,20 +138,37 @@ def perplexity_buckets(
     *,
     score_col: str = "avg_neg_logp",
     cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    exact: bool = True,
 ) -> DataFrame:
     """CCNet head/middle/tail stratification: docs at or below the
     ``cuts[0]`` quantile of ``score_col`` are ``head`` (most natural),
     above ``cuts[1]`` are ``tail``, the rest ``middle``; NULL scores
     (empty docs) get a NULL bucket.
 
-    Thresholds come from ONE exact-percentile aggregate collected to the
-    driver (two doubles) and fold into the plan as literals — no global
-    sort, no single-task ``ntile`` window. Thresholds round to 6
-    decimals so the split replays identically in any engine."""
-    lo, hi = scores.agg(
-        F.round(F.percentile(score_col, cuts[0]), 6),
-        F.round(F.percentile(score_col, cuts[1]), 6),
-    ).first()
+    Thresholds come from ONE percentile aggregate collected to the driver
+    (two doubles) and fold into the plan as literals — no global sort, no
+    single-task ``ntile`` window. Thresholds round to 6 decimals so the
+    split replays identically in any engine.
+
+    ``exact=True`` (default, engine-replayable interpolated percentile):
+    the aggregation buffer holds one entry per DISTINCT score — bounded by
+    ``doc_logprob``'s 6-decimal rounding at ~10^7 entries per unit of
+    score range, fine up to crawl-shard scale but a single-buffer hotspot
+    on a full 10^12-doc corpus. ``exact=False`` switches to
+    ``approx_percentile`` (GK sketch, accuracy 10^5 → ±1e-5 rank error):
+    constant memory at any scale, thresholds approximate — the same
+    exact-vs-sketch trade the validator's ``Options(exact_quantiles)``
+    exposes."""
+    if exact:
+        lo, hi = scores.agg(
+            F.round(F.percentile(score_col, cuts[0]), 6),
+            F.round(F.percentile(score_col, cuts[1]), 6),
+        ).first()
+    else:
+        lo, hi = scores.agg(
+            F.round(F.approx_percentile(score_col, cuts[0], 100_000), 6),
+            F.round(F.approx_percentile(score_col, cuts[1], 100_000), 6),
+        ).first()
     s = F.col(score_col)
     bucket = (
         F.when(s.isNull(), F.lit(None).cast("string"))

@@ -96,36 +96,7 @@ def paragraph_dedup(
             short | (F.struct("__id", "__idx") == F.col("__k")),
         )
     )
-    rebuilt = kept.groupBy("__id").agg(
-        F.concat_ws(
-            sep,
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("__keep"), F.struct("__idx", "__p"))
-                    )
-                ),
-                lambda s: s["__p"],
-            ),
-        ).alias("__new_text"),
-        F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias("__n_removed"),
-    )
-
-    nn = df.where(_dedupable(df, id_col, text_col))
-    out_cols = [
-        F.col("__new_text").alias(c) if c == text_col else F.col(c)
-        for c in df.columns
-    ]
-    if removed_count_col:
-        out_cols.append(F.col("__n_removed").alias(removed_count_col))
-    deduped = nn.join(
-        rebuilt, nn[id_col] == rebuilt["__id"], "inner"
-    ).select(*out_cols)
-
-    nulls = df.where(~_dedupable(df, id_col, text_col))
-    if removed_count_col:
-        nulls = nulls.withColumn(removed_count_col, F.lit(None).cast("long"))
-    return deduped.unionByName(nulls)
+    return _reassemble(kept, df, id_col, text_col, sep, removed_count_col)
 
 
 def paragraph_dedup_stats(
@@ -196,6 +167,21 @@ def paragraph_dedup_within_doc(
     kept = paras.withColumn(
         "__keep", short | (F.row_number().over(w) == 1)
     )
+    return _reassemble(kept, df, id_col, text_col, sep, removed_count_col)
+
+
+def _reassemble(
+    kept: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str,
+    removed_count_col: str | None,
+) -> DataFrame:
+    """Shared tail of both dedup variants: rebuild each doc's text from
+    the ``__keep``-marked paragraph rows (original order, ``sep``-joined),
+    join back onto the full-width rows, pass NULL-id/NULL-text rows
+    through (NULL removed-count — nothing was scanned)."""
     rebuilt = kept.groupBy("__id").agg(
         F.concat_ws(
             sep,

@@ -101,9 +101,18 @@ def duplicate_window_occurrences(
 ) -> DataFrame:
     """Every occurrence of every duplicated window:
     ``(id, idx, wkey, is_keeper)`` — the keeper is the corpus-wide
-    minimum ``(id, idx)`` (kept verbatim; all other occurrences are
-    removal candidates). Keeper election is a min-struct groupBy
-    (map-combinable — hot boilerplate keys can't hotspot one task)."""
+    minimum ``(id, idx)``; all other occurrences are removal candidates.
+    Keeper election is a min-struct groupBy (map-combinable — hot
+    boilerplate keys can't hotspot one task).
+
+    Overlap caveat: a keeper window survives verbatim only when no
+    FLAGGED window of the same doc overlaps it. Self-overlapping repeat
+    runs (``a a a a``, window 2: keeper at 0, flagged at 1 and 2) flag
+    offsets that cover part of the keeper's own span, so the run
+    collapses below ``window`` tokens — the aggressive reading of
+    ExactSubstr's collapse-to-one semantics, shared by the DuckDB
+    oracle. Non-self-overlapping duplicates (the cross-doc re-crawl
+    case) always keep the keeper intact."""
     occ = _window_occurrences(df, id_col, text_col, window)
     dup = (
         occ.groupBy("wkey")
@@ -136,14 +145,21 @@ def dedup_substrings(
     Matches the paper's semantics at token granularity: the first
     occurrence (smallest ``(id, idx)``) of each duplicated window
     survives; later occurrences are cut. Overlapping flagged windows
-    merge naturally (a token is dropped if ANY flagged window covers
-    it)."""
+    merge naturally (a token is dropped if ANY flagged window covers it;
+    see ``duplicate_window_occurrences`` for the self-overlap caveat).
+
+    Coverage runs over MERGED disjoint intervals, not raw offsets: the
+    sorted flag list folds into ``≤ flags`` non-overlapping ``[s, e)``
+    spans first (linear when overlaps dominate), so a heavily
+    re-crawled doc whose 10^5 flagged windows merge into a handful of
+    spans costs O(tokens · spans), not O(tokens · flags) — no
+    single-row projection hotspot."""
     flags = (
         duplicate_window_occurrences(
             df, id_col, text_col, window=window)
         .where(~F.col("is_keeper"))
         .groupBy("id")
-        .agg(F.collect_list("idx").alias("__flags"))
+        .agg(F.array_sort(F.collect_list("idx")).alias("__flags"))
         .withColumnRenamed("id", "__fid")
     )
     out = df.join(
@@ -152,9 +168,31 @@ def dedup_substrings(
     toks = F.split(F.col(text_col), " ")
     w = F.lit(window).cast("long")
 
+    # fold sorted offsets into disjoint [s, e) intervals: extend the last
+    # interval while the next flag starts inside it, else append
+    empty = F.expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")
+
+    def _merge(acc, f):
+        last = F.element_at(acc, -1)
+        extend = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.struct(
+                last["s"].alias("s"),
+                F.greatest(last["e"], f + w).alias("e"))))
+        append = F.concat(
+            acc, F.array(F.struct(f.alias("s"), (f + w).alias("e"))))
+        return F.when((F.size(acc) > 0) & (f <= last["e"]), extend) \
+            .otherwise(append)
+
+    out = out.withColumn(
+        "__iv",
+        F.when(F.col("__flags").isNull(), F.lit(None))
+        .otherwise(F.aggregate(F.col("__flags"), empty, _merge)))
+
     def uncovered(tok, p):
         return ~F.exists(
-            "__flags", lambda f: (f <= p.cast("long")) & (p.cast("long") < f + w))
+            "__iv",
+            lambda i: (i["s"] <= p.cast("long")) & (p.cast("long") < i["e"]))
 
     kept = F.filter(toks, uncovered)
     rewritten = F.when(
@@ -168,4 +206,4 @@ def dedup_substrings(
     # one withColumns: both expressions must see the ORIGINAL text column
     return out.withColumns(
         {text_col: rewritten, "n_removed_tokens": n_removed}
-    ).drop("__fid", "__flags")
+    ).drop("__fid", "__flags", "__iv")

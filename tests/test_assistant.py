@@ -101,3 +101,17 @@ def test_empty_input(spark):
     suite = onboarding_suite(df)
     kinds = {e.expectation_type for e in suite.expectations}
     assert kinds == {"expect_table_row_count_to_be_between"}
+
+
+def test_suite_passes_on_chunk_correlated_column(spark):
+    """A low-cardinality numeric column content-hashes into value-pure
+    chunks (per-chunk std 0) while the whole-table std is large — the
+    between-chunk variance term. The stdev envelope must still contain
+    the whole-table value (Chan merge), or the suite fails the very data
+    it profiled."""
+    df = spark.createDataFrame(
+        [(float(0.0),)] * 50 + [(float(1000.0),)] * 50, "flag double")
+    suite = onboarding_suite(df, columns=["flag"])
+    res = validate(df, suite, result_format="BOOLEAN_ONLY")
+    failed = [r.expectation_config.expectation_type for r in res.results if not r.success]
+    assert res.success, failed

@@ -88,3 +88,25 @@ def test_bad_inputs_raise(spark, docs):
         "token IS NOT NULL")
     with pytest.raises(ValueError, match="OOV"):
         doc_logprob(docs, no_oov, "doc_id", "text")
+
+
+def test_perplexity_buckets_sketch_mode_close_to_exact(spark, docs):
+    model = unigram_lm(docs, "doc_id", "text", vocab_size=50)
+    scores = doc_logprob(docs, model, "doc_id", "text").cache()
+    exact = {r["doc_id"]: r["bucket"]
+             for r in perplexity_buckets(scores).collect()}
+    approx = {r["doc_id"]: r["bucket"]
+              for r in perplexity_buckets(scores, exact=False).collect()}
+    scores.unpersist()
+    # GK accuracy 1e5 on a few hundred docs: thresholds land on the same
+    # values, buckets agree except possibly docs exactly at a boundary
+    diff = sum(1 for k in exact if exact[k] != approx[k])
+    assert diff <= max(2, len(exact) // 50)
+
+
+def test_unigram_lm_single_training_scan(spark, docs):
+    """The returned model is a local relation — scoring plans must not
+    contain the training corpus scan."""
+    model = unigram_lm(docs, "doc_id", "text", vocab_size=20)
+    plan = model._jdf.queryExecution().optimizedPlan().toString()
+    assert "parquet" not in plan.lower()

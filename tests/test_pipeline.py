@@ -340,6 +340,32 @@ def test_incremental_exact_dedup(spark):
     assert out.columns == new.columns
 
 
+def test_incremental_exact_dedup_null_and_tied_ids(spark):
+    """NULL-id rows are data (kept when unseen, deduped by digest), and
+    equal-id duplicates keep exactly one row — exact_dedup parity."""
+    from great_expectations_spark.pipeline.dedup import (
+        exact_digest_table,
+        incremental_exact_dedup,
+    )
+
+    seen = spark.createDataFrame(
+        [(1, "already ingested")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(None, "only null id has this text"),  # NULL id, unseen, unique -> kept
+         (None, "already ingested"),            # NULL id, seen -> dropped
+         (None, "brand new shared doc"),        # NULL id loses to id 9 (NULLs last)
+         (7, "another fresh doc"),
+         (7, "another fresh doc"),              # same-id in-batch dup -> one kept
+         (9, "brand new shared doc")],
+        "doc_id long, text string")
+    sig = exact_digest_table(seen, "doc_id", "text")
+    out = incremental_exact_dedup(new, sig, "doc_id", "text").collect()
+    assert sorted(r["doc_id"] for r in out if r["doc_id"] is not None) == [7, 9]
+    null_rows = [r for r in out if r["doc_id"] is None]
+    assert [r["text"] for r in null_rows] == ["only null id has this text"]
+    assert len(out) == 3
+
+
 def test_incremental_lsh_candidates(spark):
     from great_expectations_spark.pipeline.dedup import (
         incremental_lsh_candidates,

@@ -99,3 +99,26 @@ def test_partitioning_invariance(spark, docs):
 def test_window_too_small_raises(spark, docs):
     with pytest.raises(ValueError, match="window"):
         duplicate_window_stats(docs, "doc_id", "text", window=1).collect()
+
+
+def test_self_overlapping_run_collapses_aggressively(spark):
+    """Documented overlap caveat: flagged offsets of a self-overlapping
+    repeat run cover part of the keeper window, so the run collapses
+    below `window` tokens (matching the DuckDB oracle)."""
+    df = spark.createDataFrame([(1, "a a a a")], "doc_id long, text string")
+    out = dedup_substrings(df, "doc_id", "text", window=2).collect()[0]
+    assert out["text"] == "a" and out["n_removed_tokens"] == 3
+
+
+def test_merged_interval_coverage_matches_per_flag(spark):
+    """A heavy re-crawl (every window flagged) merges to ONE interval;
+    behavior must equal the any-flag-covers definition."""
+    span = " ".join(f"t{i}" for i in range(120))
+    df = spark.createDataFrame(
+        [(1, span), (2, f"prefix {span} suffix")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup_substrings(df, "doc_id", "text", window=8).collect()}
+    assert out[1]["text"] == span and out[1]["n_removed_tokens"] == 0
+    assert out[2]["text"] == "prefix suffix"
+    assert out[2]["n_removed_tokens"] == 120
