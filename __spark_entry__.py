@@ -1568,6 +1568,85 @@ def _p9h(spark, sf):
     return perplexity_buckets(doc_logprob(docs, model, "doc_id", "text"))
 
 
+def _dsir_cte(buckets: int = 512, alpha: float = 1.0,
+              target_where: str = "lang = 'en'") -> str:
+    """DuckDB replica of pipeline/dsir.py: same unigram+bigram hashed
+    features (60-bit md5 bucket), same add-alpha smoothing over the full
+    bucket domain, same 6-decimal weight rounding."""
+    return f"""
+tf AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+       FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+grams AS (
+  SELECT doc_id, unnest(l) AS g FROM tf
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]))
+         AS g
+  FROM tf),
+feats AS (SELECT doc_id,
+                 ('0x' || substr(md5(g), 1, 15))::BIGINT % {buckets} AS bucket,
+                 count(*) AS cnt
+          FROM grams GROUP BY 1, 2),
+dom AS (SELECT unnest(range({buckets})) AS bucket),
+tc AS (SELECT bucket, sum(cnt) AS c FROM feats
+       WHERE doc_id IN (SELECT doc_id FROM documents WHERE {target_where})
+       GROUP BY bucket),
+qc AS (SELECT bucket, sum(cnt) AS c FROM feats GROUP BY bucket),
+tn AS (SELECT coalesce(sum(c), 0) AS n FROM tc),
+qn AS (SELECT coalesce(sum(c), 0) AS n FROM qc),
+ratio AS (
+  SELECT dom.bucket,
+         ln((coalesce(tc.c, 0) + {alpha}) / (tn.n + {alpha} * {buckets}))
+         - ln((coalesce(qc.c, 0) + {alpha}) / (qn.n + {alpha} * {buckets}))
+         AS lr
+  FROM dom LEFT JOIN tc ON dom.bucket = tc.bucket
+           LEFT JOIN qc ON dom.bucket = qc.bucket, tn, qn),
+dsir_w AS (
+  SELECT d.doc_id,
+         round((SELECT sum(f.cnt * r.lr) FROM feats f
+                JOIN ratio r ON f.bucket = r.bucket
+                WHERE f.doc_id = d.doc_id), 6) AS logw
+  FROM documents d)"""
+
+
+@_q("pipeline_dsir_weights", f"""
+WITH {_dsir_cte()}
+SELECT doc_id, logw FROM dsir_w
+""")
+def _p9i(spark, sf):
+    """DSIR (Xie et al. 2023) importance log-weights of every corpus doc
+    against an English-subset target: two bucket-distribution scans +
+    one broadcast ratio join + one doc-keyed sum."""
+    from great_expectations_spark.pipeline.dsir import dsir_log_weights
+
+    docs = _tbl(spark, sf, "documents")
+    return dsir_log_weights(
+        docs, docs.where(F.col("lang") == "en"), "doc_id", "text",
+        buckets=512)
+
+
+@_q("pipeline_dsir_select", f"""
+WITH {_dsir_cte()},
+keyed AS (
+  SELECT doc_id,
+         round(logw + round(-ln(-ln(
+             ((('0x' || substr(md5('0' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000) / 1000000.0) + 5e-7)), 6), 6) AS k
+  FROM dsir_w WHERE logw IS NOT NULL)
+SELECT doc_id FROM keyed ORDER BY k DESC, doc_id LIMIT 40
+""")
+def _p9j(spark, sf):
+    """DSIR Gumbel-top-k selection: deterministic per-doc Gumbel noise on
+    the importance weight, TakeOrdered top-40 — sampling without
+    replacement that replays bit-for-bit on any engine."""
+    from great_expectations_spark.pipeline.dsir import dsir_select
+
+    docs = _tbl(spark, sf, "documents")
+    return dsir_select(
+        docs, docs.where(F.col("lang") == "en"), "doc_id", "text",
+        n=40, buckets=512).select("doc_id")
+
+
 @_q("pipeline_embedding_neardup", f"""
 SELECT id_a, id_b, cosine FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_SQL}, 6) AS cosine

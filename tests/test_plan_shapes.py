@@ -234,3 +234,20 @@ def test_semantic_pairs_equi_join_on_cluster(spark, fresh_emb):
     plan = _plan(semantic_pairs(fresh_emb, cents, 0.9))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_dsir_ratio_join_broadcasts(spark, fresh_docs):
+    """The bucket-domain ratio table (10^4 rows by construction) must
+    broadcast onto the doc feature stream — never a shuffle of the
+    corpus side — and the feature groupBy partial-aggregates map-side."""
+    from great_expectations_spark.pipeline.dsir import dsir_log_weights
+
+    plan = _plan(dsir_log_weights(
+        fresh_docs, fresh_docs.limit(50), "doc_id", "text", buckets=256))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # feature counts and the per-doc weight sum both partial-aggregate
+    # (the _partial_agg_before_exchange helper keys on the FIRST exchange,
+    # which in this multi-join plan is a sort — check the aggregates
+    # directly instead)
+    assert "partial_count" in plan and "partial_sum" in plan

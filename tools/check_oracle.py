@@ -28,7 +28,7 @@ def norm(v):
     return ("s", str(v))
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
     import duckdb
 
     import __spark_entry__ as entrymod
@@ -40,6 +40,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entrymod.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
