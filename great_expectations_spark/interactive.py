@@ -173,10 +173,25 @@ def _eager(df: DataFrame, name: str, kw: dict, o: Options):
             return []
         top = max(n for _, n in counts)
         return [v for v, n in counts if n == top]
+    if name == "table.head":
+        # reference table_metrics/table_head.py:196-224 (spark branch),
+        # via sources.readers.table_head (n_rows < 0 = drop last |n|);
+        # shaped into a pandas DataFrame like the reference metric value.
+        import pandas as pd
+
+        from great_expectations_spark.sources.readers import table_head
+
+        n_rows = kw.get("n_rows")
+        rows = table_head(df, 5 if n_rows is None else int(n_rows),
+                          fetch_all=bool(kw.get("fetch_all", False)))
+        out = pd.DataFrame(rows)
+        if out.empty:
+            out = pd.DataFrame(columns=list(df.columns))
+        return out
     raise KeyError(
         f"unsupported metric {name!r}; supported: table.row_count, "
-        "table.columns, table.column_types, column.{sum,mean,min,max,"
-        "standard_deviation,median,quantile_values,distinct_values[.count],"
+        "table.head, table.columns, table.column_types, column.{sum,mean,min,"
+        "max,standard_deviation,median,quantile_values,distinct_values[.count],"
         "unique_proportion,value_counts,most_common_value,histogram,"
         "partition,values_between.count}, column_values.{null,nonnull}.count, "
         "column_values.length_{min,max}")
@@ -298,6 +313,14 @@ class InteractiveValidator:
 
     def get_metric(self, metric_name: str, **domain_kwargs: Any) -> Any:
         return get_metric(self.df, metric_name, self.options, **domain_kwargs)
+
+    def head(self, n_rows: int = 5, fetch_all: bool = False):
+        """First ``n_rows`` of the batch as a pandas DataFrame — the
+        reference's ``validator.head()`` backed by the ``table.head``
+        metric (table_metrics/table_head.py:196-224 spark semantics,
+        including negative ``n_rows`` = drop the last ``|n|``)."""
+        return self.get_metric("table.head", n_rows=n_rows,
+                               fetch_all=fetch_all)
 
     def get_metrics(
         self, requests: dict[str, tuple[str, dict[str, Any]]]

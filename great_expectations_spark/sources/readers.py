@@ -121,9 +121,15 @@ def read_any(spark: SparkSession, path: str, reader_method: str | None = None,
 
 
 def table_head(df: DataFrame, n_rows: int = 5, fetch_all: bool = False) -> list[dict[str, Any]]:
-    """``table.head`` metric (reference table_metrics/table_head.py:
-    df.limit(n).toPandas() / fetch_all): first ``n_rows`` rows as dicts.
+    """``table.head`` metric (reference table_metrics/table_head.py:196-224
+    spark branch): first ``n_rows`` rows as dicts; negative ``n_rows`` =
+    all but the last ``|n|`` (one extra count job, as in the reference).
     Stays a bounded limit-collect — never a full materialization unless
     fetch_all is explicitly requested."""
-    d = df if fetch_all else df.limit(n_rows)
+    if fetch_all:
+        d = df
+    elif n_rows >= 0:
+        d = df.limit(n_rows)
+    else:
+        d = df.limit(max(df.count() + n_rows, 0))
     return [row.asDict(recursive=True) for row in d.collect()]

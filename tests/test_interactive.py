@@ -172,3 +172,31 @@ def test_result_format_passthrough(df):
     r2 = v.expect_column_values_to_be_between(
         column="v", min_value=5, result_format="BOOLEAN_ONLY")
     assert "partial_unexpected_list" not in r2.result
+
+
+# ---------------------------------------------------------------- table.head
+
+
+def test_table_head_metric(df):
+    """table.head (reference table_metrics/table_head.py spark branch):
+    first-n rows as a pandas DataFrame, negative n = drop last |n|,
+    fetch_all = whole table."""
+    out = get_metric(df.orderBy("id"), "table.head", n_rows=3)
+    assert list(out.columns) == ["id", "v", "s", "k"]
+    assert list(out["id"]) == [0, 1, 2]
+    # default n_rows = 5
+    assert len(get_metric(df, "table.head")) == 5
+    # negative n: all but the last |n| (reference does count() + n)
+    assert len(get_metric(df, "table.head", n_rows=-90)) == 10
+    assert len(get_metric(df, "table.head", n_rows=-200)) == 0
+    # fetch_all
+    assert len(get_metric(df, "table.head", fetch_all=True)) == 100
+    # empty frame keeps the schema header (reference returns a 0-row df)
+    empty = get_metric(df.where(F.lit(False)), "table.head")
+    assert len(empty) == 0 and list(empty.columns) == ["id", "v", "s", "k"]
+
+
+def test_validator_head(df):
+    v = InteractiveValidator(df.orderBy("id"), name="h")
+    out = v.head(2)
+    assert len(out) == 2 and list(out["id"]) == [0, 1]
