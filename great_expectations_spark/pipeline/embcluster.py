@@ -221,6 +221,38 @@ def kmeans_cluster_stats(
     )
 
 
+def _pairs_gemm_fn(threshold: float, id_dtype: str):
+    """``applyInPandas`` kernel: one cluster's members in, its qualifying
+    near-dup pairs out — the full pairwise round-4 cosine matrix from ONE
+    float64 BLAS matmul instead of ~|cluster|²/2 unrolled HOF expressions.
+    Same values as the expression path (round-4 cosine, ``id_a < id_b``)."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=id_dtype),
+                              "id_b": pd.Series(dtype=id_dtype),
+                              "sim": pd.Series(dtype="float64")})
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["id"].to_numpy()
+        M = np.array(pdf["v"].tolist(), dtype=np.float64)
+        n = np.sqrt((M * M).sum(axis=1))
+        n[n == 0.0] = 1.0
+        S = np.round((M @ M.T) / np.outer(n, n), 4)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = S[iu, ju] >= threshold
+        if not keep.any():
+            return empty
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "sim": S[iu[keep], ju[keep]]})
+
+    return fn
+
+
 def semantic_pairs(
     corpus: DataFrame,
     centroids: Centroids,
@@ -230,19 +262,32 @@ def semantic_pairs(
     vec_col: str = "embedding",
     max_cluster_size: int | None = None,
     assign: str = "auto",
+    pair_method: str = "auto",
 ) -> DataFrame:
     """Within-cluster near-duplicate candidate pairs:
     ``(id_a, id_b, sim)`` with ``id_a < id_b`` and round-4 cosine ≥
     ``threshold``.
 
-    The self-join key is the cluster id, so the quadratic term is bounded
+    The pairing key is the cluster id, so the quadratic term is bounded
     by the largest cluster; ``max_cluster_size`` drops degenerate clusters
     from pairing entirely (inspect them with ``kmeans_cluster_stats`` —
     same policy as the LSH ``max_bucket_size`` hot-bucket cap).
 
-    The assignment is materialized (``localCheckpoint``) before the
-    self-join: the E-step then runs ONCE instead of once per join side,
-    and downstream iterative consumers (connected components) don't
+    ``pair_method``: ``expr`` = cluster-key self-join with the round-4
+    cosine as zip_with/aggregate codegen per pair (zero Python);
+    ``gemm`` = ONE Arrow ``applyInPandas`` per cluster computing the whole
+    pairwise matrix as a float64 BLAS matmul — each pair costs a fused
+    multiply-add instead of an expression-tree evaluation, and each
+    member's vector crosses the shuffle once instead of twice (two join
+    sides). ``auto`` picks ``gemm`` whenever the codebook already chose
+    the Arrow assignment path (same k·dims crossover). Both orders round
+    to 4 decimals before the threshold, so they agree wherever float64
+    dot-product associativity agrees — the same contract the oracle-green
+    ``cosine_topk_gemm`` relies on.
+
+    The assignment is materialized (``localCheckpoint``) before pairing:
+    the E-step then runs ONCE instead of once per join side, and
+    downstream iterative consumers (connected components) don't
     re-evaluate it every round.
     """
     pts = (
@@ -258,6 +303,21 @@ def semantic_pairs(
             .select("c")
         )
         pts = pts.join(F.broadcast(ok), "c", "left_semi")
+    if pair_method == "auto":
+        dims = len(centroids[0][1]) if centroids else 0
+        pair_method = (
+            "expr" if len(centroids) * dims <= _EXPR_ASSIGN_MAX_TERMS
+            else "gemm")
+    if pair_method == "gemm":
+        id_field = pts.schema["id"].dataType.simpleString()
+        id_dtype = "int64" if id_field in ("bigint", "int", "long",
+                                           "smallint") else "object"
+        return pts.groupBy("c").applyInPandas(
+            _pairs_gemm_fn(threshold, id_dtype),
+            schema=f"id_a {id_field}, id_b {id_field}, sim double",
+        )
+    if pair_method != "expr":
+        raise ValueError(f"unknown pair_method {pair_method!r}")
     a = pts.alias("a")
     b = pts.alias("b")
     sim = F.round(cosine_sim(F.col("a.v"), F.col("b.v")), 4)
@@ -284,6 +344,7 @@ def semantic_dedup_assignments(
     vec_col: str = "embedding",
     max_cluster_size: int | None = None,
     assign: str = "auto",
+    pair_method: str = "auto",
     max_iter: int = 25,
     reliable: bool = False,
 ) -> DataFrame:
@@ -298,7 +359,8 @@ def semantic_dedup_assignments(
         assign=assign)
     pairs = semantic_pairs(
         corpus, cents, threshold, id_col=id_col, vec_col=vec_col,
-        max_cluster_size=max_cluster_size, assign=assign)
+        max_cluster_size=max_cluster_size, assign=assign,
+        pair_method=pair_method)
     comp = connected_components(
         pairs.select("id_a", "id_b"), "id_a", "id_b",
         max_iter=max_iter, reliable=reliable)
