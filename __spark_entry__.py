@@ -1159,6 +1159,56 @@ def _p7(spark, sf):
     )
 
 
+@_q("pipeline_recipe_clean", """
+WITH s1 AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN 'nonnull'
+              WHEN length(text) < 100 THEN 'min_len'
+              WHEN lang IS NULL OR lang NOT IN ('en','de','fr','es')
+                   THEN 'lang' END AS rej,
+         text
+  FROM documents),
+surv AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+  FROM s1 WHERE rej IS NULL),
+keep AS (SELECT fp, min(doc_id) AS keeper FROM surv GROUP BY fp)
+SELECT s1.doc_id,
+       coalesce(s1.rej,
+                CASE WHEN surv.doc_id IS NOT NULL AND surv.doc_id <> keep.keeper
+                     THEN 'fp_dup' END) AS rejected_by
+FROM s1 LEFT JOIN surv ON s1.doc_id = surv.doc_id
+        LEFT JOIN keep ON surv.fp = keep.fp
+""")
+def _p7r(spark, sf):
+    """End-to-end cleaning recipe (pipeline/recipes.py) with
+    first-rejecting-stage attribution: nonnull -> min length -> lang
+    allowlist (three predicates fused into ONE label expression, zero
+    extra jobs) -> fingerprint dedup on the survivors (losers stage,
+    id-keyed join). Per-doc rejected_by parity over the whole table."""
+    from great_expectations_spark.pipeline.recipes import (
+        losers_stage, predicate_stage, run_recipe)
+    from great_expectations_spark.pipeline.textstats import fingerprint
+
+    def fp_losers(surv):
+        d = surv.select(F.col("doc_id").alias("id"),
+                        fingerprint(F.col("text")).alias("fp"))
+        k = d.groupBy("fp").agg(F.min("id").alias("keep"))
+        return (d.join(k, "fp").where(F.col("id") != F.col("keep"))
+                .select("id"))
+
+    docs = _tbl(spark, sf, "documents")
+    recipe = [
+        predicate_stage("nonnull", lambda d: F.col("text").isNotNull()),
+        predicate_stage("min_len", lambda d: F.length("text") >= 100),
+        predicate_stage("lang",
+                        lambda d: F.col("lang").isin("en", "de", "fr", "es")),
+        losers_stage("fp_dup", fp_losers),
+    ]
+    return run_recipe(docs, recipe, "doc_id").annotated.select(
+        "doc_id", "rejected_by")
+
+
 _COS_SQL = ("list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
             "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
             "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))")

@@ -174,6 +174,61 @@ def minhash_from_hashes(hashes: Column, k: int = 12) -> Column:
     return F.array(*[F.array_min(F.transform(hashes, perm(a, b))) for a, b in minhash_params(k)])
 
 
+def lsh_plan(
+    threshold: float,
+    k: int = 128,
+    *,
+    false_negative_weight: float = 1.0,
+) -> dict:
+    """Split a ``k``-permutation signature budget into ``(bands, rows)``
+    for a target Jaccard ``threshold``.
+
+    The banding S-curve gives P(candidate | jaccard=s) = 1-(1-s^r)^b with
+    inflection near (1/b)^(1/r) (Leskovec/Rajaraman/Ullman, MMDS ch. 3 —
+    public textbook construction; same objective as datasketch's
+    ``_optimal_param``). Enumerates every exact split b*r = k and
+    minimizes the integrated error: the area under the S-curve below the
+    threshold (false positives — wasted verification work) plus
+    ``false_negative_weight`` × the area ABOVE threshold where the curve
+    falls short of 1 (missed near-dups). Weight > 1 biases toward recall,
+    the usual dedup preference; k itself is the caller's compute/storage
+    budget (signature width), not something to optimize here.
+
+    Returns ``{"k", "bands", "rows", "threshold_at_inflection",
+    "p_at_threshold"}`` — feed ``k``/``bands`` straight into
+    ``minhash_lsh_candidates`` (which requires exact divisibility, hence
+    exact splits only). Pure driver math, no Spark."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    steps = 500
+    best = None
+    for b in range(1, k + 1):
+        if k % b != 0:
+            continue
+        r = k // b
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s ** r) ** b
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        err = (fp + false_negative_weight * fn) / steps
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    _, b, r = best
+    return {
+        "k": k,
+        "bands": b,
+        "rows": r,
+        "threshold_at_inflection": round((1.0 / b) ** (1.0 / r), 4),
+        "p_at_threshold": round(1.0 - (1.0 - threshold ** r) ** b, 4),
+    }
+
+
 def _band_buckets(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,217 @@
+"""Composable corpus-cleaning recipes with single-scan rejection lineage.
+
+A production cleaning pipeline (C4, CCNet, RefinedWeb, FineWeb) is an
+ORDERED sequence of stages — URL/length/language predicates, quality
+suites, then progressively more expensive dedup passes — where each doc
+must be attributable to the FIRST stage that rejected it (the per-stage
+"removal rate" table every dataset paper publishes). Running stages as
+N separate filter jobs costs N corpus scans and loses attribution.
+
+Spark-first composition instead:
+
+* **predicate stages** (keep/drop as a Column) fold into ONE running
+  ``rejected_by`` label column — zero extra scans no matter how many,
+  and the whole chain stays inside whole-stage codegen.
+* **loser stages** (dedup-style: a function from the current SURVIVORS
+  to a DataFrame of rejected ids) contribute one id-keyed left join
+  each. Only ids cross the shuffle, and the fn sees exactly the docs
+  that earlier stages kept — the order the published recipes require
+  (dedup after filtering). Lineage is cut (``localCheckpoint``) before
+  each loser stage so the prefix never re-executes per stage.
+* **suite stages** reuse the expectation engine: every map expectation
+  in an ``ExpectationSuite`` becomes a per-row predicate via
+  ``filtering.annotate_suite`` — reject reason = the first failing
+  expectation's ``reason_label``.
+
+The result keeps all three views: ``annotated`` (every input doc +
+nullable ``rejected_by``), ``clean`` (survivors), and ``stats()`` (one
+groupBy — docs per rejection stage, in stage order).
+
+The reference repo has no pipeline composition surface (its checkpoint
+actions chain VALIDATIONS, not transforms); this extends the
+training-data addendum by composing the pipeline/* operators it already
+verifies individually. Every stage kind is engine-replayable, so the
+end-to-end recipe has a DuckDB oracle (oracle: pipeline_recipe_clean).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "RecipeStage",
+    "predicate_stage",
+    "losers_stage",
+    "suite_stage",
+    "exact_dedup_stage",
+    "run_recipe",
+    "RecipeResult",
+]
+
+_REJECT_COL = "rejected_by"
+
+
+@dataclass(frozen=True)
+class RecipeStage:
+    """One named cleaning stage.
+
+    ``kind="predicate"``: ``fn(df) -> Column`` — TRUE means KEEP. The
+    Column may reference any input column; it is evaluated inside the
+    fused label expression (no job of its own).
+
+    ``kind="losers"``: ``fn(survivors) -> DataFrame`` whose FIRST column
+    holds the ids to reject (duplicates/NULLs in the loser list are
+    harmless). Runs against the docs all earlier stages kept.
+    """
+
+    name: str
+    kind: str
+    fn: Callable
+
+
+def predicate_stage(name: str, fn: Callable[[DataFrame], Column]) -> RecipeStage:
+    """Keep-predicate stage: ``fn(df)`` returns a Column, TRUE = keep.
+    NULL predicate results reject (SQL ternary logic would silently keep
+    them under ``~pred``; cleaning semantics must not)."""
+    return RecipeStage(name=name, kind="predicate", fn=fn)
+
+
+def losers_stage(name: str, fn: Callable[[DataFrame], DataFrame]) -> RecipeStage:
+    """Rejected-ids stage: ``fn(survivors)`` returns a DataFrame whose
+    first column is the ids to drop (e.g. dedup losers)."""
+    return RecipeStage(name=name, kind="losers", fn=fn)
+
+
+def suite_stage(name: str, suite, options=None, strict: bool = True) -> RecipeStage:
+    """Every map expectation in ``suite`` as one fused keep-predicate:
+    a doc survives iff it satisfies ALL of them (``mostly`` is a
+    corpus-level verdict knob, deliberately ignored here — a filter
+    keeps or drops each row on its own merits, reference
+    result_format.unexpected semantics). ``strict=True`` raises on
+    aggregate/table expectations (no per-row meaning); ``strict=False``
+    skips them — same contract as ``filtering.annotate_suite``."""
+
+    def fn(df: DataFrame) -> Column:
+        from great_expectations_spark.pipeline.filtering import _row_predicates
+        from great_expectations_spark.plans.compiler import Options
+
+        preds = _row_predicates(suite, options or Options(), strict)
+        bad = F.lit(False)
+        for _, unexpected in preds:
+            bad = bad | unexpected
+        return ~bad
+
+    return RecipeStage(name=name, kind="predicate", fn=fn)
+
+
+def exact_dedup_stage(
+    name: str, id_col: str, text_col: str, *, normalize: bool = False
+) -> RecipeStage:
+    """Keep-first exact dedup as a loser stage: among survivors sharing a
+    text digest, every doc except the min-id keeper is rejected. Only
+    16-byte digests + ids shuffle (map-side combinable min)."""
+
+    def fn(survivors: DataFrame) -> DataFrame:
+        t = F.col(text_col)
+        if normalize:
+            t = F.lower(F.regexp_replace(t, r"\s+", " "))
+        d = survivors.where(t.isNotNull() & F.col(id_col).isNotNull()).select(
+            F.md5(t).alias("__dg"), F.col(id_col).alias("__id"))
+        keepers = d.groupBy("__dg").agg(F.min("__id").alias("__keep"))
+        return (
+            d.join(keepers, "__dg")
+            .where(F.col("__id") != F.col("__keep"))
+            .select(F.col("__id"))
+        )
+
+    return RecipeStage(name=name, kind="losers", fn=fn)
+
+
+@dataclass
+class RecipeResult:
+    """``annotated`` = every input doc + nullable ``rejected_by``;
+    ``clean`` = survivors (original columns); ``stage_names`` preserves
+    recipe order for ``stats()``."""
+
+    annotated: DataFrame
+    stage_names: list
+
+    @property
+    def clean(self) -> DataFrame:
+        return self.annotated.where(
+            F.col(_REJECT_COL).isNull()).drop(_REJECT_COL)
+
+    def stats(self) -> DataFrame:
+        """(stage, n_rejected) per stage in recipe order plus a final
+        ``(NULL, n_kept)`` row — ONE groupBy over the annotated frame."""
+        order = {n: i for i, n in enumerate(self.stage_names)}
+        m = F.create_map(
+            *[x for n, i in order.items() for x in (F.lit(n), F.lit(i))])
+        return (
+            self.annotated.groupBy(F.col(_REJECT_COL).alias("stage"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy(F.coalesce(m[F.col("stage")], F.lit(len(order))))
+        )
+
+
+def run_recipe(
+    df: DataFrame,
+    stages: list[RecipeStage],
+    id_col: str,
+) -> RecipeResult:
+    """Run ``stages`` in order over ``df`` with first-rejecting-stage
+    attribution.
+
+    Consecutive predicate stages cost ZERO extra jobs (they fold into
+    the one label expression); each loser stage costs its own fn plus
+    one id-keyed left join. ``id_col`` must be unique for loser-stage
+    attribution to be well-defined (it is the join key)."""
+    names = [s.name for s in stages]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate stage names: {names}")
+    annotated = df.withColumn(_REJECT_COL, F.lit(None).cast("string"))
+    rej = F.col(_REJECT_COL)
+    for stage in stages:
+        if stage.kind == "predicate":
+            keep = stage.fn(annotated)
+            # NULL-safe: only an explicit TRUE keeps the row
+            annotated = annotated.withColumn(
+                _REJECT_COL,
+                F.coalesce(
+                    rej,
+                    F.when(~keep.eqNullSafe(F.lit(True)),
+                           F.lit(stage.name))),
+            )
+        elif stage.kind == "losers":
+            # cut lineage so the fn and the join don't re-run the prefix
+            annotated = annotated.localCheckpoint(eager=False)
+            survivors = annotated.where(rej.isNull())
+            losers = stage.fn(survivors)
+            lcol = losers.columns[0]
+            ltab = (
+                losers.select(F.col(lcol).alias("__loser_id"))
+                .where(F.col("__loser_id").isNotNull())
+                .distinct()
+            )
+            annotated = (
+                annotated.join(
+                    ltab,
+                    F.col(id_col).eqNullSafe(F.col("__loser_id")) & rej.isNull(),
+                    "left",
+                )
+                .withColumn(
+                    _REJECT_COL,
+                    F.coalesce(
+                        rej,
+                        F.when(F.col("__loser_id").isNotNull(),
+                               F.lit(stage.name))),
+                )
+                .drop("__loser_id")
+            )
+        else:
+            raise ValueError(f"unknown stage kind {stage.kind!r}")
+    return RecipeResult(annotated=annotated, stage_names=names)

@@ -447,3 +447,27 @@ def test_cosine_topk_gemm_dim_mismatch_and_empty_queries(spark, emb):
     empty_q = spark.createDataFrame([], "q_id long, q_vec array<float>")
     with pytest.raises(ValueError):
         cosine_topk_gemm(emb, empty_q, k=3)
+
+
+# ------------------------------------------------------------- lsh_plan
+
+
+def test_lsh_plan_matches_textbook_shape():
+    from great_expectations_spark.pipeline.dedup import lsh_plan
+
+    p = lsh_plan(0.5, 128)
+    assert p["bands"] * p["rows"] == 128
+    # inflection lands near the requested threshold
+    assert abs(p["threshold_at_inflection"] - 0.5) < 0.15
+    # recall bias moves the curve left (more bands, fewer rows)
+    recall = lsh_plan(0.5, 128, false_negative_weight=10.0)
+    assert recall["bands"] >= p["bands"]
+    assert recall["threshold_at_inflection"] <= p["threshold_at_inflection"]
+    # exact divisibility contract of minhash_lsh_candidates
+    q = lsh_plan(0.8, 12)
+    assert 12 % q["bands"] == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        lsh_plan(0.0)
+    with _pt.raises(ValueError):
+        lsh_plan(0.5, 1)
