@@ -1697,6 +1697,46 @@ def _p9j(spark, sf):
         n=40, buckets=512).select("doc_id")
 
 
+@_q("pipeline_classifier_scores", """
+WITH tf AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+            FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+grams AS (
+  SELECT doc_id, unnest(l) AS g FROM tf
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS g
+  FROM tf),
+feats AS (SELECT doc_id,
+                 ('0x' || substr(md5(g), 1, 15))::BIGINT % 512 AS bucket,
+                 count(*) AS cnt
+          FROM grams GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(cnt) AS t FROM feats GROUP BY doc_id),
+w AS (SELECT b AS bucket, ((b * 37) % 21 - 10) / 10.0 AS wt
+      FROM (SELECT unnest(range(512)) AS b)),
+m AS (SELECT f.doc_id, sum((f.cnt / tot.t) * w.wt) AS mgn
+      FROM feats f JOIN tot ON f.doc_id = tot.doc_id
+                   JOIN w ON f.bucket = w.bucket
+      GROUP BY f.doc_id)
+SELECT d.doc_id, round(1.0 / (1.0 + exp(-(m.mgn + (-0.1)))), 6) AS score
+FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+""")
+def _p9k(spark, sf):
+    """Quality-classifier scoring (pipeline/classifier.py) against a FIXED
+    deterministic weight table — proves the scoring path (hashed features
+    -> length normalization -> broadcast weight join -> doc margin ->
+    sigmoid) digit-exact in another engine. Training itself is validated
+    behaviorally in tests/test_classifier.py (float gradient sums are
+    partition-order-dependent, so retrained weights agree to ~1e-12, not
+    bitwise)."""
+    from great_expectations_spark.pipeline.classifier import classify_docs
+
+    docs = _tbl(spark, sf, "documents")
+    weights = spark.range(512).select(
+        F.col("id").cast("int").alias("bucket"),
+        (((F.col("id") * 37) % 21 - 10) / 10.0).alias("weight"))
+    return classify_docs(docs, weights, -0.1, "doc_id", "text", buckets=512)
+
+
 @_q("pipeline_embedding_neardup", f"""
 SELECT id_a, id_b, cosine FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_SQL}, 6) AS cosine

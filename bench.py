@@ -399,6 +399,34 @@ def main() -> None:
                          window=8).select(
             F.sum("n_removed_tokens")).first()
 
+    @timed("recipe_clean")
+    def _q18b():
+        # end-to-end cleaning recipe: three fused keep-predicates (one
+        # label expression, zero extra jobs) + keep-first exact dedup on
+        # the survivors; stats() is one groupBy over the annotated frame
+        from great_expectations_spark.pipeline.recipes import (
+            exact_dedup_stage, predicate_stage, run_recipe)
+
+        recipe = [
+            predicate_stage("nonnull", lambda d: F.col("text").isNotNull()),
+            predicate_stage("min_len", lambda d: F.length("text") >= 50),
+            predicate_stage("lang", lambda d: F.col("lang").isin(
+                "en", "de", "fr", "es", "zh")),
+            exact_dedup_stage("exact_dup", "doc_id", "text"),
+        ]
+        run_recipe(docs, recipe, "doc_id").stats().collect()
+
+    @timed("dsir_select")
+    def _q18c():
+        # DSIR importance resampling toward the English subset: two
+        # bucket-distribution scans + broadcast ratio join + doc-keyed
+        # sum + Gumbel top-k TakeOrdered
+        from great_expectations_spark.pipeline.dsir import dsir_select
+
+        dsir_select(docs, docs.where(F.col("lang") == "en"),
+                    "doc_id", "text", n=500, buckets=4096).select(
+            F.count(F.lit(1))).first()
+
     @timed("lm_perplexity")
     def _q19():
         # CCNet recipe: train corpus unigram LM (one count scan), score

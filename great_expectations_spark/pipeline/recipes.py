@@ -173,6 +173,10 @@ def run_recipe(
     names = [s.name for s in stages]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate stage names: {names}")
+    if _REJECT_COL in df.columns:
+        raise ValueError(
+            f"input already has a {_REJECT_COL!r} column — rename it before "
+            "running a recipe (it is the recipe's lineage output column)")
     annotated = df.withColumn(_REJECT_COL, F.lit(None).cast("string"))
     rej = F.col(_REJECT_COL)
     for stage in stages:

@@ -251,3 +251,21 @@ def test_dsir_ratio_join_broadcasts(spark, fresh_docs):
     # which in this multi-join plan is a sort — check the aggregates
     # directly instead)
     assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_classifier_scoring_broadcasts_weights(spark, fresh_docs):
+    """Fixed-model scoring: the buckets-row weight table must broadcast
+    onto the feature stream (never shuffle the corpus side against it),
+    and the doc margin sum partial-aggregates map-side."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.pipeline.classifier import classify_docs
+
+    w = spark.range(256).select(
+        F.col("id").cast("int").alias("bucket"),
+        (F.col("id") % 7 / 7.0).alias("weight"))
+    plan = _plan(classify_docs(fresh_docs, w, 0.0, "doc_id", "text",
+                               buckets=256))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan

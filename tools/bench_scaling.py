@@ -43,7 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", 192_000_000))
 MAX_TOKENS = 60
 PARTITIONS = 256
-REPS = 3
+REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", 3))
 CALIB_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_CALIB_ROWS", 16_000_000_000))
 DATA_DIR = f"/tmp/ges_scaling_pages_{N_ROWS}"
 
@@ -274,6 +274,49 @@ def _para_run(label: str) -> dict:
             "rows_per_sec": round(n_in / best, 2)}
 
 
+RECIPE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_RECIPE_ROWS", 16_000_000))
+
+
+def _recipe_run(label: str) -> dict:
+    """Cleaning-recipe scaling (round-2 pipeline/recipes.py): three fused
+    keep-predicates (zero extra jobs) then keep-first exact dedup on the
+    survivors — per-row predicate work map-side, then ONE digest+id shuffle
+    for keeper election and ONE id-keyed join back. The join/shuffle volume
+    is what must track executor count. Rows/s is docs/s."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.pipeline.recipes import (
+        exact_dedup_stage, predicate_stage, run_recipe)
+
+    spark, cores = _session(label)
+    k = max(1, N_ROWS // RECIPE_ROWS)
+    df = (spark.read.parquet(DATA_DIR)
+          .where(F.pmod(F.xxhash64("url"), F.lit(k)) == 0)
+          .select(F.xxhash64("url", "warc_ts").alias("id"), "url", "text",
+                  "lang"))
+    n_in = df.count()  # also warms the page cache
+
+    recipe = [
+        predicate_stage("nonnull", lambda d: F.col("text").isNotNull()),
+        predicate_stage("min_len", lambda d: F.length("text") >= 20),
+        predicate_stage(
+            "lang", lambda d: F.col("lang").isin(
+                "en", "de", "fr", "es", "zh", "ru", "ja", "pt")),
+        exact_dedup_stage("exact_dup", "id", "text"),
+    ]
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        stats = {r["stage"]: r["n"]
+                 for r in run_recipe(df, recipe, "id").stats().collect()}
+        best = min(best, time.time() - t0)
+        assert sum(stats.values()) == n_in
+    spark.stop()
+    return {"label": label, "master": MASTERS[label][0], "cores": cores,
+            "rows": n_in, "best_sec": round(best, 4),
+            "rows_per_sec": round(n_in / best, 2)}
+
+
 def _calib_run(label: str) -> dict:
     """Host scaling ceiling: embarrassingly-parallel codegen aggregation."""
     from pyspark.sql import functions as F
@@ -316,8 +359,11 @@ def main() -> None:
         kinds += ("cc",)
     if os.environ.get("SPARK_GRAFT_SCALING_PARA"):
         kinds += ("para",)
+    if os.environ.get("SPARK_GRAFT_SCALING_RECIPE"):
+        kinds += ("recipe",)
     best: dict = {}
-    for _round in range(3):  # alternating rounds damp host noise
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", 3))
+    for _round in range(rounds):  # alternating rounds damp host noise
         for kind in kinds:
             for label in ("N", "4N"):
                 r = _spawn(label, kind)
@@ -365,6 +411,12 @@ def main() -> None:
         report["para_4N"] = p_4n
         report["para_scaling_efficiency"] = round(
             p_4n["rows_per_sec"] / (4 * p_n["rows_per_sec"]), 4)
+    if ("recipe", "N") in best:
+        r_n, r_4n = best[("recipe", "N")], best[("recipe", "4N")]
+        report["recipe_N"] = r_n
+        report["recipe_4N"] = r_4n
+        report["recipe_scaling_efficiency"] = round(
+            r_4n["rows_per_sec"] / (4 * r_n["rows_per_sec"]), 4)
     print(json.dumps(report, indent=2))
 
 
@@ -372,7 +424,7 @@ if __name__ == "__main__":
     if len(sys.argv) > 3 and sys.argv[1] == "--worker":
         fn = {"engine": _engine_run, "mono": _mono_run,
               "grouped": _grouped_run, "cc": _cc_run, "para": _para_run,
-              "calib": _calib_run}[sys.argv[3]]
+              "recipe": _recipe_run, "calib": _calib_run}[sys.argv[3]]
         print(json.dumps(fn(sys.argv[2])))
     else:
         main()
