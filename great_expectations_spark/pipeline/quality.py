@@ -104,7 +104,9 @@ _REP_FIELDS = (
 _REP_TYPE = T.StructType([T.StructField(f, T.DoubleType()) for f in _REP_FIELDS])
 
 
-def _repetition_one(text):
+def _repetition_one_py(text):
+    """Reference implementation (tuple n-grams + Counter) — kept as the
+    parity oracle for the vectorized kernel; not on the hot path."""
     if text is None:
         return [None] * len(_REP_FIELDS)
     words = [w for w in _WS.split(text) if w]
@@ -144,6 +146,78 @@ def _repetition_one(text):
                     covered[i : i + n] = b"\x01" * n
             frac = sum(l for l, c in zip(lens, covered) if c) / chars
         out.append(frac)
+    lines = [ln.strip(" ") for ln in text.split("\n")]
+    lines = [ln for ln in lines if ln]
+    lchars = sum(len(ln) for ln in lines)
+    if lchars == 0:
+        out.append(None)
+    else:
+        lcnt = Counter(lines)
+        out.append(sum(len(ln) for ln in lines if lcnt[ln] >= 2) / lchars)
+    return out
+
+
+def _repetition_one(text):
+    """Vectorized n-gram repetition signals. Words map to integer codes
+    once; n-gram identities build INCREMENTALLY (rank-doubling style):
+    the id array for n comes from ONE 1-D ``np.unique`` over
+    ``prev_id * (W+1) + next_word_code`` — exact (each composition step
+    is injective; both factors < W+1 so the product fits int64 for any
+    realistic document), no hash collisions, no row-wise lexsort. Char
+    weights come from a cumulative sum and dup-span coverage from a
+    difference-array range update. Identical values to the tuple/Counter
+    reference (``_repetition_one_py``, parity-tested); the 9 Counter
+    passes collapse to 9 vectorized 1-D sorts, which at 10^12 docs is
+    the whole cost of this operator."""
+    import numpy as np
+
+    if text is None:
+        return [None] * len(_REP_FIELDS)
+    words = _WS.split(text)
+    words = [w for w in words if w]
+    W = len(words)
+    out_top: list = [None, None, None]
+    out_dup: list = [None] * 6
+    if W:
+        vocab: dict = {}
+        codes = np.fromiter(
+            (vocab.setdefault(w, len(vocab)) for w in words),
+            dtype=np.int64, count=W)
+        lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=W)
+        cs = np.concatenate((np.zeros(1, dtype=np.int64), np.cumsum(lens)))
+        chars = int(cs[-1])
+    else:
+        chars = 0
+    if chars > 0:
+        out_top = [0.0, 0.0, 0.0]
+        out_dup = [0.0] * 6
+        base = np.int64(W + 1)
+        g = codes  # n=1 gram ids at positions 0..W-1
+        for n in range(2, 11):
+            if W < n:
+                break
+            combined = g[: W - n + 1] * base + codes[n - 1:]
+            _, inv, cnt = np.unique(
+                combined, return_inverse=True, return_counts=True)
+            if n <= 4:
+                # top-gram score: max over duplicated grams of
+                # occurrences x gram char total (all occurrences of a
+                # gram share the same char total -> last-write scatter)
+                dup = cnt >= 2
+                if dup.any():
+                    gchars = np.zeros(len(cnt), dtype=np.int64)
+                    gchars[inv] = cs[n:] - cs[:-n]
+                    out_top[n - 2] = int((cnt[dup] * gchars[dup]).max()) / chars
+            else:
+                dup_pos = np.flatnonzero(cnt[inv] >= 2)
+                if dup_pos.size:
+                    add = np.zeros(W + 1, dtype=np.int64)
+                    np.add.at(add, dup_pos, 1)
+                    np.add.at(add, dup_pos + n, -1)
+                    covered = np.cumsum(add[:W]) > 0
+                    out_dup[n - 5] = float(lens[covered].sum()) / chars
+            g = inv
+    out = out_top + out_dup
     lines = [ln.strip(" ") for ln in text.split("\n")]
     lines = [ln for ln in lines if ln]
     lchars = sum(len(ln) for ln in lines)

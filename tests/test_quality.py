@@ -196,3 +196,35 @@ def test_vertical_tab_is_word_separator(spark):
               w -> w <> ''))"""
     ).fetchone()
     assert n == 3
+
+
+def test_repetition_kernel_parity_with_reference_impl():
+    """The vectorized numpy kernel must produce bit-identical signals to
+    the tuple/Counter reference implementation on adversarial texts."""
+    import random
+
+    from great_expectations_spark.pipeline.quality import (
+        _repetition_one,
+        _repetition_one_py,
+    )
+
+    rnd = random.Random(11)
+    vocab = ["aa", "bbb", "c", "dddd", "ee", "ff gg".split()[0]]
+    cases = [
+        None, "", " ", "one", "x " * 11, "a b c d e f g h i j k l",
+        ("spam ham " * 7).strip(),
+        "line one here\nline one here\nother\n\nline one here",
+    ]
+    for _ in range(40):
+        n_words = rnd.randrange(0, 60)
+        words = [rnd.choice(vocab) for _ in range(n_words)]
+        # plant a repeated run sometimes
+        if n_words > 14 and rnd.random() < 0.5:
+            run = words[:7]
+            words[7:14] = run
+        text = " ".join(words)
+        if rnd.random() < 0.3:
+            text = text.replace(" ", "\n", 3)
+        cases.append(text)
+    for text in cases:
+        assert _repetition_one(text) == _repetition_one_py(text), repr(text)
