@@ -203,6 +203,7 @@ def dsir_select(
     alpha: float = 1.0,
     seed: int = 0,
     gumbel: bool = True,
+    materialize_features: bool = False,
 ) -> DataFrame:
     """The ``n`` rows of ``df`` DSIR-sampled toward ``target``.
 
@@ -211,22 +212,32 @@ def dsir_select(
     deterministic per-doc uniform (the half-step keeps ``ln`` off the
     0 endpoint); ``gumbel=False`` degenerates to hard top-n by weight.
     Ties break by doc id, so the selected set is unique and replayable.
-    Docs without features (NULL logw) are never selected."""
+    Docs without features (NULL logw) are never selected.
+    ``materialize_features`` forwards to ``dsir_log_weights`` (tokenize
+    the corpus once at crawl scale). Internal columns are namespaced —
+    a corpus that already carries ``logw``/``__key`` columns passes
+    through untouched."""
     if n <= 0:
         raise ValueError(f"n must be > 0, got {n}")
+    reserved = {"__dsir_logw", "__dsir_key"} & set(df.columns)
+    if reserved:
+        raise ValueError(f"input columns collide with reserved names: "
+                         f"{sorted(reserved)}")
     w = dsir_log_weights(
-        df, target, id_col, text_col, buckets=buckets, alpha=alpha)
-    key = F.col("logw")
+        df, target, id_col, text_col, buckets=buckets, alpha=alpha,
+        materialize_features=materialize_features,
+    ).select(F.col(id_col), F.col("logw").alias("__dsir_logw"))
+    key = F.col("__dsir_logw")
     if gumbel:
         u = uniform_from_key(F.col(id_col), seed) + F.lit(5e-7)
         key = key + F.round(-F.log(-F.log(u)), 6)
     ranked = (
         df.join(w, id_col)
-        .where(F.col("logw").isNotNull())
-        .withColumn("__key", F.round(key, 6))
+        .where(F.col("__dsir_logw").isNotNull())
+        .withColumn("__dsir_key", F.round(key, 6))
     )
     return (
-        ranked.orderBy(F.col("__key").desc(), F.col(id_col))
+        ranked.orderBy(F.col("__dsir_key").desc(), F.col(id_col))
         .limit(n)
-        .drop("logw", "__key")
+        .drop("__dsir_logw", "__dsir_key")
     )

@@ -97,14 +97,22 @@ def _assign_struct_udf(centroids: Centroids):
     return _assign
 
 
+def _resolve_method(centroids: Centroids, method: str) -> str:
+    """The single definition of the expr↔gemm crossover: ``auto`` picks
+    unrolled codegen while k·dims stays within
+    ``_EXPR_ASSIGN_MAX_TERMS``, the Arrow/BLAS kernel past it."""
+    if method != "auto":
+        return method
+    dims = len(centroids[0][1]) if centroids else 0
+    return ("expr" if len(centroids) * dims <= _EXPR_ASSIGN_MAX_TERMS
+            else "gemm")
+
+
 def _assign_col(vec, centroids: Centroids, method: str):
     """Cluster-id Column for ``vec`` under the requested method
     (``expr`` | ``gemm`` | ``auto``). NULL embedding → NULL cluster in
     both paths."""
-    if method == "auto":
-        dims = len(centroids[0][1]) if centroids else 0
-        method = ("expr" if len(centroids) * dims <= _EXPR_ASSIGN_MAX_TERMS
-                  else "gemm")
+    method = _resolve_method(centroids, method)
     if method == "expr":
         return F.when(vec.isNotNull(), ivf_assign(vec, centroids))
     if method == "gemm":
@@ -191,10 +199,7 @@ def kmeans_cluster_stats(
     never moved)."""
     vec = F.col(vec_col)
     pts = corpus.where(vec.isNotNull())
-    if assign == "auto":
-        dims = len(centroids[0][1]) if centroids else 0
-        assign = ("expr" if len(centroids) * dims <= _EXPR_ASSIGN_MAX_TERMS
-                  else "gemm")
+    assign = _resolve_method(centroids, assign)
     if assign == "gemm":
         cs = _assign_struct_udf(centroids)(vec)
         assigned = pts.select(cs["c"].alias("__c"), cs["s"].alias("__s"))
@@ -221,11 +226,18 @@ def kmeans_cluster_stats(
     )
 
 
-def _pairs_gemm_fn(threshold: float, id_dtype: str):
+def _pairs_gemm_fn(threshold: float, id_dtype: str, block: int = 512):
     """``applyInPandas`` kernel: one cluster's members in, its qualifying
-    near-dup pairs out — the full pairwise round-4 cosine matrix from ONE
-    float64 BLAS matmul instead of ~|cluster|²/2 unrolled HOF expressions.
-    Same values as the expression path (round-4 cosine, ``id_a < id_b``)."""
+    near-dup pairs out — pairwise round-4 cosines from float64 BLAS
+    matmuls instead of ~|cluster|²/2 unrolled HOF expressions. Same
+    values as the expression path (round-4 cosine, ``id_a < id_b``;
+    inputs are pre-filtered to finite non-zero-norm vectors upstream).
+
+    The matmul runs in ``block``-row strips, so peak memory is
+    O(block · |cluster|) — never the full |cluster|² matrix. The
+    quadratic WORK is inherent to SemDeDup's within-cluster pairing;
+    ``max_cluster_size`` (semantic_pairs) is the real guard against a
+    degenerate cluster, exactly like the LSH hot-bucket cap."""
     import numpy as np
     import pandas as pd
 
@@ -233,22 +245,34 @@ def _pairs_gemm_fn(threshold: float, id_dtype: str):
         empty = pd.DataFrame({"id_a": pd.Series(dtype=id_dtype),
                               "id_b": pd.Series(dtype=id_dtype),
                               "sim": pd.Series(dtype="float64")})
-        if len(pdf) < 2:
+        m = len(pdf)
+        if m < 2:
             return empty
         ids = pdf["id"].to_numpy()
         M = np.array(pdf["v"].tolist(), dtype=np.float64)
         n = np.sqrt((M * M).sum(axis=1))
-        n[n == 0.0] = 1.0
-        S = np.round((M @ M.T) / np.outer(n, n), 4)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = S[iu, ju] >= threshold
-        if not keep.any():
+        out = []
+        for s in range(0, m - 1, block):
+            e = min(s + block, m)
+            # rows s..e-1 against all STRICTLY LATER columns; same float
+            # op order as the expr path: dot, then divide by the norm
+            # product
+            S = np.round((M[s:e] @ M[s + 1:].T)
+                         / np.outer(n[s:e], n[s + 1:]), 4)
+            bi, bj = np.nonzero(S >= threshold)
+            gi = bi + s
+            gj = bj + s + 1
+            keep = gj > gi
+            if keep.any():
+                gi, gj = gi[keep], gj[keep]
+                ia, ib = ids[gi], ids[gj]
+                lo = np.minimum(ia, ib)
+                hi = np.maximum(ia, ib)
+                out.append(pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "sim": S[bi[keep], bj[keep]]}))
+        if not out:
             return empty
-        ia, ib = ids[iu[keep]], ids[ju[keep]]
-        lo = np.minimum(ia, ib)
-        hi = np.maximum(ia, ib)
-        return pd.DataFrame({"id_a": lo, "id_b": hi,
-                             "sim": S[iu[keep], ju[keep]]})
+        return pd.concat(out, ignore_index=True)
 
     return fn
 
@@ -285,13 +309,30 @@ def semantic_pairs(
     dot-product associativity agrees — the same contract the oracle-green
     ``cosine_topk_gemm`` relies on.
 
+    Degenerate embeddings — any NaN/Inf component, or zero norm — are
+    EXCLUDED from pairing up front (they become singleton keepers in
+    ``semantic_dedup``): a corrupt vector has no meaningful cosine, and
+    without this filter the two methods would diverge (Spark orders NaN
+    above the threshold and glues the whole cluster into one component;
+    numpy drops NaN comparisons; zero norms divide by zero).
+
     The assignment is materialized (``localCheckpoint``) before pairing:
     the E-step then runs ONCE instead of once per join side, and
     downstream iterative consumers (connected components) don't
     re-evaluate it every round.
     """
+    vec = F.col(vec_col)
+    sq = F.aggregate(
+        vec, F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    finite = (
+        vec.isNotNull()
+        & ~F.exists(vec, lambda x: F.isnan(x.cast("double"))
+                    | x.cast("double").isin(float("inf"), float("-inf")))
+        & (sq > 0)
+    )
     pts = (
-        corpus.where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
+        corpus.where(finite & F.col(id_col).isNotNull())
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("c", _assign_col(F.col("v"), centroids, assign))
         .localCheckpoint(eager=False)

@@ -18,10 +18,12 @@ Spark-first composition instead:
   that earlier stages kept — the order the published recipes require
   (dedup after filtering). Lineage is cut (``localCheckpoint``) before
   each loser stage so the prefix never re-executes per stage.
-* **suite stages** reuse the expectation engine: every map expectation
-  in an ``ExpectationSuite`` becomes a per-row predicate via
-  ``filtering.annotate_suite`` — reject reason = the first failing
-  expectation's ``reason_label``.
+* **suite stages** reuse the expectation engine's fused per-row
+  predicates: ``suite_stage`` collapses a whole suite into ONE stage
+  (reject reason = the stage name); ``suite_stages`` expands it into one
+  predicate stage per expectation, so ``stats()`` becomes the
+  per-expectation removal-rate table (reasons =
+  ``filtering.reason_label``). Both cost zero extra jobs.
 
 The result keeps all three views: ``annotated`` (every input doc +
 nullable ``rejected_by``), ``clean`` (survivors), and ``stats()`` (one
@@ -47,6 +49,7 @@ __all__ = [
     "predicate_stage",
     "losers_stage",
     "suite_stage",
+    "suite_stages",
     "exact_dedup_stage",
     "run_recipe",
     "RecipeResult",
@@ -108,6 +111,25 @@ def suite_stage(name: str, suite, options=None, strict: bool = True) -> RecipeSt
     return RecipeStage(name=name, kind="predicate", fn=fn)
 
 
+def suite_stages(suite, options=None, strict: bool = True) -> list[RecipeStage]:
+    """One predicate stage PER map expectation, named by its
+    ``reason_label`` — ``run_recipe(...).stats()`` then yields the
+    per-expectation removal-rate table dataset papers publish (docs
+    attributed to the FIRST failing expectation in suite order). Still
+    zero extra jobs: consecutive predicate stages fold into the one
+    label expression."""
+    from great_expectations_spark.pipeline.filtering import _row_predicates
+    from great_expectations_spark.plans.compiler import Options
+
+    preds = _row_predicates(suite, options or Options(), strict)
+
+    def mk(unexpected: Column) -> Callable[[DataFrame], Column]:
+        return lambda df: ~unexpected
+
+    return [RecipeStage(name=reason, kind="predicate", fn=mk(unexpected))
+            for reason, unexpected in preds]
+
+
 def exact_dedup_stage(
     name: str, id_col: str, text_col: str, *, normalize: bool = False
 ) -> RecipeStage:
@@ -116,11 +138,13 @@ def exact_dedup_stage(
     16-byte digests + ids shuffle (map-side combinable min)."""
 
     def fn(survivors: DataFrame) -> DataFrame:
+        from great_expectations_spark.pipeline.dedup import _md5
+
         t = F.col(text_col)
         if normalize:
             t = F.lower(F.regexp_replace(t, r"\s+", " "))
         d = survivors.where(t.isNotNull() & F.col(id_col).isNotNull()).select(
-            F.md5(t).alias("__dg"), F.col(id_col).alias("__id"))
+            _md5(t).alias("__dg"), F.col(id_col).alias("__id"))
         keepers = d.groupBy("__dg").agg(F.min("__id").alias("__keep"))
         return (
             d.join(keepers, "__dg")

@@ -196,3 +196,74 @@ def test_cluster_stats_counts_total(spark, emb):
     # 64 rows minus the NULL embedding (the NULL-id vector IS assigned)
     assert sum(r["n"] for r in stats) == 63
     assert all(-1.0 <= r["mean_sim"] <= 1.0 for r in stats)
+
+
+# ------------------------------------------------- gemm pairing (review fixes)
+
+
+def test_semantic_pairs_gemm_expr_parity(spark):
+    """The Arrow/BLAS pair kernel must emit exactly the expression path's
+    pairs — long ids, string ids, and across the blocked matmul strips."""
+    import random
+
+    from great_expectations_spark.pipeline.embcluster import (
+        kmeans_fit, semantic_pairs)
+
+    rnd = random.Random(5)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(300)]
+    # plant near-dups
+    for i in range(0, 30, 3):
+        rows[i + 1] = (rows[i + 1][0], [x * 1.001 for x in rows[i][1]])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, 8, 4, iters=1)
+    a = sorted(map(tuple, semantic_pairs(
+        df, cents, 0.8, pair_method="expr").collect()))
+    b = sorted(map(tuple, semantic_pairs(
+        df, cents, 0.8, pair_method="gemm").collect()))
+    assert a == b and len(a) > 0
+    s = df.selectExpr("CAST(vec_id AS STRING) AS vec_id", "embedding")
+    cs = kmeans_fit(s, 8, 4, iters=1)
+    sa = sorted(map(tuple, semantic_pairs(
+        s, cs, 0.8, pair_method="expr").collect()))
+    sb = sorted(map(tuple, semantic_pairs(
+        s, cs, 0.8, pair_method="gemm").collect()))
+    assert sa == sb
+
+
+def test_semantic_pairs_gemm_blocked_strips(spark):
+    """Pairs crossing the 512-row block boundary are found exactly once."""
+    from great_expectations_spark.pipeline.embcluster import semantic_pairs
+
+    n = 1100  # > 2 blocks
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i % 7) * 1e-9]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0])]
+    got = semantic_pairs(df, cents, 0.999, pair_method="gemm")
+    assert got.count() == n * (n - 1) // 2
+    assert got.select("id_a", "id_b").distinct().count() == n * (n - 1) // 2
+
+
+def test_semantic_pairs_degenerate_embeddings_excluded(spark):
+    """NaN/Inf components and zero-norm vectors never pair — under BOTH
+    methods (without the filter, Spark's NaN ordering would glue the
+    cluster while numpy drops it; zero norms divide by zero)."""
+    from great_expectations_spark.pipeline.embcluster import (
+        semantic_dedup_assignments, semantic_pairs)
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [1.0, 1e-9]),          # genuine near-dups
+        (3, [float("nan"), 1.0]), (4, [float("nan"), 1.0]),
+        (5, [0.0, 0.0]), (6, [float("inf"), 1.0]),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0])]
+    for method in ("expr", "gemm"):
+        pairs = semantic_pairs(df, cents, 0.5, pair_method=method).collect()
+        assert sorted((r["id_a"], r["id_b"]) for r in pairs) == [(1, 2)], method
+    # degenerate docs remain singleton keepers end-to-end
+    got = {r["id"]: r["is_kept"] for r in semantic_dedup_assignments(
+        df, dims=2, k=1, threshold=0.5, iters=0).collect()}
+    assert got[3] and got[4] and got[5] and got[6]
+    assert got[1] and not got[2]

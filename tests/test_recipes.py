@@ -136,3 +136,38 @@ def test_predicate_stages_fold_into_one_scan(docs):
     plan = run_recipe(
         docs, recipe, "doc_id").annotated._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_suite_stages_per_expectation_attribution(docs):
+    from great_expectations_spark.pipeline.recipes import suite_stages
+
+    suite = (
+        ExpectationSuite(name="f")
+        .add("expect_column_values_to_not_be_null", column="text")
+        .add("expect_column_value_lengths_to_be_between",
+             column="text", min_value=10)
+        .add("expect_column_values_to_be_in_set",
+             column="lang", value_set=["en", "de"])
+    )
+    res = run_recipe(docs, suite_stages(suite), "doc_id")
+    got = {r["doc_id"]: r["rejected_by"] for r in res.annotated.collect()}
+    assert got[6] == "expect_column_values_to_not_be_null(text)"
+    assert got[3] == "expect_column_value_lengths_to_be_between(text)"
+    assert got[4] == "expect_column_values_to_be_in_set(lang)"
+    assert got[1] is None
+    # still a single-scan plan: no Exchange for all-predicate recipes
+    plan = res.annotated._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_dsir_select_tolerates_logw_column(spark):
+    from great_expectations_spark.pipeline.dsir import dsir_select
+
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd", 9.9), (2, "aa bb cc dd ee", 1.1),
+         (3, "zz yy xx ww", 0.0)],
+        "doc_id long, text string, logw double")
+    out = dsir_select(df, df.where("doc_id < 3"), "doc_id", "text",
+                      n=2, buckets=64)
+    assert out.columns == ["doc_id", "text", "logw"]
+    assert out.count() == 2
