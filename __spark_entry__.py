@@ -358,6 +358,43 @@ def _q9f(spark, sf):
         "canonical_url", "doc_id", F.col("rev").cast("long").alias("rev"))
 
 
+@_q("webtext_blocklist", """
+WITH u AS (SELECT doc_id,
+  'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'ads.' ELSE '' END)
+             || source || '.example/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents WHERE source IS NOT NULL),
+bl AS (SELECT * FROM (VALUES ('src1.example'), ('ads.src2.example')) t(domain)),
+hosts AS (SELECT doc_id,
+                 lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)) AS host
+          FROM u),
+sfx AS (SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(string_split(host, '.')) + 1),
+                   i -> array_to_string(string_split(host, '.')[i:], '.')))
+               AS s
+        FROM hosts)
+SELECT DISTINCT sfx.doc_id AS id FROM sfx JOIN bl ON sfx.s = bl.domain
+""")
+def _q9h(spark, sf):
+    """UT1-style domain blocklist (pipeline/webtext.py blocklist_losers):
+    host suffix explode + semi join against the blocked-domain table —
+    an entry blocks itself and every subdomain. Ids matched on planted
+    ads.-subdomain URLs, exact parity vs the DuckDB suffix replica."""
+    from great_expectations_spark.pipeline.webtext import blocklist_losers
+
+    docs = _tbl(spark, sf, "documents").where(F.col("source").isNotNull())
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("ads.")).otherwise(F.lit("")),
+            F.col("source"), F.lit(".example/p/"),
+            F.col("doc_id").cast("string")).alias("url"))
+    bl = spark.createDataFrame(
+        [("src1.example",), ("ads.src2.example",)], "domain string")
+    return blocklist_losers(urls, bl, "doc_id", "url")
+
+
 @_q("webtext_domain_cap", """
 SELECT doc_id FROM (
   SELECT doc_id, row_number() OVER (

@@ -50,6 +50,7 @@ __all__ = [
     "losers_stage",
     "suite_stage",
     "suite_stages",
+    "blocklist_stage",
     "exact_dedup_stage",
     "run_recipe",
     "RecipeResult",
@@ -68,7 +69,10 @@ class RecipeStage:
 
     ``kind="losers"``: ``fn(survivors) -> DataFrame`` whose FIRST column
     holds the ids to reject (duplicates/NULLs in the loser list are
-    harmless). Runs against the docs all earlier stages kept.
+    harmless). Runs against the docs all earlier stages kept. A loser fn
+    declaring a SECOND positional parameter also receives the recipe's
+    ``id_col`` (so prebuilt stages like ``blocklist_stage`` don't make
+    the caller repeat it).
     """
 
     name: str
@@ -155,6 +159,27 @@ def exact_dedup_stage(
     return RecipeStage(name=name, kind="losers", fn=fn)
 
 
+def blocklist_stage(
+    name: str,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    *,
+    id_col: str | None = None,
+) -> RecipeStage:
+    """UT1-style domain blocklist as a loser stage: a row is rejected when
+    its URL's host or ANY parent domain appears in ``blocklist`` (first
+    column = lowercase domains). ``id_col`` defaults to the recipe's id
+    column at run time."""
+
+    def fn(survivors: DataFrame, recipe_id_col: str) -> DataFrame:
+        from great_expectations_spark.pipeline.webtext import blocklist_losers
+
+        return blocklist_losers(
+            survivors, blocklist, id_col or recipe_id_col, url_col)
+
+    return RecipeStage(name=name, kind="losers", fn=fn)
+
+
 @dataclass
 class RecipeResult:
     """``annotated`` = every input doc + nullable ``rejected_by``;
@@ -218,7 +243,14 @@ def run_recipe(
             # cut lineage so the fn and the join don't re-run the prefix
             annotated = annotated.localCheckpoint(eager=False)
             survivors = annotated.where(rej.isNull())
-            losers = stage.fn(survivors)
+            import inspect
+
+            n_params = len([
+                p for p in
+                inspect.signature(stage.fn).parameters.values()
+                if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)])
+            losers = (stage.fn(survivors, id_col) if n_params >= 2
+                      else stage.fn(survivors))
             lcol = losers.columns[0]
             ltab = (
                 losers.select(F.col(lcol).alias("__loser_id"))

@@ -246,3 +246,55 @@ def domain_stats(
         on=pages["domain"].eqNullSafe(F.col("__d")),
         how="left",
     ).drop("__d")
+
+
+def host_suffixes(url: Column) -> Column:
+    """All dot-suffixes of the URL's lowercased hostname, most-specific
+    first: ``https://A.B.C/x`` → ``[a.b.c, b.c, c]``. Pure Column array
+    ops — the explode/join side of UT1-style blocklist matching."""
+    parts = F.split(F.lower(url_host(url)), r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(".", F.slice(parts, i, n)),
+    )
+
+
+def blocklist_losers(
+    df: DataFrame,
+    blocklist: DataFrame,
+    id_col: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """Ids of rows whose host OR any parent domain appears in
+    ``blocklist`` (first column = lowercase domains, UT1/adult-list
+    convention: an entry blocks itself and every subdomain).
+
+    Scale shape: hosts explode into ≤ label-count suffix rows (a handful
+    — never the page body), the blocklist deduplicates to one row per
+    domain, and AQE broadcasts it when small (UT1 lists are a few
+    million short strings); ids come back distinct. No Python."""
+    dcol = blocklist.columns[0]
+    bl = (blocklist.select(F.lower(F.col(dcol)).alias("__sfx"))
+          .where(F.col("__sfx").isNotNull()).distinct())
+    return (
+        df.where(F.col(id_col).isNotNull() & F.col(url_col).isNotNull())
+        .select(F.col(id_col).alias("id"),
+                F.explode(host_suffixes(F.col(url_col))).alias("__sfx"))
+        .join(bl, "__sfx", "left_semi")
+        .select("id")
+        .distinct()
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    id_col: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """The rows of ``df`` NOT matched by the blocklist (original schema).
+    Composes into cleaning pipelines via ``recipes.blocklist_stage``."""
+    losers = blocklist_losers(df, blocklist, id_col, url_col)
+    return df.join(losers.withColumnRenamed("id", id_col), id_col,
+                   "left_anti")

@@ -231,3 +231,62 @@ def test_resolve_revisits_reresolvable(spark):
                              canonicalize=False, tiebreak=["rev"])
     assert twice.columns.count("canonical_url") == 1
     assert [r["rev"] for r in twice.collect()] == [20]
+
+
+# ----------------------------------------------------------- blocklist
+
+
+def test_host_suffixes(spark):
+    from great_expectations_spark.pipeline.webtext import host_suffixes
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("https://A.Tracker.Example/x?q=1",),
+         ("https://example/x",)], "url string")
+    got = [r[0] for r in df.select(host_suffixes(F.col("url"))).collect()]
+    assert got[0] == ["a.tracker.example", "tracker.example", "example"]
+    assert got[1] == ["example"]
+
+
+def test_blocklist_losers_and_filter(spark):
+    from great_expectations_spark.pipeline.webtext import (
+        blocklist_filter, blocklist_losers)
+
+    rows = [
+        (1, "https://ads.bad.example/p"),      # subdomain of blocked
+        (2, "https://bad.example/p"),          # exact blocked
+        (3, "https://good.example/p"),         # clean
+        (4, "https://notbad.example/p"),       # suffix must respect labels
+        (5, "https://cdn.Other.Example/p"),    # case-insensitive exact host
+        (6, None),                             # NULL url never matches
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame(
+        [("bad.example",), ("CDN.other.example",), (None,)], "domain string")
+    losers = sorted(r["id"] for r in blocklist_losers(
+        df, bl, "doc_id", "url").collect())
+    assert losers == [1, 2, 5]
+    kept = sorted(r["doc_id"] for r in blocklist_filter(
+        df, bl, "doc_id", "url").collect())
+    assert kept == [3, 4, 6]
+
+
+def test_blocklist_stage_in_recipe(spark):
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.pipeline.recipes import (
+        blocklist_stage, predicate_stage, run_recipe)
+
+    df = spark.createDataFrame(
+        [(1, "https://spam.example/x", "ok text here"),
+         (2, "https://fine.example/x", "ok text here too"),
+         (3, "https://fine.example/y", None)],
+        "doc_id long, url string, text string")
+    bl = spark.createDataFrame([("spam.example",)], "domain string")
+    recipe = [
+        predicate_stage("nonnull", lambda d: F.col("text").isNotNull()),
+        blocklist_stage("ut1", bl),   # id_col flows from run_recipe
+    ]
+    got = {r["doc_id"]: r["rejected_by"]
+           for r in run_recipe(df, recipe, "doc_id").annotated.collect()}
+    assert got == {1: "ut1", 2: None, 3: "nonnull"}
