@@ -277,11 +277,16 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) sharing any LSH bucket.
 
     Signature → ``bands`` bands of ``k/bands`` rows each; band bucket =
     md5 of the concatenated rows. Only (band, bucket, id) triples shuffle.
+
+    ``threshold`` (target Jaccard) overrides ``bands`` with the
+    ``lsh_plan`` S-curve split of the same ``k`` budget — pass it instead
+    of hand-picking the banding.
 
     ``max_bucket_size`` is the hot-bucket guard for boilerplate-heavy
     corpora: a bucket of B members emits B*(B-1)/2 pairs, so one degenerate
@@ -291,6 +296,8 @@ def minhash_lsh_candidates(
     them as one group anyway; enumerate them with ``lsh_hot_buckets`` and
     handle the group wholesale instead of pairwise.
     """
+    if threshold is not None:
+        bands = lsh_plan(threshold, k)["bands"]
     exploded = _band_buckets(df, id_col, text_col, k, bands, shingle_n)
 
     if max_bucket_size is not None:

@@ -471,3 +471,21 @@ def test_lsh_plan_matches_textbook_shape():
         lsh_plan(0.0)
     with _pt.raises(ValueError):
         lsh_plan(0.5, 1)
+
+
+def test_minhash_threshold_autoplan(spark):
+    """threshold= picks the banding via lsh_plan while keeping the exact-
+    divisor contract; the resulting pairs equal the hand-banded call."""
+    from great_expectations_spark.pipeline.dedup import (
+        lsh_plan, minhash_lsh_candidates)
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"),
+         (3, "z y x w v u t s")],
+        "doc_id long, text string")
+    p = lsh_plan(0.5, 12)
+    auto = sorted(map(tuple, minhash_lsh_candidates(
+        df, "doc_id", "text", k=12, threshold=0.5).collect()))
+    manual = sorted(map(tuple, minhash_lsh_candidates(
+        df, "doc_id", "text", k=12, bands=p["bands"]).collect()))
+    assert auto == manual and (1, 2) in auto
