@@ -427,6 +427,19 @@ def main() -> None:
                     "doc_id", "text", n=500, buckets=4096).select(
             F.count(F.lit(1))).first()
 
+    @timed("classifier_score")
+    def _q18d():
+        # fixed-model quality-classifier scoring over every doc: hashed
+        # n-gram features -> broadcast weight join -> doc-keyed margin sum
+        # -> sigmoid (all JVM-side)
+        from great_expectations_spark.pipeline.classifier import classify_docs
+
+        weights = spark.range(4096).select(
+            F.col("id").cast("int").alias("bucket"),
+            (((F.col("id") * 37) % 21 - 10) / 10.0).alias("weight"))
+        classify_docs(docs, weights, -0.1, "doc_id", "text",
+                      buckets=4096).select(F.count(F.lit(1))).first()
+
     @timed("lm_perplexity")
     def _q19():
         # CCNet recipe: train corpus unigram LM (one count scan), score
