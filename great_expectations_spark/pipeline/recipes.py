@@ -245,10 +245,13 @@ def run_recipe(
             survivors = annotated.where(rej.isNull())
             import inspect
 
-            n_params = len([
-                p for p in
-                inspect.signature(stage.fn).parameters.values()
-                if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)])
+            try:
+                n_params = len([
+                    p for p in
+                    inspect.signature(stage.fn).parameters.values()
+                    if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)])
+            except (TypeError, ValueError):
+                n_params = 1  # unintrospectable callable: classic contract
             losers = (stage.fn(survivors, id_col) if n_params >= 2
                       else stage.fn(survivors))
             lcol = losers.columns[0]
