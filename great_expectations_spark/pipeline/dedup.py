@@ -276,8 +276,9 @@ def minhash_lsh_candidates(
     k: int = 12,
     bands: int = 4,
     shingle_n: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10_000,
     threshold: float | None = None,
+    false_negative_weight: float = 1.0,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) sharing any LSH bucket.
 
@@ -286,7 +287,9 @@ def minhash_lsh_candidates(
 
     ``threshold`` (target Jaccard) overrides ``bands`` with the
     ``lsh_plan`` S-curve split of the same ``k`` budget — pass it instead
-    of hand-picking the banding.
+    of hand-picking the banding. ``false_negative_weight`` is forwarded to
+    ``lsh_plan`` (>1 biases the banding toward recall); it only applies
+    when ``threshold`` is given.
 
     ``max_bucket_size`` is the hot-bucket guard for boilerplate-heavy
     corpora: a bucket of B members emits B*(B-1)/2 pairs, so one degenerate
@@ -294,10 +297,14 @@ def minhash_lsh_candidates(
     Buckets larger than the cap are dropped from pairing — their members
     are near-identical to ENOUGH other docs that any dedup policy treats
     them as one group anyway; enumerate them with ``lsh_hot_buckets`` and
-    handle the group wholesale instead of pairwise.
+    handle the group wholesale instead of pairwise. The cap is ON by
+    default (10_000: one hot bucket is then bounded at ~5·10^7 pairs, a
+    single task's worth of work, instead of unbounded); pass ``None`` to
+    opt out on corpora known to be boilerplate-free.
     """
     if threshold is not None:
-        bands = lsh_plan(threshold, k)["bands"]
+        bands = lsh_plan(
+            threshold, k, false_negative_weight=false_negative_weight)["bands"]
     exploded = _band_buckets(df, id_col, text_col, k, bands, shingle_n)
 
     if max_bucket_size is not None:

@@ -84,7 +84,10 @@ def _assign_struct_udf(centroids: Centroids):
             M = np.array(vecs[valid].tolist(), dtype=np.float64)
             nv = np.sqrt((M * M).sum(axis=1))
             nv[nv == 0.0] = 1.0
-            sims = np.round(M @ C.T / (nv[:, None] * cn[None, :]), 6)
+            from great_expectations_spark.pipeline.similarity import (
+                round_half_up)
+
+            sims = round_half_up(M @ C.T / (nv[:, None] * cn[None, :]), 6)
             idx = sims.argmax(axis=1)
             pos = np.flatnonzero(valid.to_numpy())
             out_c[pos] = cids[idx]
@@ -230,8 +233,11 @@ def _pairs_gemm_fn(threshold: float, id_dtype: str, block: int = 512):
     """``applyInPandas`` kernel: one cluster's members in, its qualifying
     near-dup pairs out — pairwise round-4 cosines from float64 BLAS
     matmuls instead of ~|cluster|²/2 unrolled HOF expressions. Same
-    values as the expression path (round-4 cosine, ``id_a < id_b``;
+    values as the expression path (round-4 cosine with the same HALF_UP
+    tie behavior as ``F.round`` via ``round_half_up``, ``id_a < id_b``;
     inputs are pre-filtered to finite non-zero-norm vectors upstream).
+    Residual divergence is limited to cases where float64 dot-product
+    associativity itself differs between the two evaluation orders.
 
     The matmul runs in ``block``-row strips, so peak memory is
     O(block · |cluster|) — never the full |cluster|² matrix. The
@@ -256,9 +262,12 @@ def _pairs_gemm_fn(threshold: float, id_dtype: str, block: int = 512):
             e = min(s + block, m)
             # rows s..e-1 against all STRICTLY LATER columns; same float
             # op order as the expr path: dot, then divide by the norm
-            # product
-            S = np.round((M[s:e] @ M[s + 1:].T)
-                         / np.outer(n[s:e], n[s + 1:]), 4)
+            # product, then the same HALF_UP tie behavior as F.round
+            from great_expectations_spark.pipeline.similarity import (
+                round_half_up)
+
+            S = round_half_up((M[s:e] @ M[s + 1:].T)
+                              / np.outer(n[s:e], n[s + 1:]), 4)
             bi, bj = np.nonzero(S >= threshold)
             gi = bi + s
             gj = bj + s + 1
@@ -284,7 +293,7 @@ def semantic_pairs(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_cluster_size: int | None = None,
+    max_cluster_size: int | None = 10_000,
     assign: str = "auto",
     pair_method: str = "auto",
 ) -> DataFrame:
@@ -295,7 +304,10 @@ def semantic_pairs(
     The pairing key is the cluster id, so the quadratic term is bounded
     by the largest cluster; ``max_cluster_size`` drops degenerate clusters
     from pairing entirely (inspect them with ``kmeans_cluster_stats`` —
-    same policy as the LSH ``max_bucket_size`` hot-bucket cap).
+    same policy as the LSH ``max_bucket_size`` hot-bucket cap). The cap is
+    ON by default (10_000) so the boilerplate-heavy crawl — the NORMAL
+    case at scale — never goes quadratic inside one degenerate cluster by
+    default; pass ``None`` to opt out.
 
     ``pair_method``: ``expr`` = cluster-key self-join with the round-4
     cosine as zip_with/aggregate codegen per pair (zero Python);
@@ -383,7 +395,7 @@ def semantic_dedup_assignments(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_cluster_size: int | None = None,
+    max_cluster_size: int | None = 10_000,
     assign: str = "auto",
     pair_method: str = "auto",
     max_iter: int = 25,

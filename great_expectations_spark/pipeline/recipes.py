@@ -246,10 +246,14 @@ def run_recipe(
             import inspect
 
             try:
+                # Only REQUIRED positional params decide the protocol: a fn
+                # like ``lambda s, frac=0.5: ...`` is a one-arg stage whose
+                # second slot is its own default, not a request for id_col.
                 n_params = len([
                     p for p in
                     inspect.signature(stage.fn).parameters.values()
-                    if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)])
+                    if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                    and p.default is p.empty])
             except (TypeError, ValueError):
                 n_params = 1  # unintrospectable callable: classic contract
             losers = (stage.fn(survivors, id_col) if n_params >= 2

@@ -34,6 +34,21 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def round_half_up(x, decimals: int):
+    """Spark-``F.round``-compatible rounding for numpy arrays: HALF_UP
+    (ties away from zero), not numpy's default half-even. Spark rounds
+    the exact decimal expansion of the double via BigDecimal; this
+    replicates its tie behavior through ``floor(|x|·10^d + 0.5)`` with the
+    sign restored. The two can still disagree where the fp product
+    ``|x|·10^d`` itself rounds across a tie the exact decimal scaling
+    would not — the same float64-associativity caveat the gemm/expr
+    parity contract already carries."""
+    import numpy as np
+
+    scale = 10.0 ** decimals
+    return np.copysign(np.floor(np.abs(x) * scale + 0.5), x) / scale
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -354,7 +369,7 @@ def cosine_topk_gemm(
                 ids, cm, cn = ids[ok], cm[ok], cn[ok]
             if ids.size == 0:
                 continue
-            sims = np.round((cm / cn[:, None]) @ qm.T, 4)  # rows x queries
+            sims = round_half_up((cm / cn[:, None]) @ qm.T, 4)  # rows x queries
             out_q, out_id, out_sim = [], [], []
             for j, qid in enumerate(q_ids):
                 s = sims[:, j]

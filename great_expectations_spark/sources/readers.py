@@ -125,11 +125,13 @@ def table_head(df: DataFrame, n_rows: int = 5, fetch_all: bool = False) -> list[
     spark branch): first ``n_rows`` rows as dicts; negative ``n_rows`` =
     all but the last ``|n|`` (one extra count job, as in the reference).
     Stays a bounded limit-collect — never a full materialization unless
-    fetch_all is explicitly requested."""
+    fetch_all is explicitly requested. Shallow ``asDict()`` to match the
+    reference metric value exactly: nested struct columns surface as Row
+    objects (not plain dicts), as in the reference's spark branch."""
     if fetch_all:
         d = df
     elif n_rows >= 0:
         d = df.limit(n_rows)
     else:
         d = df.limit(max(df.count() + n_rows, 0))
-    return [row.asDict(recursive=True) for row in d.collect()]
+    return [row.asDict() for row in d.collect()]

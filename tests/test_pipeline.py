@@ -452,6 +452,25 @@ def test_cosine_topk_gemm_dim_mismatch_and_empty_queries(spark, emb):
 # ------------------------------------------------------------- lsh_plan
 
 
+def test_minhash_threshold_forwards_false_negative_weight(spark):
+    """ADVICE r2: the threshold= convenience path forwards
+    false_negative_weight to lsh_plan, so recall-biased planning is
+    reachable without hand-calling the planner."""
+    from unittest import mock
+
+    from great_expectations_spark.pipeline import dedup
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    with mock.patch.object(dedup, "lsh_plan",
+                           wraps=dedup.lsh_plan) as planned:
+        dedup.minhash_lsh_candidates(
+            df, "doc_id", "text", k=12, threshold=0.7,
+            false_negative_weight=8.0)
+        planned.assert_called_once_with(0.7, 12, false_negative_weight=8.0)
+
+
 def test_lsh_plan_matches_textbook_shape():
     from great_expectations_spark.pipeline.dedup import lsh_plan
 

@@ -116,6 +116,34 @@ def test_losers_stage_custom(docs):
     assert got[2] == "evens" and got[4] == "evens" and got[1] is None
 
 
+def test_losers_stage_defaulted_second_param_not_id_col(docs):
+    """ADVICE r2: a one-required-arg fn with a DEFAULTED second param
+    (lambda s, frac=0.5: ...) must NOT receive id_col in that slot —
+    only required positionals opt in to the two-arg protocol."""
+    seen = {}
+
+    def fn(s, frac=0.5):
+        seen["frac"] = frac
+        return s.where(F.col("doc_id") % 2 == 0).select("doc_id")
+
+    got = {r["doc_id"]: r["rejected_by"]
+           for r in run_recipe(docs, [losers_stage("evens", fn)],
+                               "doc_id").annotated.collect()}
+    assert seen["frac"] == 0.5  # NOT the string "doc_id"
+    assert got[2] == "evens" and got[1] is None
+
+
+def test_losers_stage_two_required_params_gets_id_col(docs):
+    seen = {}
+
+    def fn(s, id_col):
+        seen["id_col"] = id_col
+        return s.where(F.col(id_col) % 2 == 0).select(id_col)
+
+    run_recipe(docs, [losers_stage("evens", fn)], "doc_id").annotated.collect()
+    assert seen["id_col"] == "doc_id"
+
+
 def test_duplicate_stage_names_rejected(docs):
     with pytest.raises(ValueError, match="duplicate stage names"):
         run_recipe(docs, [
