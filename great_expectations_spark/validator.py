@@ -24,7 +24,7 @@ import time
 import traceback
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -60,33 +60,86 @@ def _required_columns(config: ExpectationConfiguration) -> list[str]:
 
 # value types whose to_json rendering round-trips losslessly back to the
 # exact Python values the per-expectation path produces after _py().
-# NOT safe (fall back to per-expectation violation jobs): binary (base64),
-# decimal (float), timestamps (to_json truncates to milliseconds, so
-# sub-ms-distinct violations would collapse), float32 (to_json's shortest
-# repr decodes to a different double than the float32-widened collect()).
+# Timestamps and float32 are NOT json-safe as-is (to_json truncates
+# timestamps to milliseconds; float32's shortest repr decodes to a
+# different double than the float32-widened collect()) but become
+# fused-eligible through the typed encodings below: timestamp →
+# unix_micros int64, float32 → exact cast("double") widening. Still NOT
+# safe (fall back to per-expectation violation jobs): binary (base64),
+# decimal (float), timestamp_ntz (fromInternal semantics differ).
 _JSON_SAFE_ATOMS = (
     T.StringType, T.BooleanType, T.DateType,
     T.ByteType, T.ShortType, T.IntegerType,
     T.LongType, T.DoubleType, T.NullType,
 )
 
+# atoms that need a typed re-encoding before to_json to round-trip exactly
+_ENCODED_ATOMS = (T.TimestampType, T.FloatType)
+
 
 def _json_safe(dt: T.DataType) -> bool:
+    """Fused-eligible: every atom either to_json-round-trips natively or
+    has a lossless typed encoding (``_fuse_encode``)."""
     if isinstance(dt, T.ArrayType):
         return _json_safe(dt.elementType)
     if isinstance(dt, T.StructType):
         return all(_json_safe(f.dataType) for f in dt.fields)
     if isinstance(dt, T.MapType):
         return isinstance(dt.keyType, T.StringType) and _json_safe(dt.valueType)
-    return isinstance(dt, _JSON_SAFE_ATOMS)
+    return isinstance(dt, _JSON_SAFE_ATOMS + _ENCODED_ATOMS)
+
+
+def _needs_encode(dt: T.DataType) -> bool:
+    if isinstance(dt, T.ArrayType):
+        return _needs_encode(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_needs_encode(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.MapType):
+        return _needs_encode(dt.valueType)
+    return isinstance(dt, _ENCODED_ATOMS)
+
+
+def _fuse_encode(col: Column, dt: T.DataType) -> Column:
+    """Typed lossless pre-encoding so to_json round-trips exactly:
+    timestamp → epoch-micros int64 (full sub-ms precision — decoded with
+    TimestampType.fromInternal, the same conversion collect() applies),
+    float32 → cast(double) (the identical exact widening the JVM performs
+    on collect, after which to_json's double repr is round-trip — the
+    already-proven DoubleType path). Containers encode recursively;
+    anything else passes through untouched."""
+    if not _needs_encode(dt):
+        return col
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(col)
+    if isinstance(dt, T.FloatType):
+        return col.cast("double")
+    if isinstance(dt, T.ArrayType):
+        return F.transform(col, lambda x: _fuse_encode(x, dt.elementType))
+    if isinstance(dt, T.StructType):
+        rebuilt = F.struct(*[
+            _fuse_encode(col[f.name], f.dataType).alias(f.name)
+            for f in dt.fields
+        ])
+        # a NULL struct must stay NULL, not become a struct of NULLs
+        return F.when(col.isNotNull(), rebuilt)
+    if isinstance(dt, T.MapType):
+        return F.transform_values(
+            col, lambda _, v: _fuse_encode(v, dt.valueType))
+    return col
 
 
 def _from_json_value(v: Any, dt: T.DataType) -> Any:
     """Decode one to_json-encoded value back to the plain-Python shape the
-    per-expectation path emits (post-``_py``: dates as ISO strings, Rows
-    as dicts; timestamps never reach here — they are not fused-eligible)."""
+    per-expectation path emits (post-``_py``: dates and timestamps as ISO
+    strings, Rows as dicts). Timestamps arrive as the epoch-micros int64
+    ``_fuse_encode`` produced."""
     if v is None:
         return None
+    if isinstance(dt, T.TimestampType):
+        # identical to collect()'s conversion (fromInternal: local-tz
+        # naive datetime with exact microseconds) followed by _py's
+        # isoformat rendering
+        return T.TimestampType().fromInternal(int(v)).isoformat()
     if isinstance(dt, T.DateType):
         return str(v)
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
@@ -398,10 +451,10 @@ class SparkValidator:
         (Python workers + a window), so it wins when scans are expensive —
         large scanned row counts — or when E alone makes per-expectation
         jobs add up. ``Options.fuse_violations`` True/False overrides."""
+        if self.options.fuse_violations is True:
+            return bool(fusable)  # explicit opt-in wins, even for one kernel
         if len(fusable) < 2:
             return False
-        if self.options.fuse_violations is True:
-            return True
         rows = 0
         for key, v in metrics.items():
             if key.startswith("table.row_count|") and isinstance(v, int):
@@ -457,12 +510,18 @@ class SparkValidator:
         jopts = {"ignoreNullFields": "false"}
 
         ij = (
-            F.to_json(F.struct(*[F.col(c) for c in idx_cols]), jopts)
+            F.to_json(F.struct(*[
+                _fuse_encode(F.col(c), schema[c].dataType).alias(c)
+                for c in idx_cols
+            ]), jopts)
             if idx_cols
             else F.lit(None).cast("string")
         )
         rj = (
-            F.to_json(F.struct(*[F.col(c) for c in self.df.columns]), jopts)
+            F.to_json(F.struct(*[
+                _fuse_encode(F.col(c), schema[c].dataType).alias(c)
+                for c in self.df.columns
+            ]), jopts)
             if want_rows
             else F.lit(None).cast("string")
         )
@@ -472,7 +531,8 @@ class SparkValidator:
         out: dict[str, Any] = {}
         for eid, (config, comp, kernel, _vt) in enumerate(fusable):
             unexpected = kernel.include & F.coalesce(~kernel.ok, F.lit(False))
-            vj = F.to_json(F.struct(kernel.value.alias("v")), jopts)
+            vj = F.to_json(
+                F.struct(_fuse_encode(kernel.value, _vt).alias("v")), jopts)
             entries.append(
                 F.when(
                     unexpected,

@@ -221,10 +221,31 @@ def test_adaptive_policy(spark, frame, monkeypatch):
     assert calls == [5, 5]
 
 
-def test_fused_submillisecond_timestamps_exact(spark):
-    """Timestamps are NOT fused-eligible (to_json truncates to millis):
-    sub-ms-distinct violations must keep full microsecond precision and
-    distinct counts, identical to the per-expectation path."""
+def _forbid_solo_fallback(monkeypatch):
+    """While fuse_violations=True, any call into the per-expectation
+    violation fallback is a test failure — the typed encodings must carry
+    the expectation through the fused scan."""
+    import great_expectations_spark.validator as vmod
+
+    orig = vmod.SparkValidator._collect_violations
+
+    def guard(self, config, comp, metrics):
+        if self.options.fuse_violations is True and comp.kernel is not None:
+            raise AssertionError(
+                f"fused run fell back to per-expectation violations for "
+                f"{config.expectation_type}")
+        return orig(self, config, comp, metrics)
+
+    monkeypatch.setattr(vmod.SparkValidator, "_collect_violations", guard)
+
+
+def test_fused_submillisecond_timestamps_exact(spark, monkeypatch):
+    """Timestamps ARE fused-eligible via the unix_micros typed encoding
+    (round 3): sub-ms-distinct violations must keep full microsecond
+    precision and distinct counts, identical to the per-expectation path,
+    AND the detail must come from the fused scan (the per-expectation
+    fallback is forbidden here)."""
+    _forbid_solo_fallback(monkeypatch)
     rows = [
         (1, datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)),
         (2, datetime.datetime(2024, 1, 2, 3, 4, 5, 123999)),
@@ -250,9 +271,11 @@ def test_fused_submillisecond_timestamps_exact(spark):
         "2024-01-02T03:04:05.123456": 1, "2024-01-02T03:04:05.123999": 1}
 
 
-def test_fused_float32_exact(spark):
-    """float32 is NOT fused-eligible (shortest-repr JSON decodes to a
-    different double than the widened collect): fused == solo exactly."""
+def test_fused_float32_exact(spark, monkeypatch):
+    """float32 IS fused-eligible via the exact cast(double) widening
+    (round 3): fused == solo exactly, THROUGH the fused plan (the
+    per-expectation fallback is forbidden here)."""
+    _forbid_solo_fallback(monkeypatch)
     df = spark.createDataFrame(
         [(1, 0.1), (2, 0.2), (3, 9.9), (300, 9.9)], "i int, x float")
     suite = (
@@ -294,3 +317,40 @@ def test_fused_string_tie_order_matches_native(spark):
     s_counts = solo.results[0].result["partial_unexpected_counts"]
     assert f_counts == s_counts
     assert [d["value"] for d in f_counts][:10] == [f'"a{i:03d}' for i in range(10)]
+
+
+def test_fused_typed_encoding_rows_and_index(spark, monkeypatch):
+    """Timestamps/float32 in INDEX columns and unexpected_rows round-trip
+    through the fused scan's typed encodings byte-identically to solo."""
+    import datetime as dt
+
+    _forbid_solo_fallback(monkeypatch)
+    rows = [
+        (1, dt.datetime(2024, 5, 6, 7, 8, 9, 100001), 0.1, [0.25, 0.1]),
+        (2, dt.datetime(2024, 5, 6, 7, 8, 9, 100002), 9.9, None),
+        (3, dt.datetime(2024, 5, 6), None, [9.9]),
+    ]
+    df = spark.createDataFrame(
+        rows, "i int, ts timestamp, x float, xs array<float>")
+    suite = ExpectationSuite("enc").add(
+        "expect_column_values_to_be_between", column="i", max_value=0,
+        mostly=0.1)
+    rf = {"result_format": "COMPLETE",
+          "unexpected_index_column_names": ["ts", "x"],
+          "include_unexpected_rows": True}
+    fused = validate(df, suite, result_format=rf,
+                     options=Options(fuse_violations=True))
+    solo = validate(df, suite, result_format=rf,
+                    options=Options(fuse_violations=False))
+    fr, sr = fused.results[0].result, solo.results[0].result
+    key = lambda d: json.dumps(d, sort_keys=True, default=str)
+    assert sorted(map(key, fr["unexpected_index_list"])) == \
+        sorted(map(key, sr["unexpected_index_list"]))
+    assert sorted(map(key, fr["unexpected_rows"])) == \
+        sorted(map(key, sr["unexpected_rows"]))
+    # microseconds intact and floats exactly the widened doubles
+    tss = {d["ts"] for d in fr["unexpected_index_list"]}
+    assert "2024-05-06T07:08:09.100001" in tss
+    assert "2024-05-06T07:08:09.100002" in tss
+    xs = {d["x"] for d in fr["unexpected_index_list"] if d["x"] is not None}
+    assert any(abs(v - 9.899999618530273) < 1e-12 for v in xs)
