@@ -1882,6 +1882,73 @@ def _assist1(spark, sf):
         "lang__nulls", "lang__len_min", "lang__len_max")
 
 
+@_q("assistant_bootstrap_ranges", """
+WITH chunks AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS chunk,
+         avg(n_chars) AS m
+  FROM documents GROUP BY 1
+),
+arr AS (SELECT list(m ORDER BY chunk) AS a FROM chunks),
+draws AS (
+  SELECT t.i // 4 AS r,
+         list_extract(arr.a,
+           CAST(((69621 * ((48271 * ((t.i + 7) % 2147483647) + 12345)
+                  % 2147483647) + 12345) % 2147483647) % 4 AS INT) + 1) AS v
+  FROM arr, range(2000) t(i)
+),
+per_r AS (SELECT r, list_sort(list(v)) AS s FROM draws GROUP BY r),
+qs AS (
+  SELECT r,
+    list_extract(s,1) + (0.1/2.0*3 - floor(0.1/2.0*3))
+      * (list_extract(s,2) - list_extract(s,1)) AS qlo,
+    list_extract(s,3) + ((1.0-0.1/2.0)*3 - floor((1.0-0.1/2.0)*3))
+      * (list_extract(s,4) - list_extract(s,3)) AS qhi
+  FROM per_r
+),
+samp AS (
+  SELECT list_extract(s,1) + (0.1/2.0*3 - floor(0.1/2.0*3))
+           * (list_extract(s,2) - list_extract(s,1)) AS sq_lo,
+         list_extract(s,3) + ((1.0-0.1/2.0)*3 - floor((1.0-0.1/2.0)*3))
+           * (list_extract(s,4) - list_extract(s,3)) AS sq_hi,
+         list_extract(s,1) AS mn, list_extract(s,4) AS mx
+  FROM (SELECT list_sort(a) AS s FROM arr)
+),
+agg AS (SELECT avg(qlo) AS mlo, stddev_pop(qlo) AS slo,
+               avg(qhi) AS mhi, stddev_pop(qhi) AS shi FROM qs)
+SELECT 'bootstrap' AS estimator,
+  round(CASE WHEN slo > 0 AND (mlo - sq_lo)/slo <= 0.25 THEN mlo ELSE sq_lo END, 6) AS lo,
+  round(CASE WHEN shi > 0 AND (mhi - sq_hi)/shi <= 0.25 THEN mhi ELSE sq_hi END, 6) AS hi
+FROM agg, samp
+UNION ALL
+SELECT 'quantiles', round(sq_lo, 6), round(sq_hi, 6) FROM samp
+UNION ALL
+SELECT 'exact', round(mn, 6), round(mx, 6) FROM samp
+""")
+def _assist2(spark, sf):
+    # the reference parameter-builder's numeric-range estimators
+    # (numeric_metric_range_multi_batch_parameter_builder.py:86) over the
+    # per-chunk mean of documents.n_chars. The bootstrap's deterministic
+    # LCG resampler (assistant._resample_index) is what makes the SQL
+    # reproduction possible — the oracle replays the full resample-
+    # quantile-bias pipeline and must agree digit-for-digit at round-6.
+    from great_expectations_spark.assistant import (
+        chunk_metrics, estimate_range)
+    from great_expectations_spark.pipeline.dedup import _md5_int
+
+    docs = _tbl(spark, sf, "documents")
+    key = F.pmod(_md5_int(F.col("doc_id").cast("string")), F.lit(4))
+    rows = chunk_metrics(docs, ["n_chars"], n_chunks=4, chunk_by=key) \
+        .orderBy("chunk").collect()
+    vals = [r["n_chars__mean"] for r in rows]
+    out = []
+    for est in ("bootstrap", "quantiles", "exact"):
+        lo, hi = estimate_range(
+            vals, estimator=est, false_positive_rate=0.1,
+            n_resamples=500, seed=7)
+        out.append((est, round(lo, 6), round(hi, 6)))
+    return spark.createDataFrame(out, "estimator string, lo double, hi double")
+
+
 # ---- query-metric escape hatch ----------------------------------------------
 
 

