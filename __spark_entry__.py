@@ -1849,6 +1849,101 @@ def _prof1(spark, sf):
         F.round(F.col("mean"), 6).alias("mean"))
 
 
+@_q("profiler_format_inference", """
+WITH e AS (SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                  strftime(ts, '%Y-%m-%d') AS d_s
+           FROM events)
+SELECT 'text' AS col_name, 'digits' AS candidate,
+       CAST(count(text) AS BIGINT) AS nonnull,
+       CAST(coalesce(sum(CASE WHEN regexp_matches(text, '\\d+') THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_match
+FROM documents
+UNION ALL
+SELECT 'text', 'decimal', CAST(count(text) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN regexp_matches(text, '-?\\d+(?:\\.\\d*)?') THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'text', 'general_text', CAST(count(text) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN regexp_matches(text, '[A-Za-z0-9\\.,;:!?()"''%\\-]+') THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'text', 'leading_space', CAST(count(text) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN regexp_matches(text, '^\\s+') THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'source', 'digits', CAST(count(source) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN regexp_matches(source, '\\d+') THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'lang', 'digits', CAST(count(lang) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN regexp_matches(lang, '\\d+') THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'lang', 'general_text', CAST(count(lang) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN regexp_matches(lang, '[A-Za-z0-9\\.,;:!?()"''%\\-]+') THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'ts_s', '%Y-%m-%d %H:%M:%S', CAST(count(ts_s) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN try_strptime(ts_s, '%Y-%m-%d %H:%M:%S') IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM e
+UNION ALL
+SELECT 'ts_s', '%Y-%m-%d', CAST(count(ts_s) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN try_strptime(ts_s, '%Y-%m-%d') IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM e
+UNION ALL
+SELECT 'd_s', '%Y-%m-%d', CAST(count(d_s) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN try_strptime(d_s, '%Y-%m-%d') IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM e
+UNION ALL
+SELECT 'd_s', '%H:%M:%S', CAST(count(d_s) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN try_strptime(d_s, '%H:%M:%S') IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM e
+""")
+def _profinfer(spark, sf):
+    # the reference's regex/date-format parameter builders evaluate every
+    # candidate's match count (regex_pattern_string_parameter_builder.py:42,
+    # simple_date_format_string_parameter_builder.py:104); the oracle
+    # recomputes the same hit counts with DuckDB regexp_matches /
+    # try_strptime. Candidates restricted to the dialect-stable subset
+    # (Java regex and RE2 agree; strptime strict-full-match in both).
+    from great_expectations_spark.profiler import infer_formats
+
+    REGEX_LABELS = [
+        (r"\d+", "digits"),
+        (r"-?\d+(?:\.\d*)?", "decimal"),
+        (r"[A-Za-z0-9\.,;:!?()\"'%\-]+", "general_text"),
+        (r"^\s+", "leading_space"),
+    ]
+    docs = _tbl(spark, sf, "documents")
+    inf_d = infer_formats(
+        docs, ["text", "lang", "source"],
+        candidate_regexes=[r for r, _ in REGEX_LABELS], candidate_strings=[])
+    ev = (
+        _tbl(spark, sf, "events")
+        .withColumn("ts_s", F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("d_s", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    STRFS = ["%Y-%m-%d %H:%M:%S", "%Y-%m-%d", "%H:%M:%S"]
+    inf_e = infer_formats(
+        ev, ["ts_s", "d_s"], candidate_regexes=[], candidate_strings=STRFS)
+    rows = []
+    for col, cand_label in (
+        ("text", "digits"), ("text", "decimal"), ("text", "general_text"),
+        ("text", "leading_space"), ("source", "digits"), ("lang", "digits"),
+        ("lang", "general_text"),
+    ):
+        regex = next(r for r, lbl in REGEX_LABELS if lbl == cand_label)
+        f = inf_d[col]
+        rows.append((col, cand_label, f["nonnull"], f["regex"]["counts"][regex]))
+    for col, fmt in (
+        ("ts_s", "%Y-%m-%d %H:%M:%S"), ("ts_s", "%Y-%m-%d"),
+        ("d_s", "%Y-%m-%d"), ("d_s", "%H:%M:%S"),
+    ):
+        f = inf_e[col]
+        rows.append((col, fmt, f["nonnull"], f["strftime"]["counts"][fmt]))
+    return spark.createDataFrame(
+        rows, "col_name string, candidate string, nonnull long, n_match long")
+
+
 @_q("assistant_chunk_metrics", """
 SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS chunk,
        CAST(count(*) AS BIGINT) AS n_rows,

@@ -15,6 +15,7 @@ BasicSuiteBuilderProfiler intent.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -128,17 +129,202 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     return spark.createDataFrame(out, schema)
 
 
+# ---- format inference (reference parity) -----------------------------------
+# rule_based_profiler/parameter_builder/regex_pattern_string_parameter_builder
+# .py:42 (CANDIDATE_REGEX) and simple_date_format_string_parameter_builder
+# .py:104 (DEFAULT_CANDIDATE_STRINGS): both evaluate every candidate's
+# unexpected_count and pick the highest success ratio above a threshold.
+# DELIBERATE DEVIATIONS: (a) the reference stores candidates in a SET, so
+# ties at the threshold resolve by arbitrary iteration order — here the
+# lists are ordered most-specific-first and ties keep the earlier (more
+# informative) candidate, deterministically; (b) the reference issues one
+# metric computation per candidate — here every regex is a JVM-codegen
+# conditional sum and every strftime candidate is one bit of a per-column
+# bitmask computed by a single Arrow-batched pandas UDF, so the whole
+# evaluation is ONE scan regardless of candidate count.
+
+CANDIDATE_REGEXES: list[str] = [
+    # ordered most-specific → least-specific (see deviation note above);
+    # the reference's UUID candidate carries a trailing space (an upstream
+    # typo) — reproduced without it
+    r"https?:\/\/(?:www\.)?[-a-zA-Z0-9@:%._\+~#=]{2,255}\.[a-z]{2,6}\b(?:[-a-zA-Z0-9@:%_\+.~#()?&//=]*)",
+    r"\b[0-9a-fA-F]{8}\b-[0-9a-fA-F]{4}-[0-5][0-9a-fA-F]{3}-[089ab][0-9a-fA-F]{3}-\b[0-9a-fA-F]{12}\b",
+    r"(?:25[0-5]|2[0-4]\d|[01]\d{2}|\d{1,2})(?:.(?:25[0-5]|2[0-4]\d|[01]\d{2}|\d{1,2})){3}",
+    r"<\/?(?:p|a|b|img)(?: \/)?>",
+    r"-?\d+(?:\.\d*)?",
+    r"-?\d+",
+    r"\d+",
+    r"[A-Za-z0-9\.,;:!?()\"'%\-]+",
+    r"^\s+",
+    r"\s+$",
+]
+
+CANDIDATE_STRFTIME: list[str] = [
+    # the commonly-hit subset of the reference's DEFAULT_CANDIDATE_STRINGS,
+    # ordered most-specific-first; sub-second and timezone variants before
+    # their prefixes so full-precision values don't fall through to a
+    # lossier match
+    "%Y-%m-%dT%H:%M:%S.%f%z",
+    "%Y-%m-%dT%H:%M:%S%z",
+    "%Y-%m-%dT%H:%M:%S.%f",
+    "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%d %H:%M:%S.%f%z",
+    "%Y-%m-%d %H:%M:%S%z",
+    "%Y-%m-%d %H:%M:%S.%f",
+    "%Y-%m-%d %H:%M:%S,%f",
+    "%Y-%m-%d %H:%M:%S",
+    "%Y%m%d %H:%M:%S",
+    "%Y/%m/%d %H:%M:%S",
+    "%m/%d/%Y %H:%M:%S",
+    "%d/%b/%Y:%H:%M:%S",
+    "%b %d %H:%M:%S %Y",
+    "%b %d %Y %H:%M:%S",
+    "%d %b %Y %H:%M:%S",
+    "%Y-%m-%d",
+    "%Y/%m/%d",
+    "%Y%m%d",
+    "%m/%d/%Y",
+    "%m/%d/%y",
+    "%d-%m-%Y",
+    "%y-%m-%d",
+    "%H:%M:%S",
+    "%H:%M:%S.%f",
+]
+
+_NP_EPSILON = 2.220446049250313e-16  # np.finfo(float).eps, as the reference
+
+
+def _strftime_mask_udf(candidates: list[str]):
+    """One Arrow-batched pandas UDF: per value, a bitmask long with bit i
+    set iff the value parses under candidates[i] (Python strptime — the
+    SAME kernel the strftime expectation uses, functions/udfs.py:60, so an
+    inferred format is guaranteed to pass its own expectation)."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    if len(candidates) > 62:
+        raise ValueError("at most 62 strftime candidates per mask")
+
+    @F.pandas_udf(T.LongType())
+    def _mask(s: pd.Series) -> pd.Series:
+        def m(v) -> int:
+            if v is None:
+                return 0
+            v = str(v)
+            if not any(ch.isdigit() for ch in v):
+                return 0  # every candidate contains a numeric directive
+            out = 0
+            for i, fmt in enumerate(candidates):
+                try:
+                    datetime.strptime(v, fmt)
+                    out |= 1 << i
+                except ValueError:
+                    pass
+            return out
+
+        return s.map(m)
+
+    return _mask
+
+
+def infer_formats(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    candidate_regexes: list[str] | None = None,
+    candidate_strings: list[str] | None = None,
+    threshold: float = 1.0,
+) -> dict[str, dict]:
+    """Evaluate every candidate regex / strftime format against every
+    string column in ONE fused scan; per column returns
+
+        {"nonnull": int,
+         "regex": {"best": str|None, "ratio": float, "ratios": {...},
+                   "counts": {...}},
+         "strftime": {"best": str|None, "ratio": float, "ratios": {...},
+                      "counts": {...}}}
+
+    with success_ratio = matching / (nonnull + eps) and ``best`` the
+    highest ratio >= threshold (reference
+    ParameterBuilder._get_best_candidate_above_threshold,
+    parameter_builder.py:696-714). Pass ``candidate_strings=[]`` to skip
+    strftime evaluation (and its pandas-UDF column) entirely."""
+    regexes = CANDIDATE_REGEXES if candidate_regexes is None else candidate_regexes
+    strfs = CANDIDATE_STRFTIME if candidate_strings is None else candidate_strings
+    cols = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, StringType)
+        and (columns is None or f.name in columns)
+    ]
+    if not cols:
+        return {}
+
+    src = df
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"{c}__nn"))
+        for i, r in enumerate(regexes):
+            aggs.append(
+                F.sum(F.when(col.rlike(r), 1).otherwise(0)).alias(f"{c}__re{i}"))
+        if strfs:
+            src = src.withColumn(f"__mask__{c}", _strftime_mask_udf(strfs)(col))
+            for i in range(len(strfs)):
+                aggs.append(
+                    F.sum(
+                        F.shiftrightunsigned(F.col(f"__mask__{c}"), i)
+                        .bitwiseAND(F.lit(1))
+                    ).alias(f"{c}__sf{i}")
+                )
+    row = src.agg(*aggs).first()
+
+    def best_of(ratios: dict[str, float]) -> tuple[str | None, float]:
+        best, best_ratio = None, 0.0
+        for cand, ratio in ratios.items():
+            if ratio > best_ratio and ratio >= threshold:
+                best, best_ratio = cand, ratio
+        return best, best_ratio
+
+    out: dict[str, dict] = {}
+    for c in cols:
+        nn = row[f"{c}__nn"] or 0
+        re_counts = {
+            r: int(row[f"{c}__re{i}"] or 0) for i, r in enumerate(regexes)}
+        sf_counts = {
+            f: int(row[f"{c}__sf{i}"] or 0) for i, f in enumerate(strfs)}
+        re_ratios = {r: n / (nn + _NP_EPSILON) for r, n in re_counts.items()}
+        sf_ratios = {f: n / (nn + _NP_EPSILON) for f, n in sf_counts.items()}
+        rb, rr = best_of(re_ratios)
+        sb, sr = best_of(sf_ratios)
+        out[c] = {
+            "nonnull": int(nn),
+            "regex": {"best": rb, "ratio": rr, "ratios": re_ratios,
+                      "counts": re_counts},
+            "strftime": {"best": sb, "ratio": sr, "ratios": sf_ratios,
+                         "counts": sf_counts},
+        }
+    return out
+
+
 def suggest_suite(df: DataFrame, name: str = "profiled", null_tolerance: float = 0.05,
-                  set_cardinality_max: int = 20) -> ExpectationSuite:
+                  set_cardinality_max: int = 20,
+                  infer_string_formats: bool = True,
+                  format_threshold: float = 1.0) -> ExpectationSuite:
     """Bootstrap a suite from a profile (BasicSuiteBuilderProfiler-style).
 
-    Exactly TWO scans regardless of column count: the fused ``profile``
-    pass, then ONE fused bounded ``collect_set`` job for every
+    At most THREE scans regardless of column count: the fused ``profile``
+    pass, ONE fused bounded ``collect_set`` job for every
     low-cardinality column at once (not one distinct().collect() per
-    column — that's N extra full scans at crawl scale). The collect is
-    sliced at cap+1 so an approx_count_distinct underestimate can't pull
-    an unbounded set onto the driver; overflow falls back to a range
-    expectation for numerics and is skipped otherwise.
+    column — that's N extra full scans at crawl scale), and — when
+    ``infer_string_formats`` — ONE fused ``infer_formats`` pass over the
+    string columns that did not get an in-set expectation, adding a
+    match_strftime (preferred: more informative for datelike strings) or
+    match_regex expectation for the best candidate at
+    ``format_threshold`` (the reference's regex/date-format parameter
+    builders; see infer_formats). The collect_set is sliced at cap+1 so
+    an approx_count_distinct underestimate can't pull an unbounded set
+    onto the driver; overflow falls back to a range expectation for
+    numerics and is skipped otherwise.
     """
     prof = {r.column: r for r in profile(df).collect()}
     suite = ExpectationSuite(name=name)
@@ -157,12 +343,14 @@ def suggest_suite(df: DataFrame, name: str = "profiled", null_tolerance: float =
             for c in set_candidates
         ]).first()
         value_sets = {c: row[c] for c in set_candidates}
+    in_set_cols: set[str] = set()
     for col, r in prof.items():
         if r.null_fraction is not None and r.null_fraction <= null_tolerance:
             suite.add("expect_column_values_to_not_be_null", column=col,
                       mostly=max(0.0, round(1 - max(r.null_fraction * 2, 0.01), 4)))
         values = value_sets.get(col)
         if values is not None and len(values) <= set_cardinality_max:
+            in_set_cols.add(col)
             suite.add("expect_column_values_to_be_in_set", column=col,
                       value_set=sorted(values, key=str), mostly=0.99)
         elif r.kind == "numeric" and r.min is not None and r.max is not None:
@@ -170,4 +358,23 @@ def suggest_suite(df: DataFrame, name: str = "profiled", null_tolerance: float =
             suite.add("expect_column_values_to_be_between", column=col,
                       min_value=r.min - 0.5 * span, max_value=r.max + 0.5 * span,
                       mostly=0.99)
+    if infer_string_formats:
+        fmt_cols = [
+            col for col, r in prof.items()
+            if r.kind == "string" and r.n_null < r.n_rows
+            and col not in in_set_cols
+        ]
+        if fmt_cols:
+            inferred = infer_formats(df, fmt_cols, threshold=format_threshold)
+            for col in fmt_cols:
+                f = inferred.get(col)
+                if not f:
+                    continue
+                if f["strftime"]["best"] is not None:
+                    suite.add(
+                        "expect_column_values_to_match_strftime_format",
+                        column=col, strftime_format=f["strftime"]["best"])
+                elif f["regex"]["best"] is not None:
+                    suite.add("expect_column_values_to_match_regex",
+                              column=col, regex=f["regex"]["best"])
     return suite
