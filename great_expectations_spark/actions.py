@@ -90,38 +90,7 @@ class UpdateDataDocsAction:
     docs_dir: str
 
     def run(self, result: SuiteValidationResult, run_id: str) -> dict[str, Any]:
-        import html as _html
-
-        os.makedirs(self.docs_dir, exist_ok=True)
-        rows = []
-        for evr in result.results:
-            res = evr.result or {}
-            status = "EXC" if evr.exception_info.get("raised_exception") else (
-                "PASS" if evr.success else "FAIL")
-            obs = res.get("observed_value", res.get("unexpected_count"))
-            kw = _html.escape(json.dumps(evr.expectation_config.kwargs, default=str))
-            rows.append(
-                f"<tr class={status.lower()!r}><td>{status}</td>"
-                f"<td>{_html.escape(evr.expectation_config.expectation_type)}</td>"
-                f"<td><code>{kw}</code></td>"
-                f"<td>{_html.escape(json.dumps(obs, default=str))}</td></tr>")
-        stats = result.statistics
-        html = (
-            "<!doctype html><meta charset='utf-8'>"
-            f"<title>{_html.escape(result.suite_name)} — {_html.escape(run_id)}</title>"
-            "<style>body{font-family:sans-serif;margin:2em}"
-            "table{border-collapse:collapse}td{border:1px solid #ccc;padding:4px 8px}"
-            ".pass td:first-child{color:green}.fail td:first-child{color:red}"
-            ".exc td:first-child{color:orange}</style>"
-            f"<h1>{_html.escape(result.suite_name)}</h1>"
-            f"<p>run_id={run_id} · success={result.success} · "
-            f"{stats.get('successful_expectations')}/{stats.get('evaluated_expectations')} "
-            f"passed ({stats.get('success_percent')}%)</p>"
-            "<table><tr><th></th><th>expectation</th><th>kwargs</th>"
-            "<th>observed</th></tr>" + "".join(rows) + "</table>")
-        path = os.path.join(self.docs_dir, f"{result.suite_name}__{run_id}.html")
-        with open(path, "w") as f:
-            f.write(html)
+        path = render_validation_docs(result, self.docs_dir, run_id)
         return {"action": "update_data_docs", "path": path}
 
 
@@ -173,6 +142,132 @@ def run_actions(
         except Exception as e:  # one failing sink must not lose the others
             receipts.append({"action": type(action).__name__, "error": str(e)})
     return receipts
+
+
+_DOCS_CSS = (
+    "body{font-family:sans-serif;margin:2em;max-width:70em}"
+    "table{border-collapse:collapse;margin:.5em 0}"
+    "td,th{border:1px solid #ccc;padding:4px 8px;text-align:left}"
+    "th{background:#f5f5f5}"
+    ".pass{color:green}.fail{color:red}.exc{color:orange}"
+    "section{border:1px solid #ddd;border-radius:6px;padding:.5em 1em;"
+    "margin:1em 0}code{background:#f5f5f5;padding:1px 4px}"
+    ".badge{font-weight:bold;margin-right:.5em}"
+)
+
+
+def _fmt(v: Any) -> str:
+    import html as _html
+
+    return _html.escape(json.dumps(v, default=str))
+
+
+def render_validation_docs(
+    result: SuiteValidationResult,
+    docs_dir: str,
+    run_id: str,
+    partial_list_limit: int = 20,
+) -> str:
+    """Render ONE suite validation result to a static HTML page — the
+    engine-sized subset of the reference's
+    render/renderer/page_renderer.py ValidationResultsPageRenderer (10k-LoC
+    Jinja pipeline): an overview panel (statistics + batch meta), then one
+    section per expectation with its kwargs, the count summary
+    (element/missing/unexpected/percent), the observed value, the
+    partial_unexpected_counts value table, a violation-sample list, and
+    the exception traceback when raised. Pure driver-side string
+    rendering — no Spark jobs, no template engine.
+
+    Deterministic for a given (result, run_id): a golden-file test pins
+    the layout (tests/test_actions.py)."""
+    import html as _html
+
+    os.makedirs(docs_dir, exist_ok=True)
+    stats = result.statistics
+    sections: list[str] = []
+    for i, evr in enumerate(result.results):
+        res = evr.result or {}
+        cfg = evr.expectation_config
+        exc = evr.exception_info or {}
+        status = "EXC" if exc.get("raised_exception") else (
+            "PASS" if evr.success else "FAIL")
+        kw_rows = "".join(
+            f"<tr><td>{_html.escape(str(k))}</td><td><code>{_fmt(v)}</code></td></tr>"
+            for k, v in sorted(cfg.kwargs.items(), key=lambda kv: str(kv[0]))
+        )
+        body = [
+            f"<h2><span class='badge {status.lower()}'>{status}</span>"
+            f"{i + 1}. {_html.escape(cfg.expectation_type)}</h2>",
+            f"<table>{kw_rows}</table>" if kw_rows else "",
+        ]
+        count_keys = [
+            ("element_count", "elements"), ("missing_count", "missing"),
+            ("unexpected_count", "unexpected"),
+            ("unexpected_percent", "unexpected %"),
+        ]
+        counts = [(lbl, res[k]) for k, lbl in count_keys if k in res]
+        if counts:
+            body.append(
+                "<table><tr>" + "".join(f"<th>{lbl}</th>" for lbl, _ in counts)
+                + "</tr><tr>" + "".join(
+                    f"<td>{_fmt(round(v, 5) if isinstance(v, float) else v)}</td>"
+                    for _, v in counts)
+                + "</tr></table>")
+        if "observed_value" in res:
+            body.append(
+                f"<p>observed value: <code>{_fmt(res['observed_value'])}</code></p>")
+        puc = res.get("partial_unexpected_counts")
+        if puc:
+            body.append(
+                "<h3>most common unexpected values</h3>"
+                "<table><tr><th>value</th><th>count</th></tr>" + "".join(
+                    f"<tr><td><code>{_fmt(d.get('value'))}</code></td>"
+                    f"<td>{_fmt(d.get('count'))}</td></tr>" for d in puc)
+                + "</table>")
+        pul = res.get("partial_unexpected_list")
+        if pul and not puc:
+            shown = pul[:partial_list_limit]
+            body.append(
+                "<h3>sample unexpected values</h3><table>" + "".join(
+                    f"<tr><td><code>{_fmt(v)}</code></td></tr>" for v in shown)
+                + "</table>"
+                + (f"<p>… first {len(shown)} shown</p>"
+                   if len(pul) > len(shown) else ""))
+        rows = res.get("unexpected_rows")
+        if rows:
+            cols = list(rows[0].keys())
+            body.append(
+                "<h3>sample violating rows</h3>"
+                "<table><tr>" + "".join(
+                    f"<th>{_html.escape(str(c))}</th>" for c in cols)
+                + "</tr>" + "".join(
+                    "<tr>" + "".join(
+                        f"<td><code>{_fmt(r.get(c))}</code></td>" for c in cols)
+                    + "</tr>" for r in rows[:partial_list_limit])
+                + "</table>")
+        if exc.get("raised_exception"):
+            body.append(
+                f"<h3>exception</h3><p><code>{_html.escape(str(exc.get('exception_message')))}"
+                "</code></p>"
+                + (f"<pre>{_html.escape(str(exc.get('exception_traceback')))}</pre>"
+                   if exc.get("exception_traceback") else ""))
+        sections.append("<section>" + "".join(b for b in body if b) + "</section>")
+
+    html = (
+        "<!doctype html><meta charset='utf-8'>"
+        f"<title>{_html.escape(result.suite_name)} — {_html.escape(run_id)}</title>"
+        f"<style>{_DOCS_CSS}</style>"
+        f"<h1>{_html.escape(result.suite_name)}</h1>"
+        f"<p>run_id=<code>{_html.escape(run_id)}</code> · "
+        f"<span class={'pass' if result.success else 'fail'!r}>"
+        f"{'Succeeded' if result.success else 'Failed'}</span> · "
+        f"{stats.get('successful_expectations')}/{stats.get('evaluated_expectations')} "
+        f"expectations passed ({stats.get('success_percent')}%)</p>"
+        + "".join(sections))
+    path = os.path.join(docs_dir, f"{result.suite_name}__{run_id}.html")
+    with open(path, "w") as f:
+        f.write(html)
+    return path
 
 
 def render_history_docs(

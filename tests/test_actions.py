@@ -77,3 +77,78 @@ def test_failing_action_does_not_abort_list(spark, tmp_path):
         run_id="r1")
     assert "error" in receipts[0]
     assert os.path.exists(receipts[1]["path"])
+
+
+# ------------------------------------------- single-EVR data-docs page (r3)
+
+
+def _rich_result(spark):
+    """Deterministic suite result exercising every rendered section: pass,
+    fail-with-details (COMPLETE tier), and exception."""
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "de"), (3, "xx"), (4, "xx"), (5, None)],
+        "id long, lang string")
+    suite = (
+        ExpectationSuite("docs_demo")
+        .add("expect_column_values_to_not_be_null", column="lang", mostly=0.5)
+        .add("expect_column_values_to_be_in_set", column="lang",
+             value_set=["en", "de"])
+        .add("expect_column_mean_to_be_between", column="id",
+             min_value=0, max_value=10)
+        .add("expect_column_values_to_be_unique", column="nope")
+    )
+    return validate(
+        df, suite,
+        result_format={"result_format": "COMPLETE",
+                       "include_unexpected_rows": True})
+
+
+def test_render_validation_docs_sections(spark, tmp_path):
+    from great_expectations_spark.actions import render_validation_docs
+
+    res = _rich_result(spark)
+    path = render_validation_docs(res, str(tmp_path), "r1")
+    html = open(path).read()
+    # overview
+    assert "docs_demo" in html and "expectations passed" in html
+    # per-expectation sections with status badges
+    assert html.count("<section>") == 4
+    assert ">PASS<" in html and ">FAIL<" in html and ">EXC<" in html
+    # count summary + most-common-unexpected table for the in-set failure
+    assert "unexpected %" in html
+    assert "most common unexpected values" in html and "&quot;xx&quot;" in html
+    # violating rows carry the source columns
+    assert "sample violating rows" in html and "lang" in html
+    # observed value for the aggregate expectation
+    assert "observed value" in html
+    # exception section for the missing column
+    assert "not found" in html
+    # everything HTML-escaped: no raw angle brackets from values
+    assert "<script" not in html
+
+
+def test_render_validation_docs_golden(spark, tmp_path):
+    """Golden-file pin of the page layout (VERDICT r2 #6 'done'
+    criterion). Regenerate with:
+    python -c "from tests.test_actions import regen_docs_golden; regen_docs_golden()"
+    """
+    from great_expectations_spark.actions import render_validation_docs
+
+    res = _rich_result(spark)
+    path = render_validation_docs(res, str(tmp_path), "golden-run")
+    got = open(path).read()
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "validation_docs.html")
+    if not os.path.exists(golden_path):  # first run: write the golden
+        with open(golden_path, "w") as f:
+            f.write(got)
+    want = open(golden_path).read()
+    assert got == want
+
+
+def test_update_data_docs_uses_full_renderer(spark, tmp_path):
+    res = _rich_result(spark)
+    receipts = run_actions(res, [UpdateDataDocsAction(str(tmp_path))],
+                           run_id="r2")
+    html = open(receipts[0]["path"]).read()
+    assert "<section>" in html and "most common unexpected values" in html
