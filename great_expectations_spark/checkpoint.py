@@ -533,10 +533,18 @@ def run_checkpoint(
     on_chunk: Callable[[str, float], None] | None = None,
     options: Any = None,
     max_concurrency: int = 1,
+    results_format: str = "parquet",
 ) -> CheckpointResult:
     """Validate ``df`` chunk-by-chunk, appending per-chunk EVR rows to the
-    parquet results table at ``results_path``; chunks already recorded for
-    this ``run_id`` are skipped (resume).
+    results table at ``results_path``; chunks already recorded for this
+    ``run_id`` are skipped (resume).
+
+    ``results_format``: ``"parquet"`` (default — always available) or
+    ``"delta"`` (requires the delta-spark runtime; see sources/delta.py).
+    Iceberg results tables route through ``sources.iceberg.write_results``
+    with a catalog table name instead of a path. Resume, violation rows,
+    and rollup behave identically across formats — the per-format tests
+    are parameterized and skip when the jar is absent.
 
     ``options`` defaults to ``Options(chunk_monoids=True)`` so aggregate
     expectations record mergeable partial state and ``rollup()`` can return
@@ -561,11 +569,32 @@ def run_checkpoint(
 
         options = Options(chunk_monoids=True)
 
+    if results_format == "parquet":
+        def _read_results():
+            # mergeSchema: a table begun by an older engine (fewer columns)
+            # stays readable after this engine appends the current schema
+            return spark.read.option("mergeSchema", "true").parquet(results_path)
+
+        def _append_results(rows_df):
+            rows_df.coalesce(1).write.mode("append").parquet(results_path)
+    elif results_format == "delta":
+        from great_expectations_spark.sources import delta as _delta
+
+        _delta.require_delta(spark)
+
+        def _read_results():
+            return _delta.read_results(spark, results_path)
+
+        def _append_results(rows_df):
+            _delta.write_results(rows_df.coalesce(1), results_path)
+    else:
+        raise ValueError(
+            f"results_format must be 'parquet' or 'delta', got {results_format!r}"
+            " (Iceberg tables go through sources.iceberg.write_results)")
+
     done: set[str] = set()
     try:
-        # mergeSchema: a table begun by an older engine (fewer columns)
-        # stays readable after this engine appends the current schema
-        existing = spark.read.option("mergeSchema", "true").parquet(results_path)
+        existing = _read_results()
         done = {
             r.chunk_id
             for r in existing.where(F.col("run_id") == run_id).select("chunk_id").distinct().collect()
@@ -574,7 +603,13 @@ def run_checkpoint(
         # ONLY a missing results table means first run; any other read
         # failure must propagate — treating a transient error as first-run
         # would re-append chunks that rollup() then double-counts
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+        missing_markers = (
+            "PATH_NOT_FOUND", "Path does not exist",
+            # delta's missing-table shapes
+            "DELTA_MISSING_DELTA_TABLE", "is not a Delta table",
+            "DELTA_PATH_DOES_NOT_EXIST",
+        )
+        if not any(m in str(e) for m in missing_markers):
             raise
         existing = None  # first run: no results table yet
 
@@ -593,8 +628,7 @@ def run_checkpoint(
             result, run_id, chunk_id,
             str(pred._jc if hasattr(pred, "_jc") else pred), wall)
         with write_lock:
-            spark.createDataFrame(rows, RESULTS_SCHEMA).coalesce(1).write.mode(
-                "append").parquet(results_path)
+            _append_results(spark.createDataFrame(rows, RESULTS_SCHEMA))
             completed.append(chunk_id)
             if on_chunk:
                 on_chunk(chunk_id, wall)
@@ -614,5 +648,5 @@ def run_checkpoint(
         run_id=run_id,
         completed_chunks=completed,
         skipped_chunks=skipped,
-        results_df=spark.read.option("mergeSchema", "true").parquet(results_path),
+        results_df=_read_results(),
     )
