@@ -288,12 +288,17 @@ def dedup_cluster_assignments(
     shingle_n: int = 3,
     jaccard_threshold: float | None = None,
     include_exact: bool = True,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10_000,
     max_iter: int = 25,
     reliable: bool = False,
 ) -> DataFrame:
     """Full near-dup clustering: one row per input doc with
     ``(id, cluster, is_canonical)``.
+
+    ``max_bucket_size`` mirrors ``minhash_lsh_candidates``'s default-on
+    hot-bucket cap (an explicit ``None`` here previously overrode that
+    default — the one path that silently re-opened the quadratic
+    degenerate-bucket hole); pass ``None`` to opt out knowingly.
 
     Stages: MinHash-LSH candidate pairs (optionally verified by exact
     shingle Jaccard ≥ ``jaccard_threshold``) ∪ exact-duplicate edges →

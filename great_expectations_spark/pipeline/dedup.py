@@ -423,7 +423,7 @@ def incremental_lsh_candidates(
     k: int = 12,
     bands: int = 4,
     shingle_n: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """(id_new, id_seen) near-dup candidate pairs between a new batch and
     the ingested history's ``lsh_bucket_table`` (same k/bands/shingle_n or

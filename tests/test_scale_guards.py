@@ -189,3 +189,28 @@ class TestDefaultHotGroupCaps:
         got = {(r["id_a"], r["id_b"])
                for r in semantic_pairs(corpus, cents, 0.99).collect()}
         assert got == {(20_000, 20_001)}
+
+
+def test_entrypoint_cap_defaults_are_finite():
+    """EVERY public entry point that can reach the LSH bucket join or the
+    within-cluster pairing must default its cap finite — r3 regression:
+    dedup_cluster_assignments forwarded its own max_bucket_size=None,
+    silently re-opening the hole minhash_lsh_candidates had closed."""
+    import inspect
+
+    from great_expectations_spark.pipeline.cluster import (
+        dedup_cluster_assignments)
+    from great_expectations_spark.pipeline.dedup import (
+        incremental_lsh_candidates, minhash_lsh_candidates)
+    from great_expectations_spark.pipeline.embcluster import (
+        semantic_dedup_assignments, semantic_pairs)
+
+    for fn, param in (
+        (minhash_lsh_candidates, "max_bucket_size"),
+        (incremental_lsh_candidates, "max_bucket_size"),
+        (dedup_cluster_assignments, "max_bucket_size"),
+        (semantic_pairs, "max_cluster_size"),
+        (semantic_dedup_assignments, "max_cluster_size"),
+    ):
+        d = inspect.signature(fn).parameters[param].default
+        assert d is not None and d > 0, f"{fn.__name__}.{param} defaults to {d}"
