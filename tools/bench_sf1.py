@@ -4,8 +4,13 @@ The driver testdata tops out at sf0.1 (documents = 5k rows, embeddings =
 2k vectors) — far too small to exercise the shuffle/join machinery of the
 three heaviest operators. This tool synthesizes a deterministic corpus
 ~200-400x that size (1M docs, 200k x 64-dim embeddings by default; no
-external data — the same xxhash64 recipe as sources/webpages.py) and
-times:
+external data — the same xxhash64 recipe as sources/webpages.py). The
+corpus shape matters: body tokens are doc-unique draws from a 50k
+vocab, ~5% of docs are exact duplicates of their predecessor, and ~20%
+open with one of 5 shared 24-token boilerplate prefixes — so the
+duplicated-window density is realistic (hot boilerplate keys + whole-doc
+dups), not the everything-duplicates-everything degenerate corpus a
+small-modulus generator produces. Timed:
 
   substring_dedup   ExactSubstr window-hash dedup: the stride-1 (wkey,
                     id, idx) occurrence shuffle is ~n_tokens rows — the
@@ -41,7 +46,9 @@ N_DOCS = int(os.environ.get("SPARK_GRAFT_SF1_DOCS", 1_000_000))
 N_VECS = int(os.environ.get("SPARK_GRAFT_SF1_VECS", 200_000))
 DIMS = 64
 MAX_TOKENS = 150
-DOCS_DIR = f"/tmp/ges_sf1_docs_{N_DOCS}"
+VOCAB = 50_000
+BOILER_LEN = 24   # tokens of shared boilerplate prefix (>= 3 x window)
+DOCS_DIR = f"/tmp/ges_sf1_docs_v2_{N_DOCS}"
 EMB_DIR = f"/tmp/ges_sf1_emb_{N_VECS}"
 
 
@@ -57,12 +64,23 @@ def _gen(spark) -> None:
         dup = (_h(rid, 1) % 100) < 5
         eff = F.when(dup & (rid > 0), rid - 1).otherwise(rid)
         n_tokens = (_h(eff, 5) % MAX_TOKENS).cast("int") + 5
-        base = _h(eff, 6) % 5000
+        # ~20% of docs open with one of 5 shared boilerplate prefixes
+        # (cookie-banner shape): the hot duplicated windows substring
+        # dedup must remove WITHOUT the whole corpus being duplicated —
+        # body tokens are doc-unique draws from a 50k vocab, so the only
+        # duplicated windows are the planted prefixes + the 5% exact dups.
+        is_boiler = (_h(eff, 7) % 100) < 20
+        variant = _h(eff, 8) % 5
 
         def token(i):
-            return F.concat(
+            rand_tok = F.concat(
                 F.lit("w"),
-                ((base + (i * 2654435761) % 5000) % 5000).cast("string"))
+                (F.abs(F.xxhash64(eff, i, F.lit(11))) % VOCAB)
+                .cast("string"))
+            boiler_tok = F.concat(
+                F.lit("b"), (variant * 1000 + i).cast("string"))
+            return F.when(
+                is_boiler & (i < BOILER_LEN), boiler_tok).otherwise(rand_tok)
 
         words = F.transform(F.sequence(F.lit(0), n_tokens), token)
         text = F.array_join(words, " ")
