@@ -40,6 +40,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from great_expectations_spark.pipeline._lineage import (
+    tracked_checkpoint, unpersist_ids)
 from great_expectations_spark.pipeline.dsir import hashed_ngram_counts
 
 __all__ = [
@@ -121,10 +123,13 @@ def train_ngram_classifier(
             .select("id", "y",
                     (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("m") + F.lit(b))))
                      - F.col("y")).alias("err"))
-            # the gradient join AND the bias sum both consume this —
-            # cut lineage so the margin pass runs once per iteration
-            .localCheckpoint(eager=False)
         )
+        # the gradient join AND the bias sum both consume this — cut
+        # lineage so the margin pass runs once per iteration; tracked so
+        # each iteration frees the previous one's pinned blocks
+        # (checkpoint blocks are eviction-exempt: leaving them accumulates
+        # O(iters) margin copies in storage memory)
+        margins, ckpt_ids = tracked_checkpoint(margins, eager=False)
         grad_rows = (
             feats.join(margins.select("id", "err"), "id")
             .groupBy("bucket")
@@ -132,6 +137,7 @@ def train_ngram_classifier(
             .collect()
         )
         gb = margins.agg(F.sum("err")).first()[0] or 0.0
+        unpersist_ids(margins, ckpt_ids)
         scale = lr / n_docs
         for r in grad_rows:
             i = r["bucket"]

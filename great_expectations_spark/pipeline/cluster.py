@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._lineage import tracked_checkpoint, unpersist_ids
+
 
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Distinct undirected edges as (u, v), self-loops and NULL endpoints
@@ -150,7 +152,7 @@ def connected_components(
     ``driver_threshold=0`` to force the distributed path.
     """
     e = _canonical_edges(edges, src, dst)
-    e = e.checkpoint(eager=True) if reliable else e.localCheckpoint(eager=True)
+    e, live_ids = tracked_checkpoint(e, reliable=reliable)
     prev_n = e.count()
 
     if prev_n <= driver_threshold:
@@ -161,12 +163,18 @@ def connected_components(
             # Small-Star expects: it emits (v, least(u, mn)) with v > u ≥
             # least(u, mn), so no re-orientation pass is needed.
             stars = _small_star(_large_star(e))
-            stars = (stars.checkpoint(eager=True) if reliable
-                     else stars.localCheckpoint(eager=True))
+            stars, new_ids = tracked_checkpoint(stars, reliable=reliable)
             # convergence: the distinct edge set is unchanged (both are
             # distinct, so equal counts + empty difference ⇔ equal sets)
             n = stars.count()
-            if n == prev_n and stars.subtract(e).isEmpty():
+            converged = n == prev_n and stars.subtract(e).isEmpty()
+            # the previous round's pinned blocks have now served their two
+            # consumers (star expansion + convergence subtract) — free them
+            # or O(rounds) edge-set copies accumulate and starve execution
+            # memory (checkpoint blocks are eviction-exempt)
+            unpersist_ids(stars, live_ids)
+            live_ids = new_ids
+            if converged:
                 e = stars
                 break
             e, prev_n = stars, n

@@ -207,3 +207,24 @@ def test_null_id_rows_survive_as_singletons(spark):
     assert rows[None] is True and rows[1] is True
     kept = dedup_corpus(df, "doc_id", "text")
     assert kept.count() == 2
+
+
+def test_iterative_rounds_free_previous_checkpoint_blocks(spark):
+    """r3 regression: each star round localCheckpoints a new edge set;
+    the PREVIOUS round's blocks must be unpersisted or O(rounds) pinned
+    copies accumulate (checkpoint blocks are eviction-exempt) and starve
+    execution memory — the exact OOM the 1M-doc sf1 bench hit. Only the
+    final round's cut may stay pinned."""
+    sc = spark.sparkContext
+
+    def n_persistent():
+        return len(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    # a 64-node chain needs several star rounds to converge
+    edges = [(i, i + 1) for i in range(64)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    before = n_persistent()
+    out = connected_components(e, driver_threshold=0)
+    assert out.count() == 65
+    grown = n_persistent() - before
+    assert grown <= 1, f"{grown} checkpoint RDDs leaked (expected <= 1)"

@@ -117,6 +117,9 @@ def _gen(spark) -> None:
 def main() -> None:
     from great_expectations_spark.sources.session import get_spark
 
+    # 1M-doc CC / 200k-vector GEMM need real heap; the library default
+    # (8g) is sized for test sessions
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark(app="ges-bench-sf1")
     _gen(spark)
     docs = spark.read.parquet(DOCS_DIR)
