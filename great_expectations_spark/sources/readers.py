@@ -62,6 +62,8 @@ def read_parquet(spark: SparkSession, path: str, schema: Any = None,
     resolved = _resolve_schema(schema)
     if resolved is not None:
         reader = reader.schema(resolved)
+    if isinstance(path, (list, tuple)):  # parquet() is varargs, csv() is not
+        return reader.parquet(*path)
     return reader.parquet(path)
 
 
@@ -96,13 +98,17 @@ def read_delta(
     return reader.load(path)
 
 
-def read_any(spark: SparkSession, path: str, reader_method: str | None = None,
-             **kwargs: Any) -> DataFrame:
+def read_any(spark: SparkSession, path: str | list[str],
+             reader_method: str | None = None, **kwargs: Any) -> DataFrame:
     """Dispatch on explicit reader_method or file extension (the reference's
-    path-suffix guessing, sparkdf_execution_engine.py:427-445)."""
+    path-suffix guessing, sparkdf_execution_engine.py:427-445). A LIST of
+    paths goes to ONE spark.read call (csv/tsv/parquet readers take path
+    lists natively — the scale path for multi-file assets); delta is
+    directory-shaped and rejects lists."""
+    multi = isinstance(path, (list, tuple))
     method = (reader_method or "").lower()
     if not method:
-        lowered = path.lower()
+        lowered = (path[0] if multi else path).lower()
         for ext, m in ((".csv", "csv"), (".tsv", "tsv"), (".parquet", "parquet")):
             if lowered.endswith(ext) or f"{ext}." in lowered:
                 method = m
@@ -117,7 +123,9 @@ def read_any(spark: SparkSession, path: str, reader_method: str | None = None,
     }
     if method not in dispatch:
         raise ValueError(f"unsupported reader_method {method!r}")
-    return dispatch[method](spark, path, **kwargs)
+    if multi and method == "delta":
+        raise ValueError("delta reads one table directory, not a path list")
+    return dispatch[method](spark, list(path) if multi else path, **kwargs)
 
 
 def table_head(df: DataFrame, n_rows: int = 5, fetch_all: bool = False) -> list[dict[str, Any]]:
