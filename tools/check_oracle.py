@@ -34,6 +34,18 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
     import __spark_entry__ as entrymod
     from great_expectations_spark.sources.session import get_spark
 
+    # --json PATH: also write a driver-style per-query record
+    # ({name: {rows_match, schema_match, hash_match, spark_rows,
+    #   oracle_rows, err}}) so full-coverage runs are auditable as an
+    # artifact (CORRECTNESS_full_r{N}.json) without replaying.
+    json_path = None
+    only = list(only)
+    if "--json" in only:
+        i = only.index("--json")
+        json_path = only[i + 1]
+        del only[i:i + 2]
+    report: dict = {}
+
     spark = get_spark(cores=8, app="oracle-check", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -53,9 +65,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
         except Exception as e:
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL {name}: spark error: {e}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None, "err": f"spark error: {e}"}
             continue
         if name not in oracles:
             print(f"okNO-ORACLE {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            report[name] = {"rows_match": len(srows) >= 0, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(srows),
+                            "oracle_rows": None, "err": None,
+                            "note": "no oracle (rows-only check)"}
             continue
         try:
             res = con.execute(oracles[name])
@@ -64,8 +83,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
         except Exception as e:
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL {name}: duckdb error: {e}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(srows),
+                            "oracle_rows": None, "err": f"duckdb error: {e}"}
             continue
         problems = []
+        schema_ok = sorted(scols) == sorted(dcols)
+        rows_ok = len(srows) == len(drows)
+        hash_ok = rows_ok
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns spark={scols} duck={dcols}")
         if len(srows) != len(drows):
@@ -80,6 +105,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
             if skey != dkey:
                 diff = [(a, b) for a, b in zip(skey, dkey) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diff}")
+                hash_ok = False
+        report[name] = {"rows_match": rows_ok, "schema_match": schema_ok,
+                        "hash_match": hash_ok, "spark_rows": len(srows),
+                        "oracle_rows": len(drows),
+                        "err": "; ".join(problems) or None}
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"FAIL {name}: {'; '.join(problems)}")
@@ -87,6 +117,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
             print(f"ok   {name} ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"wrote {json_path} ({len(report)} queries)")
     spark.stop()
     return 1 if failures else 0
 
