@@ -3224,6 +3224,42 @@ def _rd1(spark, sf):
     )
 
 
+@_q("context_validate_store", """
+WITH m AS (SELECT count(*) AS rc, avg(n_chars) AS mean_chars FROM documents)
+SELECT 'expect_column_mean_to_be_between' AS expectation_type,
+       ROUND(mean_chars, 6) AS observed,
+       (mean_chars >= 0) AS success FROM m
+UNION ALL
+SELECT 'expect_table_row_count_to_be_between' AS expectation_type,
+       CAST(rc AS DOUBLE) AS observed,
+       (rc >= 1) AS success FROM m
+""")
+def _ctx1(spark, sf):
+    # validate THROUGH the DataContext facade, then read the result back out
+    # of the pluggable validations store (round 3 store layer) — the emitted
+    # rows come from the deserialized stored copy, so the oracle match also
+    # certifies the store round-trip
+    from great_expectations_spark import get_context
+
+    ctx = get_context()
+    ctx.add_suite(
+        ExpectationSuite("docs_ctx")
+        .add("expect_table_row_count_to_be_between", min_value=1)
+        .add("expect_column_mean_to_be_between", column="n_chars",
+             min_value=0, max_value=10**9))
+    ctx.validate(_tbl(spark, sf, "documents"), "docs_ctx", run_id="r1")
+    stored = ctx.validations.get(("docs_ctx", "r1"))
+    rows = sorted(
+        (r.expectation_config.expectation_type,
+         float(r.result["observed_value"]), bool(r.success))
+        for r in stored.results)
+    df = spark.createDataFrame(
+        rows, "expectation_type string, observed double, success boolean")
+    # F.round (HALF_UP) matches DuckDB ROUND; python round() is half-even
+    return df.select(
+        "expectation_type", F.round("observed", 6).alias("observed"), "success")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

@@ -30,6 +30,16 @@ from great_expectations_spark.interactive import (
 from great_expectations_spark.assistant import chunk_metrics, onboarding_suite
 from great_expectations_spark.grouped import validate_by, violations_by
 from great_expectations_spark.validator import SparkValidator, validate
+from great_expectations_spark.context import DataContext, get_context
+from great_expectations_spark.stores import (
+    DatabaseStoreBackend,
+    EvaluationParameterStore,
+    ExpectationSuiteStore,
+    InMemoryStoreBackend,
+    MetricStore,
+    TupleFilesystemStoreBackend,
+    ValidationResultStore,
+)
 from great_expectations_spark.functions.conditions import (
     register_regex_expectation,
     register_set_expectation,
@@ -53,4 +63,13 @@ __all__ = [
     "violations_by",
     "register_regex_expectation",
     "register_set_expectation",
+    "DataContext",
+    "get_context",
+    "InMemoryStoreBackend",
+    "TupleFilesystemStoreBackend",
+    "DatabaseStoreBackend",
+    "ExpectationSuiteStore",
+    "ValidationResultStore",
+    "MetricStore",
+    "EvaluationParameterStore",
 ]

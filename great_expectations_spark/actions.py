@@ -32,13 +32,24 @@ class ValidationAction(Protocol):
 
 @dataclass
 class StoreValidationResultAction:
-    """Append the full suite result JSON to a local store directory, keyed
-    (suite_name, run_id) — the filesystem analogue of the reference's
-    validations store (checkpoint/actions.py:828)."""
+    """Persist the full suite result keyed (suite_name, run_id) — the
+    reference's validations-store action (checkpoint/actions.py:828).
 
-    store_dir: str
+    Two modes: ``store_dir`` (legacy flat ``<suite>__<run>.json`` files)
+    or ``store=`` a ``stores.ValidationResultStore``, which routes through
+    any pluggable backend (in-memory / tuple-filesystem / SQLite)."""
+
+    store_dir: str | None = None
+    store: Any = None  # stores.ValidationResultStore
 
     def run(self, result: SuiteValidationResult, run_id: str) -> dict[str, Any]:
+        if self.store is not None:
+            self.store.set((result.suite_name, run_id), result)
+            return {"action": "store_validation_result",
+                    "store": type(self.store.backend).__name__,
+                    "key": [result.suite_name, run_id]}
+        if self.store_dir is None:
+            raise ValueError("StoreValidationResultAction needs store_dir or store")
         os.makedirs(self.store_dir, exist_ok=True)
         path = os.path.join(self.store_dir, f"{result.suite_name}__{run_id}.json")
         with open(path, "w") as f:
@@ -267,6 +278,53 @@ def render_validation_docs(
     path = os.path.join(docs_dir, f"{result.suite_name}__{run_id}.html")
     with open(path, "w") as f:
         f.write(html)
+    return path
+
+
+def build_docs_site(store: Any, docs_dir: str) -> str:
+    """Build a static data-docs SITE from every result in a
+    ``stores.ValidationResultStore``: one page per (suite, run) via
+    ``render_validation_docs`` plus an ``index.html`` grouped by suite with
+    per-run status links — the engine-sized subset of the reference's
+    SiteBuilder + DefaultSiteIndexBuilder
+    (render/renderer/site_builder.py:37,291,511,725) over an
+    HtmlSiteStore (data_context/store/html_site_store.py:35).
+
+    Pure driver-side rendering. Returns the index path. Deterministic for
+    given store contents (keys render in sorted order)."""
+    import html as _html
+
+    os.makedirs(docs_dir, exist_ok=True)
+    by_suite: dict[str, list[tuple[str, Any]]] = {}
+    for suite_name, run_id in store.list_keys():
+        by_suite.setdefault(suite_name, []).append(
+            (run_id, store.get((suite_name, run_id))))
+
+    suite_sections: list[str] = []
+    for suite_name in sorted(by_suite):
+        rows = []
+        for run_id, result in by_suite[suite_name]:
+            page = render_validation_docs(result, docs_dir, run_id)
+            stats = result.statistics
+            status = ("<span class='pass'>Succeeded</span>" if result.success
+                      else "<span class='fail'>Failed</span>")
+            rows.append(
+                f"<tr><td><a href='{_html.escape(os.path.basename(page))}'>"
+                f"{_html.escape(run_id)}</a></td><td>{status}</td>"
+                f"<td>{stats.get('successful_expectations')}/"
+                f"{stats.get('evaluated_expectations')}</td></tr>")
+        suite_sections.append(
+            f"<section><h2>{_html.escape(suite_name)}</h2>"
+            "<table><tr><th>run</th><th>status</th><th>passed</th></tr>"
+            + "".join(rows) + "</table></section>")
+
+    index = (
+        "<!doctype html><meta charset='utf-8'><title>Data Docs</title>"
+        f"<style>{_DOCS_CSS}</style><h1>Validation results</h1>"
+        + "".join(suite_sections))
+    path = os.path.join(docs_dir, "index.html")
+    with open(path, "w") as f:
+        f.write(index)
     return path
 
 

@@ -1,0 +1,173 @@
+"""DataContext — the front-door facade tying stores, suites, validation,
+checkpoints, and data docs together.
+
+The reference's primary entry point is ``ge.get_context()`` returning a
+DataContext that owns the store registry and routes every operation
+through it (reference ``util.py:1735`` ``get_context``,
+``data_context/data_context/abstract_data_context.py`` — suites CRUD,
+``run_checkpoint``, ``build_data_docs``, evaluation-parameter plumbing).
+This module is the engine-sized equivalent: a thin driver-side object over
+``stores.py`` backends — it owns NO Spark state and adds NO Spark jobs
+beyond the ``validate``/``run_checkpoint`` calls it forwards to.
+
+Two modes:
+
+* ``DataContext()`` — ephemeral, in-memory stores (the reference's
+  EphemeralDataContext).
+* ``DataContext(root_dir=...)`` — filesystem-backed layout (the
+  reference's FileDataContext ``great_expectations/`` scaffold)::
+
+      <root_dir>/expectations/<suite>.json
+      <root_dir>/validations/<suite>/<run_id>.json
+      <root_dir>/metrics.db            (SQLite: metrics + eval params)
+      <root_dir>/data_docs/            (static HTML site)
+
+Any store can be swapped by passing a constructed store instance —
+backends are pluggable per ``stores.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+from great_expectations_spark.actions import build_docs_site, run_actions
+from great_expectations_spark.core.result import SuiteValidationResult
+from great_expectations_spark.core.suite import ExpectationSuite
+from great_expectations_spark.stores import (
+    DatabaseStoreBackend,
+    EvaluationParameterStore,
+    ExpectationSuiteStore,
+    InMemoryStoreBackend,
+    MetricStore,
+    TupleFilesystemStoreBackend,
+    ValidationResultStore,
+)
+from great_expectations_spark.validator import validate as _validate
+
+
+def _default_run_id() -> str:
+    return time.strftime("%Y%m%dT%H%M%S", time.gmtime()) + f".{os.getpid()}"
+
+
+class DataContext:
+    def __init__(
+        self,
+        root_dir: str | None = None,
+        suites: ExpectationSuiteStore | None = None,
+        validations: ValidationResultStore | None = None,
+        metrics: MetricStore | None = None,
+        evaluation_parameters: EvaluationParameterStore | None = None,
+    ) -> None:
+        self.root_dir = root_dir
+        if root_dir is not None:
+            os.makedirs(root_dir, exist_ok=True)
+            db = DatabaseStoreBackend(os.path.join(root_dir, "metrics.db"))
+            self.suites = suites or ExpectationSuiteStore(
+                TupleFilesystemStoreBackend(
+                    os.path.join(root_dir, "expectations"), key_length=1))
+            self.validations = validations or ValidationResultStore(
+                TupleFilesystemStoreBackend(
+                    os.path.join(root_dir, "validations"), key_length=2,
+                    filepath_template="{0}/{1}.json"))
+            self.metrics = metrics or MetricStore(
+                DatabaseStoreBackend(
+                    os.path.join(root_dir, "metrics.db"), table="metrics"))
+            self.evaluation_parameters = evaluation_parameters or (
+                EvaluationParameterStore(db))
+        else:
+            self.suites = suites or ExpectationSuiteStore(InMemoryStoreBackend())
+            self.validations = validations or ValidationResultStore(
+                InMemoryStoreBackend())
+            self.metrics = metrics or MetricStore(InMemoryStoreBackend())
+            self.evaluation_parameters = evaluation_parameters or (
+                EvaluationParameterStore(InMemoryStoreBackend()))
+
+    # ---- suites CRUD (reference abstract_data_context add/get/list) ----
+
+    def add_suite(self, suite: ExpectationSuite) -> ExpectationSuite:
+        self.suites.save(suite)
+        return suite
+
+    def get_suite(self, name: str) -> ExpectationSuite:
+        return self.suites.get(name)
+
+    def list_suite_names(self) -> list[str]:
+        return [k[0] for k in self.suites.list_keys()]
+
+    def delete_suite(self, name: str) -> None:
+        self.suites.remove_key(name)
+
+    # ---- validation ----
+
+    def validate(
+        self,
+        df: Any,
+        suite: ExpectationSuite | str,
+        run_id: str | None = None,
+        result_format: Any = "BASIC",
+        tables: dict[str, Any] | None = None,
+        actions: list[Any] | None = None,
+        **validate_kwargs: Any,
+    ) -> SuiteValidationResult:
+        """Validate ``df``, persist the result under (suite, run_id),
+        publish each EVR's observed_value to the evaluation-parameter
+        store (so a downstream suite can bind validations URNs), then run
+        any extra actions. ``suite`` may be a stored suite's name.
+
+        Bound evaluation parameters from PRIOR runs in this context are
+        injected automatically: `$PARAMETER` URNs referencing an upstream
+        suite resolve against the most recent run that published them."""
+        if isinstance(suite, str):
+            suite = self.get_suite(suite)
+        run_id = run_id or _default_run_id()
+        params = dict(validate_kwargs.pop("evaluation_parameters", None) or {})
+        # latest-run-wins URN binding across everything published so far
+        # (explicit evaluation_parameters= always beat stored ones)
+        prior_runs = sorted({k[0] for k in self.evaluation_parameters.list_keys()},
+                            reverse=True)
+        for prior_run in prior_runs:
+            for urn, v in self.evaluation_parameters.bind_params(prior_run).items():
+                params.setdefault(urn, v)
+        result = _validate(
+            df, suite, result_format=result_format, tables=tables,
+            evaluation_parameters=params or None, **validate_kwargs)
+        self.validations.set((result.suite_name, run_id), result)
+        self.evaluation_parameters.store_suite_result(result, run_id)
+        for evr in result.results:
+            res = evr.result or {}
+            if "observed_value" in res:
+                col = evr.expectation_config.kwargs.get("column")
+                self.metrics.set(
+                    (run_id, evr.expectation_config.expectation_type,
+                     f"column={col}" if col is not None else "__"),
+                    res["observed_value"])
+        if actions:
+            run_actions(result, actions, run_id=run_id)
+        return result
+
+    def run_checkpoint(self, *args: Any, **kwargs: Any) -> Any:
+        """Forward to ``checkpoint.run_checkpoint`` (chunked, resumable,
+        results-table-backed). The per-chunk EVR data belongs in the
+        parquet/Iceberg/Delta results table, not in these JSON stores —
+        use ``CheckpointResult.rollup()`` for the suite-level verdict."""
+        from great_expectations_spark.checkpoint import run_checkpoint
+
+        return run_checkpoint(*args, **kwargs)
+
+    # ---- docs ----
+
+    def build_data_docs(self, docs_dir: str | None = None) -> str:
+        if docs_dir is None:
+            if self.root_dir is None:
+                raise ValueError("ephemeral context: pass docs_dir explicitly")
+            docs_dir = os.path.join(self.root_dir, "data_docs")
+        return build_docs_site(self.validations, docs_dir)
+
+
+def get_context(root_dir: str | None = None, **kwargs: Any) -> DataContext:
+    """Module-level constructor matching the reference's ``get_context``
+    ergonomics (util.py:1735): no args → ephemeral; ``root_dir`` → file-
+    backed."""
+    return DataContext(root_dir=root_dir, **kwargs)

@@ -64,6 +64,20 @@ class ExpectationValidationResult:
         raise KeyError(f"unrecognized metric name {metric_name}")
 
     @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "ExpectationValidationResult":
+        """Inverse of ``to_dict`` — mirrors the reference constructor's
+        kwargs (core/expectation_validation_result.py:66) so a stored EVR
+        round-trips through any store backend."""
+        return cls(
+            success=bool(d["success"]),
+            expectation_config=ExpectationConfiguration.from_dict(
+                d["expectation_config"]),
+            result=dict(d.get("result") or {}),
+            exception_info=dict(d.get("exception_info") or _NO_EXCEPTION),
+            meta=dict(d.get("meta") or {}),
+        )
+
+    @classmethod
     def exception(
         cls, config: ExpectationConfiguration, message: str, traceback: str | None = None
     ) -> "ExpectationValidationResult":
@@ -148,3 +162,22 @@ class SuiteValidationResult:
 
     def to_json(self) -> str:
         return json.dumps(self.to_dict(), sort_keys=True, default=str)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "SuiteValidationResult":
+        """Inverse of ``to_dict`` (reference
+        core/expectation_validation_result.py:436 constructor kwargs).
+        Statistics are taken verbatim, not recomputed, so a stored result
+        re-loads byte-identical."""
+        return cls(
+            success=bool(d["success"]),
+            results=[ExpectationValidationResult.from_dict(r)
+                     for r in d.get("results", [])],
+            suite_name=d.get("suite_name", "default"),
+            statistics=dict(d.get("statistics") or {}),
+            meta=dict(d.get("meta") or {}),
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "SuiteValidationResult":
+        return cls.from_dict(json.loads(s))

@@ -194,3 +194,81 @@ class InferredFilesystemAssets:
                 "explicit reader_method")
         return read_any(spark, paths, reader_method,
                         **(reader_options or {}))
+
+
+@dataclass
+class AssetSpec:
+    """Per-asset configuration for :class:`ConfiguredFilesystemAssets` —
+    the engine form of the reference's Asset block
+    (datasource/data_connector/asset/asset.py:7): each asset may carry its
+    own regex, group names, directory, and glob."""
+
+    pattern: str
+    group_names: list[str] | None = None
+    base_directory: str | None = None  # defaults to the connector's base
+    glob_directive: str | None = None  # defaults to the connector's glob
+
+
+class ConfiguredFilesystemAssets(InferredFilesystemAssets):
+    """Explicitly configured data assets — the twin of
+    :class:`InferredFilesystemAssets` where the asset list is declared
+    instead of regex-inferred (reference
+    datasource/data_connector/configured_asset_filesystem_data_connector.py:20,38:
+    ``assets`` is a dict of per-asset configs, each with its own regex
+    and directory, overriding connector-level defaults).
+
+    The asset name is the dict KEY; every regex group is a batch
+    identifier (no ``data_asset_name`` group needed — if present it is
+    treated as a plain identifier, matching the reference, where
+    configured assets ignore asset-name extraction). Discovery, sorting,
+    and the one-``spark.read``-per-asset read path are shared with the
+    inferred connector.
+    """
+
+    def __init__(
+        self,
+        base_directory: str,
+        assets: dict[str, AssetSpec | dict | str],
+        glob_directive: str = "*",
+        sorters: list[str] | None = None,
+    ) -> None:
+        specs: dict[str, AssetSpec] = {}
+        for name, spec in assets.items():
+            if isinstance(spec, str):
+                spec = AssetSpec(pattern=spec)
+            elif isinstance(spec, dict):
+                spec = AssetSpec(**spec)
+            specs[name] = spec
+        self.assets = specs
+        # parent __init__ calls refresh(), which uses self.assets
+        super().__init__(
+            base_directory, pattern=".*", glob_directive=glob_directive,
+            sorters=sorters)
+
+    def refresh(self) -> None:
+        self._batches, self._unmatched = [], []
+        for name in sorted(self.assets):
+            spec = self.assets[name]
+            root = os.path.abspath(spec.base_directory or self.base_directory)
+            rx = re.compile(spec.pattern)
+            glob_d = spec.glob_directive or self.glob_directive
+            for p in sorted(
+                q for q in _glob.glob(os.path.join(root, glob_d))
+                if os.path.isfile(q)
+            ):
+                rel = os.path.relpath(p, root)
+                m = rx.match(rel)
+                if m is None:
+                    self._unmatched.append(f"{name}:{rel}")
+                    continue
+                named = m.groupdict()
+                if named:
+                    ids = {k: v for k, v in named.items()
+                           if spec.group_names is None or k in spec.group_names}
+                else:
+                    ids = dict(zip(spec.group_names or [], m.groups()))
+                self._batches.append(BatchDefinition(name, ids, p))
+
+    def asset_names(self) -> list[str]:
+        """Configured assets exist even before any file matches."""
+        return sorted(self.assets)

@@ -1,0 +1,444 @@
+"""Pluggable store backends for suites, validation results, and metrics.
+
+Re-expresses the engine-sized subset of the reference's store layer
+(``data_context/store/``): a ``StoreBackend`` key/value protocol over
+fixed-length string-tuple keys (reference ``_store_backend.py:13`` —
+get/set/has_key/list_keys/remove_key/move/build_key), three concrete
+backends, and typed stores that own (de)serialization on top of a backend
+(reference ``store.py:34`` with ``serialize``/``deserialize`` hooks,
+``expectations_store.py:25``, ``validations_store.py:27``,
+``metric_store.py:18,67``).
+
+Backends:
+
+* ``InMemoryStoreBackend`` — dict-backed, for tests and ephemeral
+  pipelines (reference ``in_memory_store_backend.py:13``).
+* ``TupleFilesystemStoreBackend`` — one file per key under a base
+  directory, key tuple ↔ relative path via a reversible
+  ``filepath_template`` (reference ``tuple_store_backend.py:221``; the
+  template grammar ``{0}/{1}.json`` and its reversibility check follow
+  ``tuple_store_backend.py:101-208``). The same key→path mapping is what
+  the reference's S3/GCS/Azure backends reuse with a bucket prefix
+  (``tuple_store_backend.py:433,715,938``) — those need cloud SDKs absent
+  from this sandbox, so the filesystem backend is the tuple-backend
+  representative here and the mapping is the portable part.
+* ``DatabaseStoreBackend`` — a two-column key/value table in SQLite
+  (stdlib ``sqlite3``; the reference uses SQLAlchemy against any DB —
+  ``database_store_backend.py:29``). Keys are the tuple joined with an
+  ASCII unit separator, so composite keys stay ordered and listable by
+  prefix with a single range scan.
+
+Everything here is driver-side bookkeeping — no Spark jobs. The
+checkpoint's RESULTS table (per-chunk metrics, violation rows, resume
+lineage) stays in parquet/Iceberg/Delta via ``checkpoint.py``: that data
+is big and belongs to the cluster. These stores hold the small control
+plane: suite definitions, suite-level result JSON, cross-run metric
+scalars.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sqlite3
+import threading
+from typing import Any, Iterator
+
+from great_expectations_spark.core.result import SuiteValidationResult
+from great_expectations_spark.core.suite import ExpectationSuite
+
+_UNIT_SEP = "\x1f"
+
+
+class StoreBackendError(Exception):
+    pass
+
+
+class InvalidKeyError(StoreBackendError, KeyError):
+    pass
+
+
+def _validate_key(key: tuple[str, ...]) -> tuple[str, ...]:
+    """Keys are non-empty tuples of non-empty strings (reference
+    ``_store_backend.py:175`` ``_validate_key``)."""
+    if isinstance(key, str):
+        key = (key,)
+    if not isinstance(key, tuple) or not key:
+        raise InvalidKeyError(f"store key must be a non-empty tuple, got {key!r}")
+    for part in key:
+        if not isinstance(part, str) or not part:
+            raise InvalidKeyError(f"store key parts must be non-empty strings, got {key!r}")
+    return key
+
+
+class StoreBackend:
+    """Key/value protocol over string-tuple keys. Subclasses implement
+    ``_get/_set/_has_key/_list_keys/_remove_key``; the public surface adds
+    validation, ``move``, and dict-style sugar."""
+
+    def get(self, key: tuple[str, ...]) -> str:
+        key = _validate_key(key)
+        if not self._has_key(key):
+            raise InvalidKeyError(f"key {key!r} not found in {type(self).__name__}")
+        return self._get(key)
+
+    def set(self, key: tuple[str, ...], value: str) -> None:
+        key = _validate_key(key)
+        if not isinstance(value, str):
+            raise StoreBackendError(
+                f"backend values are strings (serialize first), got {type(value).__name__}")
+        self._set(key, value)
+
+    def has_key(self, key: tuple[str, ...]) -> bool:
+        return self._has_key(_validate_key(key))
+
+    def list_keys(self, prefix: tuple[str, ...] = ()) -> list[tuple[str, ...]]:
+        return sorted(self._list_keys(tuple(prefix)))
+
+    def remove_key(self, key: tuple[str, ...]) -> None:
+        key = _validate_key(key)
+        if not self._has_key(key):
+            raise InvalidKeyError(f"key {key!r} not found in {type(self).__name__}")
+        self._remove_key(key)
+
+    def move(self, source_key: tuple[str, ...], dest_key: tuple[str, ...]) -> None:
+        self.set(dest_key, self.get(source_key))
+        self.remove_key(_validate_key(source_key))
+
+    # dict-style sugar
+    def __contains__(self, key: tuple[str, ...]) -> bool:
+        return self.has_key(key)
+
+    def __getitem__(self, key: tuple[str, ...]) -> str:
+        return self.get(key)
+
+    def __setitem__(self, key: tuple[str, ...], value: str) -> None:
+        self.set(key, value)
+
+    # subclass surface
+    def _get(self, key: tuple[str, ...]) -> str:
+        raise NotImplementedError
+
+    def _set(self, key: tuple[str, ...], value: str) -> None:
+        raise NotImplementedError
+
+    def _has_key(self, key: tuple[str, ...]) -> bool:
+        raise NotImplementedError
+
+    def _list_keys(self, prefix: tuple[str, ...]) -> Iterator[tuple[str, ...]]:
+        raise NotImplementedError
+
+    def _remove_key(self, key: tuple[str, ...]) -> None:
+        raise NotImplementedError
+
+
+class InMemoryStoreBackend(StoreBackend):
+    def __init__(self) -> None:
+        self._store: dict[tuple[str, ...], str] = {}
+        self._lock = threading.Lock()
+
+    def _get(self, key: tuple[str, ...]) -> str:
+        return self._store[key]
+
+    def _set(self, key: tuple[str, ...], value: str) -> None:
+        with self._lock:
+            self._store[key] = value
+
+    def _has_key(self, key: tuple[str, ...]) -> bool:
+        return key in self._store
+
+    def _list_keys(self, prefix: tuple[str, ...]) -> Iterator[tuple[str, ...]]:
+        return (k for k in list(self._store) if k[: len(prefix)] == prefix)
+
+    def _remove_key(self, key: tuple[str, ...]) -> None:
+        with self._lock:
+            del self._store[key]
+
+
+class TupleFilesystemStoreBackend(StoreBackend):
+    """One file per key under ``base_directory``.
+
+    ``filepath_template`` maps the key tuple to a relative path with
+    ``{i}`` placeholders, e.g. ``"{0}/{1}.json"`` for
+    ``(suite_name, run_id)``. It must be reversible: every key index
+    appears exactly once and placeholders are separated by non-empty
+    literals (otherwise ``list_keys`` could not parse paths back into
+    tuples — same constraint the reference enforces in
+    ``tuple_store_backend.py:157-208``). Default template:
+    ``"{0}/{1}/.../{n}" + filepath_suffix``.
+    """
+
+    def __init__(
+        self,
+        base_directory: str,
+        key_length: int = 1,
+        filepath_template: str | None = None,
+        filepath_suffix: str = ".json",
+    ) -> None:
+        if filepath_template is None:
+            filepath_template = "/".join(f"{{{i}}}" for i in range(key_length)) + filepath_suffix
+        indices = [int(m) for m in re.findall(r"\{(\d+)\}", filepath_template)]
+        if sorted(indices) != list(range(key_length)):
+            raise StoreBackendError(
+                f"filepath_template {filepath_template!r} must use each of "
+                f"{{0}}..{{{key_length - 1}}} exactly once")
+        # reversibility: non-empty literal text between adjacent placeholders
+        if re.search(r"\}\{", filepath_template):
+            raise StoreBackendError(
+                f"filepath_template {filepath_template!r} is not reversible: "
+                "adjacent placeholders with no separator")
+        self.base_directory = base_directory
+        self.key_length = key_length
+        self.filepath_template = filepath_template
+        # template -> regex with one capture group per key index
+        pattern = re.escape(filepath_template)
+        for i in range(key_length):
+            pattern = pattern.replace(re.escape(f"{{{i}}}"), f"(?P<k{i}>[^/]+)")
+        self._path_re = re.compile("^" + pattern + "$")
+        os.makedirs(base_directory, exist_ok=True)
+
+    def _key_to_path(self, key: tuple[str, ...]) -> str:
+        if len(key) != self.key_length:
+            raise InvalidKeyError(
+                f"key {key!r} has length {len(key)}, backend expects {self.key_length}")
+        for part in key:
+            if "/" in part or part in (".", ".."):
+                raise InvalidKeyError(f"key part {part!r} is not a safe path segment")
+        rel = self.filepath_template.format(*key)
+        return os.path.join(self.base_directory, *rel.split("/"))
+
+    def _path_to_key(self, rel: str) -> tuple[str, ...] | None:
+        m = self._path_re.match(rel)
+        if not m:
+            return None
+        return tuple(m.group(f"k{i}") for i in range(self.key_length))
+
+    def _get(self, key: tuple[str, ...]) -> str:
+        with open(self._key_to_path(key), "r") as f:
+            return f.read()
+
+    def _set(self, key: tuple[str, ...], value: str) -> None:
+        path = self._key_to_path(key)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(value)
+        os.replace(tmp, path)  # atomic on POSIX — no torn reads
+
+    def _has_key(self, key: tuple[str, ...]) -> bool:
+        return os.path.isfile(self._key_to_path(key))
+
+    def _list_keys(self, prefix: tuple[str, ...]) -> Iterator[tuple[str, ...]]:
+        for dirpath, _dirs, files in os.walk(self.base_directory):
+            for name in files:
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, self.base_directory).replace(os.sep, "/")
+                key = self._path_to_key(rel)
+                if key is not None and key[: len(prefix)] == prefix:
+                    yield key
+
+    def _remove_key(self, key: tuple[str, ...]) -> None:
+        os.remove(self._key_to_path(key))
+
+
+class DatabaseStoreBackend(StoreBackend):
+    """SQLite key/value table. ``db_path=":memory:"`` works for tests.
+
+    The reference's backend targets any SQLAlchemy engine with one column
+    per key field (``database_store_backend.py:29``); this sandbox has no
+    SQLAlchemy, so the stdlib driver with a packed key column is the
+    equivalent: composite keys serialize with an ASCII unit separator,
+    which sorts component-wise, so prefix listing is a single indexed
+    ``LIKE prefix%`` range scan.
+    """
+
+    def __init__(self, db_path: str, table: str = "ges_store") -> None:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+            raise StoreBackendError(f"invalid table name {table!r}")
+        self._table = table
+        self._conn = sqlite3.connect(db_path, check_same_thread=False)
+        self._lock = threading.Lock()
+        with self._lock, self._conn:
+            self._conn.execute(
+                f"CREATE TABLE IF NOT EXISTS {table} "
+                "(key TEXT PRIMARY KEY, value TEXT NOT NULL)")
+
+    @staticmethod
+    def _pack(key: tuple[str, ...]) -> str:
+        for part in key:
+            if _UNIT_SEP in part:
+                raise InvalidKeyError(f"key part {part!r} contains the separator byte")
+        return _UNIT_SEP.join(key)
+
+    def _get(self, key: tuple[str, ...]) -> str:
+        row = self._conn.execute(
+            f"SELECT value FROM {self._table} WHERE key = ?", (self._pack(key),)
+        ).fetchone()
+        if row is None:  # raced remove between has_key and get
+            raise InvalidKeyError(f"key {key!r} not found")
+        return row[0]
+
+    def _set(self, key: tuple[str, ...], value: str) -> None:
+        with self._lock, self._conn:
+            self._conn.execute(
+                f"INSERT INTO {self._table}(key, value) VALUES (?, ?) "
+                "ON CONFLICT(key) DO UPDATE SET value = excluded.value",
+                (self._pack(key), value))
+
+    def _has_key(self, key: tuple[str, ...]) -> bool:
+        return self._conn.execute(
+            f"SELECT 1 FROM {self._table} WHERE key = ?", (self._pack(key),)
+        ).fetchone() is not None
+
+    def _list_keys(self, prefix: tuple[str, ...]) -> Iterator[tuple[str, ...]]:
+        if prefix:
+            packed = self._pack(prefix)
+            rows = self._conn.execute(
+                f"SELECT key FROM {self._table} WHERE key = ? OR key LIKE ?",
+                (packed, packed + _UNIT_SEP + "%"))
+        else:
+            rows = self._conn.execute(f"SELECT key FROM {self._table}")
+        return (tuple(r[0].split(_UNIT_SEP)) for r in rows.fetchall())
+
+    def _remove_key(self, key: tuple[str, ...]) -> None:
+        with self._lock, self._conn:
+            self._conn.execute(
+                f"DELETE FROM {self._table} WHERE key = ?", (self._pack(key),))
+
+    def close(self) -> None:
+        self._conn.close()
+
+
+class Store:
+    """Typed layer over a backend: owns serialize/deserialize (reference
+    ``store.py:147,164``). Subclasses fix the key length and value type."""
+
+    key_length: int = 1
+
+    def __init__(self, backend: StoreBackend | None = None) -> None:
+        self.backend = backend if backend is not None else InMemoryStoreBackend()
+
+    def serialize(self, value: Any) -> str:
+        return json.dumps(value, sort_keys=True, default=str)
+
+    def deserialize(self, raw: str) -> Any:
+        return json.loads(raw)
+
+    def _key(self, key: str | tuple[str, ...]) -> tuple[str, ...]:
+        key = (key,) if isinstance(key, str) else tuple(key)
+        if len(key) != self.key_length:
+            raise InvalidKeyError(
+                f"{type(self).__name__} keys have {self.key_length} parts, got {key!r}")
+        return key
+
+    def get(self, key: str | tuple[str, ...]) -> Any:
+        return self.deserialize(self.backend.get(self._key(key)))
+
+    def set(self, key: str | tuple[str, ...], value: Any) -> None:
+        self.backend.set(self._key(key), self.serialize(value))
+
+    def add(self, key: str | tuple[str, ...], value: Any) -> None:
+        """Create-only set (reference ``_store_backend.py:133``)."""
+        k = self._key(key)
+        if self.backend.has_key(k):
+            raise StoreBackendError(f"key {k!r} already exists; use set/update")
+        self.backend.set(k, self.serialize(value))
+
+    def update(self, key: str | tuple[str, ...], value: Any) -> None:
+        """Must-exist set (reference ``_store_backend.py:141``)."""
+        k = self._key(key)
+        if not self.backend.has_key(k):
+            raise InvalidKeyError(f"key {k!r} does not exist; use set/add")
+        self.backend.set(k, self.serialize(value))
+
+    def has_key(self, key: str | tuple[str, ...]) -> bool:
+        return self.backend.has_key(self._key(key))
+
+    def list_keys(self, prefix: tuple[str, ...] = ()) -> list[tuple[str, ...]]:
+        return self.backend.list_keys(prefix)
+
+    def remove_key(self, key: str | tuple[str, ...]) -> None:
+        self.backend.remove_key(self._key(key))
+
+
+class ExpectationSuiteStore(Store):
+    """Keyed by (suite_name,); values are ``ExpectationSuite`` (reference
+    ``expectations_store.py:25``)."""
+
+    key_length = 1
+
+    def serialize(self, value: Any) -> str:
+        if not isinstance(value, ExpectationSuite):
+            raise StoreBackendError(
+                f"ExpectationSuiteStore stores ExpectationSuite, got {type(value).__name__}")
+        return value.to_json()
+
+    def deserialize(self, raw: str) -> ExpectationSuite:
+        return ExpectationSuite.from_json(raw)
+
+    def save(self, suite: ExpectationSuite) -> None:
+        self.set((suite.name,), suite)
+
+
+class ValidationResultStore(Store):
+    """Keyed by (suite_name, run_id); values are ``SuiteValidationResult``
+    (reference ``validations_store.py:27`` keyed by
+    ValidationResultIdentifier = suite/run_id/batch)."""
+
+    key_length = 2
+
+    def serialize(self, value: Any) -> str:
+        if not isinstance(value, SuiteValidationResult):
+            raise StoreBackendError(
+                "ValidationResultStore stores SuiteValidationResult, "
+                f"got {type(value).__name__}")
+        return value.to_json()
+
+    def deserialize(self, raw: str) -> SuiteValidationResult:
+        return SuiteValidationResult.from_json(raw)
+
+    def runs_for_suite(self, suite_name: str) -> list[str]:
+        return [k[1] for k in self.list_keys((suite_name,))]
+
+
+class MetricStore(Store):
+    """Keyed by (run_id, metric_name, metric_kwargs_id); values are JSON
+    scalars/structs (reference ``metric_store.py:18``). ``metric_kwargs_id``
+    is conventionally ``column=<c>`` or ``"__"`` for table metrics."""
+
+    key_length = 3
+
+
+class EvaluationParameterStore(MetricStore):
+    """Same shape as MetricStore (reference ``metric_store.py:67``), plus a
+    flat URN view consumable by ``validate(evaluation_parameters=...)``."""
+
+    def store_suite_result(self, result: SuiteValidationResult, run_id: str) -> int:
+        """Persist each EVR's observed_value under its validations URN —
+        the durable twin of ``StoreEvaluationParametersAction``."""
+        stored = 0
+        for evr in result.results:
+            res = evr.result or {}
+            if "observed_value" not in res:
+                continue
+            et = evr.expectation_config.expectation_type
+            col = evr.expectation_config.kwargs.get("column")
+            kid = f"column={col}" if col is not None else "__"
+            self.set((run_id, f"{result.suite_name}:{et}", kid), res["observed_value"])
+            stored += 1
+        return stored
+
+    def bind_params(self, run_id: str) -> dict[str, Any]:
+        """URN → value map for a run, in the exact key format
+        ``core/evaluation_parameters.py`` resolves."""
+        out: dict[str, Any] = {}
+        for key in self.list_keys((run_id,)):
+            _run, suite_metric, kid = key
+            suite_name, et = suite_metric.split(":", 1)
+            urn = (f"urn:great_expectations:validations:{suite_name}:"
+                   f"{et}.result.observed_value")
+            if kid != "__":
+                urn = f"{urn}:{kid}"
+            out[urn] = self.get(key)
+        return out

@@ -114,3 +114,71 @@ def test_mixed_file_types_require_explicit_reader(tree, spark):
         tree, r"(?P<data_asset_name>[a-z]+)_(?P<year>\d{4})-(?P<month>\d{2})\.\w+")
     with pytest.raises(ValueError, match="mixes file types"):
         c.read_asset(spark, "alpha")
+
+
+# ---- configured-asset twin (ConfiguredAssetFilesystemDataConnector) ----
+
+from great_expectations_spark.sources.connectors import (  # noqa: E402
+    AssetSpec,
+    ConfiguredFilesystemAssets,
+)
+
+
+@pytest.fixture()
+def cfg_tree(tmp_path):
+    (tmp_path / "alpha_2020-01.csv").write_text("id,v\n1,a\n")
+    (tmp_path / "alpha_2020-02.csv").write_text("id,v\n2,b\n")
+    (tmp_path / "stray.csv").write_text("id,v\n9,z\n")
+    sub = tmp_path / "deep"
+    sub.mkdir()
+    (sub / "beta-7.csv").write_text("id,v\n3,c\n")
+    return tmp_path
+
+
+def test_configured_assets_exist_without_files(cfg_tree):
+    c = ConfiguredFilesystemAssets(
+        str(cfg_tree),
+        assets={"empty": r"never_matches_(?P<x>\d+)\.csv",
+                "alpha": r"alpha_(?P<year>\d{4})-(?P<month>\d{2})\.csv"})
+    assert c.asset_names() == ["alpha", "empty"]
+    assert c.batch_definitions("empty") == []
+    assert len(c.batch_definitions("alpha")) == 2
+
+
+def test_configured_per_asset_directory_and_shorthand(cfg_tree):
+    c = ConfiguredFilesystemAssets(
+        str(cfg_tree),
+        assets={
+            # plain-string shorthand = AssetSpec(pattern=...)
+            "alpha": r"alpha_(?P<year>\d{4})-(?P<month>\d{2})\.csv",
+            "beta": AssetSpec(
+                pattern=r"beta-(\d+)\.csv", group_names=["n"],
+                base_directory=str(cfg_tree / "deep")),
+        })
+    beta = c.batch_definitions("beta")
+    assert [b.identifiers for b in beta] == [{"n": "7"}]
+    # stray.csv matched alpha's glob but not its regex -> unmatched, tagged
+    assert any(u.startswith("alpha:") for u in c.unmatched())
+
+
+def test_configured_asset_name_group_is_plain_identifier(cfg_tree):
+    c = ConfiguredFilesystemAssets(
+        str(cfg_tree),
+        assets={"a": r"(?P<data_asset_name>alpha)_(?P<year>\d{4})-02\.csv"})
+    (b,) = c.batch_definitions("a")
+    assert b.asset == "a"                       # dict key wins
+    assert b.identifiers["data_asset_name"] == "alpha"  # group kept as id
+
+
+def test_configured_sorters_and_read(cfg_tree, spark):
+    c = ConfiguredFilesystemAssets(
+        str(cfg_tree),
+        assets={"alpha": r"alpha_(?P<year>\d{4})-(?P<month>\d{2})\.csv"},
+        sorters=["-month"])
+    months = [b.identifiers["month"] for b in c.batch_definitions("alpha")]
+    assert months == ["02", "01"]
+    df = c.read_asset(spark, "alpha", reader_options={"header": True})
+    assert df.count() == 2
+    one = c.read_batch(spark, "alpha", month="02",
+                       reader_options={"header": True})
+    assert one.count() == 1

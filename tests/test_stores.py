@@ -1,0 +1,247 @@
+"""Pluggable store backends: CRUD across the three backends, key↔path
+reversibility, typed-store round-trips, action integration.
+
+All driver-side — no SparkSession needed.
+"""
+
+import json
+import os
+import threading
+
+import pytest
+
+from great_expectations_spark.actions import (
+    StoreEvaluationParametersAction,
+    StoreValidationResultAction,
+)
+from great_expectations_spark.core.result import (
+    ExpectationValidationResult,
+    SuiteValidationResult,
+)
+from great_expectations_spark.core.suite import ExpectationConfiguration, ExpectationSuite
+from great_expectations_spark.stores import (
+    DatabaseStoreBackend,
+    EvaluationParameterStore,
+    ExpectationSuiteStore,
+    InMemoryStoreBackend,
+    InvalidKeyError,
+    MetricStore,
+    StoreBackendError,
+    TupleFilesystemStoreBackend,
+    ValidationResultStore,
+)
+
+
+def _backends(tmp_path, key_length=1):
+    return {
+        "memory": InMemoryStoreBackend(),
+        "filesystem": TupleFilesystemStoreBackend(
+            str(tmp_path / f"fs{key_length}"), key_length=key_length),
+        "sqlite": DatabaseStoreBackend(str(tmp_path / f"kv{key_length}.db")),
+    }
+
+
+def _suite_result(suite_name="s", n=2):
+    evrs = []
+    for i in range(n):
+        cfg = ExpectationConfiguration(
+            expectation_type="expect_column_mean_to_be_between",
+            kwargs={"column": f"c{i}", "min_value": 0, "max_value": 10},
+        )
+        evrs.append(ExpectationValidationResult(
+            success=(i % 2 == 0), expectation_config=cfg,
+            result={"observed_value": float(i), "element_count": 100}))
+    return SuiteValidationResult.from_results(evrs, suite_name=suite_name)
+
+
+@pytest.mark.parametrize("kind", ["memory", "filesystem", "sqlite"])
+def test_backend_crud(tmp_path, kind):
+    b = _backends(tmp_path)[kind]
+    assert not b.has_key(("a",))
+    b.set(("a",), "v1")
+    assert b.has_key(("a",)) and ("a",) in b
+    assert b.get(("a",)) == "v1"
+    b.set(("a",), "v2")  # overwrite
+    assert b.get(("a",)) == "v2"
+    b.set(("b",), "w")
+    assert b.list_keys() == [("a",), ("b",)]
+    b.move(("a",), ("c",))
+    assert b.get(("c",)) == "v2" and not b.has_key(("a",))
+    b.remove_key(("b",))
+    assert b.list_keys() == [("c",)]
+    with pytest.raises(InvalidKeyError):
+        b.get(("zzz",))
+    with pytest.raises(InvalidKeyError):
+        b.remove_key(("zzz",))
+
+
+@pytest.mark.parametrize("kind", ["memory", "filesystem", "sqlite"])
+def test_backend_composite_keys_and_prefix(tmp_path, kind):
+    b = _backends(tmp_path, key_length=2)[kind]
+    b.set(("suite_a", "run1"), "1")
+    b.set(("suite_a", "run2"), "2")
+    b.set(("suite_b", "run1"), "3")
+    assert b.list_keys(("suite_a",)) == [("suite_a", "run1"), ("suite_a", "run2")]
+    assert b.list_keys() == [
+        ("suite_a", "run1"), ("suite_a", "run2"), ("suite_b", "run1")]
+    # exact-key prefix matches only itself
+    assert b.list_keys(("suite_a", "run1")) == [("suite_a", "run1")]
+
+
+@pytest.mark.parametrize("kind", ["memory", "filesystem", "sqlite"])
+def test_backend_key_validation(tmp_path, kind):
+    b = _backends(tmp_path)[kind]
+    for bad in ((), ("",), (None,), (1,), ["a"]):
+        with pytest.raises(InvalidKeyError):
+            b.set(bad, "v")
+    with pytest.raises(StoreBackendError):
+        b.set(("k",), {"not": "a string"})
+
+
+def test_sqlite_prefix_is_component_wise(tmp_path):
+    """LIKE-prefix listing must not treat 'ab' as a prefix of key ('abc',)."""
+    b = DatabaseStoreBackend(str(tmp_path / "p.db"))
+    b.set(("ab", "x"), "1")
+    b.set(("abc", "x"), "2")
+    assert b.list_keys(("ab",)) == [("ab", "x")]
+    with pytest.raises(InvalidKeyError):
+        b.set(("bad\x1fpart",), "v")
+
+
+def test_filesystem_template_roundtrip(tmp_path):
+    b = TupleFilesystemStoreBackend(
+        str(tmp_path / "t"), key_length=2, filepath_template="{0}/run-{1}.json")
+    b.set(("suite", "20260819T120000"), "{}")
+    assert os.path.isfile(tmp_path / "t" / "suite" / "run-20260819T120000.json")
+    assert b.list_keys() == [("suite", "20260819T120000")]
+    # stray files that don't parse back are ignored, not crashed on
+    (tmp_path / "t" / "README.txt").write_text("not a key")
+    assert b.list_keys() == [("suite", "20260819T120000")]
+
+
+def test_filesystem_template_validation(tmp_path):
+    with pytest.raises(StoreBackendError):  # {1} missing
+        TupleFilesystemStoreBackend(str(tmp_path), key_length=2, filepath_template="{0}.json")
+    with pytest.raises(StoreBackendError):  # irreversible: no separator
+        TupleFilesystemStoreBackend(str(tmp_path), key_length=2, filepath_template="{0}{1}.json")
+    b = TupleFilesystemStoreBackend(str(tmp_path / "ok"), key_length=1)
+    for evil in ("a/b", ".", ".."):
+        with pytest.raises(InvalidKeyError):
+            b.set((evil,), "v")
+
+
+def test_filesystem_write_is_atomic(tmp_path):
+    b = TupleFilesystemStoreBackend(str(tmp_path / "a"), key_length=1)
+    b.set(("k",), "x" * 1000)
+    # no .tmp residue after replace
+    names = os.listdir(tmp_path / "a")
+    assert names == ["k.json"]
+
+
+def test_expectation_suite_store_roundtrip(tmp_path):
+    suite = ExpectationSuite(name="webpages").add(
+        "expect_column_values_to_not_be_null", column="url").add(
+        "expect_column_values_to_match_regex", column="url", regex="^https?://")
+    for b in _backends(tmp_path).values():
+        store = ExpectationSuiteStore(b)
+        store.save(suite)
+        back = store.get("webpages")
+        assert back.to_json() == suite.to_json()
+    # type guard
+    with pytest.raises(StoreBackendError):
+        ExpectationSuiteStore().set(("x",), {"raw": "dict"})
+
+
+def test_validation_result_store_roundtrip(tmp_path):
+    res = _suite_result("webpages", n=3)
+    for b in _backends(tmp_path, key_length=2).values():
+        store = ValidationResultStore(b)
+        store.set(("webpages", "r1"), res)
+        store.set(("webpages", "r2"), res)
+        store.set(("other", "r1"), _suite_result("other"))
+        back = store.get(("webpages", "r1"))
+        assert back.to_json() == res.to_json()  # byte-identical round-trip
+        assert back.results[1].success is False
+        assert store.runs_for_suite("webpages") == ["r1", "r2"]
+
+
+def test_store_add_update_semantics():
+    store = MetricStore()
+    store.add(("r1", "m", "__"), 5)
+    with pytest.raises(StoreBackendError):
+        store.add(("r1", "m", "__"), 6)
+    store.update(("r1", "m", "__"), 7)
+    assert store.get(("r1", "m", "__")) == 7
+    with pytest.raises(InvalidKeyError):
+        store.update(("r1", "nope", "__"), 1)
+    with pytest.raises(InvalidKeyError):  # wrong arity for this store
+        store.set(("r1", "m"), 1)
+
+
+def test_evaluation_parameter_store_binds_same_urns_as_action(tmp_path):
+    """EvaluationParameterStore.bind_params must produce exactly the URN→
+    value map StoreEvaluationParametersAction builds in memory — the store
+    is its durable twin."""
+    res = _suite_result("upstream", n=2)
+    action = StoreEvaluationParametersAction()
+    action.run(res, run_id="r9")
+
+    store = EvaluationParameterStore(
+        DatabaseStoreBackend(str(tmp_path / "ep.db")))
+    n = store.store_suite_result(res, run_id="r9")
+    assert n == 2
+    assert store.bind_params("r9") == action.params
+    assert store.bind_params("missing-run") == {}
+
+
+def test_store_validation_result_action_with_store():
+    store = ValidationResultStore(InMemoryStoreBackend())
+    res = _suite_result("s1")
+    receipt = StoreValidationResultAction(store=store).run(res, run_id="rA")
+    assert receipt["key"] == ["s1", "rA"]
+    assert store.get(("s1", "rA")).to_json() == res.to_json()
+    with pytest.raises(ValueError):
+        StoreValidationResultAction().run(res, run_id="rB")
+
+
+def test_result_from_dict_preserves_exception_info():
+    cfg = ExpectationConfiguration("expect_table_row_count_to_equal", {"value": 1})
+    evr = ExpectationValidationResult.exception(cfg, "boom", "tb")
+    res = SuiteValidationResult.from_results([evr], suite_name="x")
+    back = SuiteValidationResult.from_json(res.to_json())
+    assert back.results[0].exception_info["raised_exception"] is True
+    assert back.results[0].exception_info["exception_message"] == "boom"
+    assert back.statistics == res.statistics
+
+
+def test_concurrent_writers_memory_and_sqlite(tmp_path):
+    for b in (InMemoryStoreBackend(),
+              DatabaseStoreBackend(str(tmp_path / "c.db"))):
+        def worker(i, b=b):
+            for j in range(25):
+                b.set((f"k{i}", str(j)), f"{i}:{j}")
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        assert len(b.list_keys()) == 100
+        assert b.get(("k3", "24")) == "3:24"
+
+
+def test_build_docs_site(tmp_path):
+    from great_expectations_spark.actions import build_docs_site
+
+    store = ValidationResultStore(
+        TupleFilesystemStoreBackend(str(tmp_path / "vstore"), key_length=2))
+    store.set(("alpha", "r1"), _suite_result("alpha", n=2))
+    store.set(("alpha", "r2"), _suite_result("alpha", n=3))
+    store.set(("beta", "r1"), _suite_result("beta", n=1))
+    idx = build_docs_site(store, str(tmp_path / "docs"))
+    html = open(idx).read()
+    assert html.count("<section>") == 2
+    assert "alpha__r1.html" in html and "alpha__r2.html" in html
+    assert os.path.isfile(tmp_path / "docs" / "beta__r1.html")
+    # per-run pages carry the expectation sections
+    page = open(tmp_path / "docs" / "alpha__r2.html").read()
+    assert page.count("<section>") == 3
+    # deterministic: second build byte-identical
+    assert open(build_docs_site(store, str(tmp_path / "docs"))).read() == html
