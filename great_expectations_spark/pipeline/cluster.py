@@ -14,17 +14,19 @@ Scale design
 ------------
 Connected components run the alternating Large-Star / Small-Star algorithm
 (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC 2014):
-each round is two groupBy-min + join passes over the (shrinking) edge list
-and converges in O(log^2 n) rounds (2-3 rounds for the small, dense clusters
-near-dup graphs produce). Everything stays in whole-stage-codegen DataFrame
-ops:
+each round is two star passes over the (shrinking) edge list and converges
+in O(log^2 n) rounds (2-3 rounds for the small, dense clusters near-dup
+graphs produce). Everything stays in DataFrame ops:
 
-* `min` per node is a commutative monoid → map-side partial aggregation
-  absorbs hub skew (a 10^6-member boilerplate cluster contributes ONE row
-  per map partition to the shuffle, not 10^6);
-* the per-round join is edge-list × (node → min) — the right side is one
-  row per distinct node, and AQE broadcast-joins it once components start
-  collapsing;
+* each star phase is ONE wide exchange: the neighborhood min rides a
+  window aggregate (`min(v) over (partition by u)`) on the same hash
+  shuffle that co-locates each node's rows — measured 1.65x over the
+  textbook groupBy-min + join-back form, whose join re-exchanges what
+  the aggregate already co-located (see BASELINE.md round-3 scaling);
+* a hub's rows land in one partition either way; the windowed min is a
+  single streaming pass over them (a 10^6-member boilerplate cluster is
+  one partition-local scan, and the following `distinct` — a true
+  aggregation — combines map-side);
 * lineage is truncated every round with an eager `localCheckpoint()`
   (iterative plans otherwise grow exponentially and stall the optimizer);
   set `spark.sparkContext.setCheckpointDir(...)` and pass `reliable=True`
@@ -61,31 +63,52 @@ def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
 def _large_star(e: DataFrame) -> DataFrame:
     """Connect every neighbor larger than u to u's minimum neighborhood
     member: for each node u with neighbors N(u), emit (v, min(N(u) ∪ {u}))
-    for v ∈ N(u), v > u."""
+    for v ∈ N(u), v > u.
+
+    The neighborhood min rides a window over the SAME hash exchange that
+    co-locates each u's rows — one wide shuffle of ``sym`` per star phase.
+    The textbook groupBy-min + join-back costs two (the join re-exchanges
+    ``sym``, and the agg branch scans/unions ``e`` a second time); measured
+    on this operator the exchange volume, not skew or round count, is what
+    bounds multi-executor scaling, so halving it is the honest fix. A hub
+    key's rows all land in one partition either way (same as the join's
+    build side); the per-row window min is one streaming pass, no combine
+    needed because the reduce-side work is trivial."""
+    from pyspark.sql import Window
+
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = sym.groupBy("u").agg(F.min("v").alias("__mn"))
+    w = Window.partitionBy("u")
     return (
-        sym.join(mins, "u")
+        sym.withColumn("__mn", F.least(F.min("v").over(w), F.col("u")))
         .where(F.col("v") > F.col("u"))
-        .select(
-            F.col("v").alias("u"),
-            F.least(F.col("u"), F.col("__mn")).alias("v"),
-        )
+        .select(F.col("v").alias("u"), F.col("__mn").alias("v"))
         .distinct()
     )
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Within each node's smaller-or-equal neighborhood, connect everything
-    (including u itself) to the minimum: edges arrive oriented u > v."""
-    mins = e.groupBy("u").agg(F.min("v").alias("__mn"))
-    j = e.join(mins, "u")
-    nbrs = (
-        j.where(F.col("v") != F.col("__mn"))
-        .select(F.col("v").alias("u"), F.col("__mn").alias("v"))
+    (including u itself) to the minimum: edges arrive oriented u > v.
+
+    Single-exchange window formulation as in ``_large_star``, with BOTH
+    emissions — (v, mn) for every non-min neighbor and the node's own
+    (u, mn) — exploded out of the one windowed branch. A
+    ``nbrs.union(selfs)`` over two branches would execute the window
+    subtree twice (Spark does not share subplans across union arms; the
+    old groupBy+join form re-ran its join per arm the same way)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u")
+    pair = F.struct(F.col("v").alias("u"), F.col("__mn").alias("v"))
+    own = F.struct(F.col("u").alias("u"), F.col("__mn").alias("v"))
+    return (
+        e.withColumn("__mn", F.min("v").over(w))
+        .select(F.explode(
+            F.when(F.col("v") != F.col("__mn"), F.array(pair, own))
+            .otherwise(F.array(own))).alias("__s"))
+        .select("__s.u", "__s.v")
+        .distinct()
     )
-    selfs = j.select(F.col("u"), F.col("__mn").alias("v"))
-    return nbrs.union(selfs).distinct()
 
 
 def _driver_components(e: DataFrame) -> DataFrame:

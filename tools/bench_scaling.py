@@ -49,15 +49,20 @@ DATA_DIR = f"/tmp/ges_scaling_pages_{N_ROWS}"
 
 # two N->4N pairs: "small" (2->8 busy threads) sits where this VM's vCPU
 # scheduling still scales ~linearly; "large" (8->32) probes the host's own
-# saturation region (see hardware ceiling in the report)
+# saturation region (see hardware ceiling in the report).
+# Per-executor heap is configurable (MB) because memory-hungry iterative
+# workloads (CC checkpoint blocks) OOM a 4g executor at the small pair's
+# 1-executor N topology; the SAME per-executor heap is used at N and 4N so
+# the scaling comparison stays fair.
+EXEC_MEM_MB = int(os.environ.get("SPARK_GRAFT_SCALING_EXEC_MEM_MB", 4096))
 PAIRS = {
     "small": {
-        "N": ("local-cluster[1,2,4096]", 2),
-        "4N": ("local-cluster[4,2,4096]", 8),
+        "N": (f"local-cluster[1,2,{EXEC_MEM_MB}]", 2),
+        "4N": (f"local-cluster[4,2,{EXEC_MEM_MB}]", 8),
     },
     "large": {
-        "N": ("local-cluster[2,4,4096]", 8),
-        "4N": ("local-cluster[8,4,4096]", 32),
+        "N": (f"local-cluster[2,4,{EXEC_MEM_MB}]", 8),
+        "4N": (f"local-cluster[8,4,{EXEC_MEM_MB}]", 32),
     },
 }
 PAIR = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "large")
@@ -94,6 +99,11 @@ def _session(label: str):
     return get_spark(cores=master, app=f"scaling-{label}",
                      shuffle_partitions=cores * 2,
                      extra_conf={"spark.executor.extraJavaOptions": exec_opts,
+                                 # local-cluster's [n,cores,mem] only sizes
+                                 # the worker SLOT; the executor JVM heap is
+                                 # spark.executor.memory (default 1g) and
+                                 # must be set explicitly to match
+                                 "spark.executor.memory": f"{EXEC_MEM_MB}m",
                                  # smaller input splits smooth the last wave
                                  "spark.sql.files.maxPartitionBytes": "48m"}), cores
 
@@ -251,9 +261,10 @@ def _cc_run(label: str) -> dict:
     edges = spark.read.parquet(CC_DATA_DIR)
     n_edges = edges.count()  # warms page cache; CC_NODES - n_clusters
     best = float("inf")
-    # 2 in-process reps (each CC run is ~10 Spark jobs; the outer
-    # alternating rounds still sample each topology 3 more times)
-    for _ in range(2):
+    # in-process reps (each CC run is ~10 Spark jobs; the outer
+    # alternating rounds still sample each topology); tunable so big-graph
+    # runs (per-rep minutes) stay inside the worker timeout
+    for _ in range(int(os.environ.get("SPARK_GRAFT_SCALING_CC_REPS", 2))):
         t0 = time.time()
         members = connected_components(
             edges, "id_a", "id_b", driver_threshold=0).where(
@@ -364,6 +375,37 @@ def _calib_run(label: str) -> dict:
             "rows_per_sec": round(CALIB_ROWS / best, 2)}
 
 
+SHUF_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_SHUF_ROWS", 200_000_000))
+
+
+def _shufcalib_run(label: str) -> dict:
+    """Host SHUFFLE ceiling: a pure hash-exchange workload — groupBy on a
+    per-row-unique key, so map-side combine cannot reduce the exchange and
+    every row crosses the shuffle (write + fetch + sort). The codegen
+    calibration (_calib_run) never touches the shuffle path; on one
+    physical box the N and 4N "clusters" share ONE disk and ONE memory
+    bus for shuffle blocks, so shuffle-bound workloads (CC's per-round
+    exchanges) must be read against THIS ceiling, not the codegen one —
+    on a real multi-node cluster each executor brings its own disk/NIC
+    and this ceiling rises toward the codegen one."""
+    from pyspark.sql import functions as F
+
+    spark, cores = _session(label)
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.time()
+        (spark.range(0, SHUF_ROWS, 1, 256)
+         .select(F.xxhash64("id").alias("k"),
+                 (F.xxhash64("id", F.lit(1)) % 1000).alias("v"))
+         .groupBy("k").agg(F.sum("v").alias("sv"))
+         .select(F.sum("sv")).first())
+        best = min(best, time.time() - t0)
+    spark.stop()
+    return {"label": label, "master": MASTERS[label][0], "cores": cores,
+            "rows": SHUF_ROWS, "best_sec": round(best, 4),
+            "rows_per_sec": round(SHUF_ROWS / best, 2)}
+
+
 def _spawn(label: str, kind: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="8g")
     out = subprocess.run(
@@ -395,6 +437,8 @@ def main() -> None:
         kinds += ("para",)
     if os.environ.get("SPARK_GRAFT_SCALING_RECIPE"):
         kinds += ("recipe",)
+    if os.environ.get("SPARK_GRAFT_SCALING_SHUFFLE"):
+        kinds += ("shuffle",)
     best: dict = {}
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", 3))
     for _round in range(rounds):  # alternating rounds damp host noise
@@ -456,6 +500,12 @@ def main() -> None:
         report["recipe_4N"] = r_4n
         report["recipe_scaling_efficiency"] = round(
             r_4n["rows_per_sec"] / (4 * r_n["rows_per_sec"]), 4)
+    if ("shuffle", "N") in best:
+        s_n, s_4n = best[("shuffle", "N")], best[("shuffle", "4N")]
+        report["shuffle_ceiling_N"] = s_n
+        report["shuffle_ceiling_4N"] = s_4n
+        report["shuffle_ceiling_efficiency"] = round(
+            s_4n["rows_per_sec"] / (4 * s_n["rows_per_sec"]), 4)
     print(json.dumps(report, indent=2))
 
 
@@ -463,7 +513,8 @@ if __name__ == "__main__":
     if len(sys.argv) > 3 and sys.argv[1] == "--worker":
         fn = {"engine": _engine_run, "mono": _mono_run,
               "grouped": _grouped_run, "cc": _cc_run, "para": _para_run,
-              "recipe": _recipe_run, "calib": _calib_run}[sys.argv[3]]
+              "recipe": _recipe_run, "calib": _calib_run,
+              "shuffle": _shufcalib_run}[sys.argv[3]]
         print(json.dumps(fn(sys.argv[2])))
     else:
         main()

@@ -57,7 +57,21 @@ def main() -> None:
     from great_expectations_spark.checkpoint import run_checkpoint
     from great_expectations_spark.sources.iceberg import read_table
 
-    spark = SparkSession.builder.appName(f"ges-validate-{args.run_id}").getOrCreate()
+    # engine-required SQL confs (session.get_spark's semantics, minus the
+    # master — that comes from spark-submit): ANSI off because the engine's
+    # comparisons follow the reference's permissive coercion (Spark 4
+    # defaults ANSI on, turning bad casts into job failures instead of
+    # unexpected-value counts), UTC for stable timestamp metrics, Arrow for
+    # the pandas-UDF kernels. Cluster sizing/perf confs stay spark-submit
+    # flags (see tools/make_submit_pkg.py's launch recipe).
+    spark = (
+        SparkSession.builder.appName(f"ges-validate-{args.run_id}")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
 
     with open(args.suite) as f:
         spec = json.load(f)
