@@ -245,6 +245,11 @@ def pair_jaccard(
         tokens,
     )
 
+    # `pairs` feeds four plan branches below (endpoint set twice, the
+    # intersection join, the final left join); when it arrives as the raw
+    # LSH subtree (dedup_cluster_assignments' verify path) each branch
+    # would re-run shingling + banding — materialize it once
+    pairs = pairs.localCheckpoint(eager=False)
     wanted = (
         pairs.select(F.col("id_a").alias("__id"))
         .union(pairs.select(F.col("id_b").alias("__id")))
