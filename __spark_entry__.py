@@ -1655,6 +1655,58 @@ def _p9h(spark, sf):
     return perplexity_buckets(doc_logprob(docs, model, "doc_id", "text"))
 
 
+def _lm_fused_cte(vocab: int = 20, alpha: float = 0.5) -> str:
+    """DuckDB replica of lm_train_and_score: the per-doc (id, token, cnt)
+    features drive BOTH the model's token totals and the scoring sums —
+    score = -(Σ cnt·logp)/(Σ cnt), the fused path's arithmetic."""
+    return f"""
+toks AS (
+  SELECT id, token FROM (
+    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+  WHERE token != ''),
+feats AS (SELECT id, token, count(*) AS cnt FROM toks GROUP BY id, token),
+counts AS (SELECT token, sum(cnt) AS c FROM feats GROUP BY token),
+meta AS (SELECT (SELECT sum(c) FROM counts) AS n,
+                (SELECT count(*) FROM
+                 (SELECT 1 FROM counts ORDER BY c DESC, token LIMIT {vocab}))
+                AS v),
+model AS (
+  SELECT token, ln((c + {alpha}) / (n + {alpha} * (v + 1))) AS logp
+  FROM (SELECT token, c FROM counts ORDER BY c DESC, token LIMIT {vocab}),
+       meta),
+scored AS (
+  SELECT f.id, f.cnt,
+         coalesce(m.logp,
+                  (SELECT ln({alpha} / (n + {alpha} * (v + 1))) FROM meta))
+         AS lp
+  FROM feats f LEFT JOIN model m USING (token)),
+per AS (SELECT id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               round(-(sum(cnt * lp) / sum(cnt)), 6) AS avg_neg_logp
+        FROM scored GROUP BY id),
+lm_scores AS (
+  SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, p.avg_neg_logp
+  FROM documents d LEFT JOIN per p ON p.id = d.doc_id)"""
+
+
+@_q("pipeline_lm_fused", f"""
+WITH {_lm_fused_cte()}
+SELECT * FROM lm_scores
+""")
+def _p9i(spark, sf):
+    """Fused CCNet train+score: ONE tokenize pass — the checkpointed
+    (id, token, cnt) features feed the model's token totals, the
+    vocabulary cut, AND the per-doc scoring join (pipeline/lm.py
+    lm_train_and_score); the separate unigram_lm + doc_logprob path reads
+    the corpus text twice."""
+    from great_expectations_spark.pipeline.lm import lm_train_and_score
+
+    docs = _tbl(spark, sf, "documents")
+    _model, scores = lm_train_and_score(
+        docs, "doc_id", "text", vocab_size=20, alpha=0.5)
+    return scores
+
+
 def _dsir_cte(buckets: int = 512, alpha: float = 1.0,
               target_where: str = "lang = 'en'") -> str:
     """DuckDB replica of pipeline/dsir.py: same unigram+bigram hashed

@@ -450,16 +450,17 @@ def main() -> None:
 
     @timed("lm_perplexity")
     def _q19():
-        # CCNet recipe: train corpus unigram LM (one count scan), score
-        # every doc (broadcast join + doc-keyed groupBy), head/middle/tail
-        # split from exact tercile thresholds
+        # CCNet recipe, fused train+score (round 3): ONE tokenize pass —
+        # the checkpointed (id, token, cnt) features feed the model's
+        # token totals AND the per-doc scoring join (the two-pass
+        # unigram_lm + doc_logprob path reads the corpus text twice);
+        # head/middle/tail from exact tercile thresholds
         from great_expectations_spark.pipeline.lm import (
-            doc_logprob, perplexity_buckets, unigram_lm)
+            lm_train_and_score, perplexity_buckets)
 
-        model = unigram_lm(docs, "doc_id", "text", vocab_size=50_000)
-        perplexity_buckets(
-            doc_logprob(docs, model, "doc_id", "text")
-        ).groupBy("bucket").count().collect()
+        _model, scores = lm_train_and_score(
+            docs, "doc_id", "text", vocab_size=50_000)
+        perplexity_buckets(scores).groupBy("bucket").count().collect()
 
     # NOT counted in rows_validated (appended in round 2)
 

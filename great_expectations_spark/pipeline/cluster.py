@@ -305,6 +305,13 @@ def exact_duplicate_edges(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
     d = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"), _md5(F.col(text_col)).alias("__h"))
+    return _edges_from_digests(d)
+
+
+def _edges_from_digests(d: DataFrame) -> DataFrame:
+    """Exact-duplicate edges from a ``(__id, __h)`` digest frame: each dup
+    links to its group's min id. The digest groupBy moves 16-byte hashes,
+    never text."""
     hubs = d.groupBy("__h").agg(F.min("__id").alias("__hub"),
                                 F.count(F.lit(1)).alias("__n"))
     return (
@@ -342,12 +349,29 @@ def dedup_cluster_assignments(
     the cluster-id holder (deterministic min-id policy — swap in a quality
     score upstream by remapping ids if needed). Docs with no near-dup are
     singleton clusters of themselves.
-    """
-    from great_expectations_spark.pipeline.dedup import minhash_lsh_candidates
 
-    pairs = minhash_lsh_candidates(
-        df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n,
-        max_bucket_size=max_bucket_size)
+    With ``include_exact`` (the default) the exact digests and the MinHash
+    banding share ONE text scan (``digest_and_buckets``) — the corpus is
+    read once, not once per edge source.
+    """
+    from great_expectations_spark.pipeline.dedup import (
+        _pairs_from_triples,
+        digest_and_buckets,
+        minhash_lsh_candidates,
+    )
+
+    if include_exact:
+        # ONE text scan feeds both the exact digests and the LSH banding
+        # (separately, minhash_lsh_candidates + exact_duplicate_edges each
+        # read the corpus once — the second full 100 TB pass exists only
+        # because the digest didn't ride the signature scan)
+        digests, triples = digest_and_buckets(
+            df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n)
+        pairs = _pairs_from_triples(triples, max_bucket_size)
+    else:
+        pairs = minhash_lsh_candidates(
+            df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n,
+            max_bucket_size=max_bucket_size)
     if jaccard_threshold is not None:
         pairs = (
             pair_jaccard(df, pairs, id_col, text_col, shingle_n=shingle_n)
@@ -355,7 +379,7 @@ def dedup_cluster_assignments(
             .select("id_a", "id_b")
         )
     if include_exact:
-        pairs = pairs.union(exact_duplicate_edges(df, id_col, text_col))
+        pairs = pairs.union(_edges_from_digests(digests))
 
     comp = connected_components(pairs, "id_a", "id_b",
                                 max_iter=max_iter, reliable=reliable)

@@ -133,6 +133,81 @@ def doc_logprob(
     )
 
 
+def lm_train_and_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    vocab_size: int = 50_000,
+    alpha: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the unigram LM on a corpus AND score that same corpus in ONE
+    tokenize pass — the CCNet recipe's common case (``unigram_lm`` then
+    ``doc_logprob`` reads the corpus text twice; at crawl scale the second
+    full read is the whole cost of the step).
+
+    Returns ``(model, scores)``: ``model`` is bit-identical to
+    ``unigram_lm``'s (token counts are exact integer arithmetic either
+    way); ``scores`` has ``doc_logprob``'s schema
+    ``(id_col, n_tokens, avg_neg_logp)`` computed from the per-doc
+    ``(id, token, cnt)`` features as ``-(Σ cnt·logp)/(Σ cnt)`` — the same
+    quantity as the per-instance average up to floating-point association
+    (both round to 6 decimals; oracle: pipeline_lm_fused).
+
+    Plan: ONE ``groupBy(id, token)`` count (map-combinable — the shuffle
+    carries distinct (doc, token) pairs, not token instances), lazily
+    checkpointed; the model's token totals, the vocabulary cut, and the
+    per-doc scoring join all read those materialized features instead of
+    re-reading text.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    feats = (
+        _tokens(df, id_col, text_col)
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    ).localCheckpoint(eager=False)
+    counts = feats.groupBy("token").agg(F.sum("cnt").alias("c")).persist()
+    try:
+        n_total = counts.agg(F.sum("c")).first()[0] or 0
+        top = (counts.orderBy(F.col("c").desc(), F.col("token"))
+               .limit(vocab_size).collect())
+    finally:
+        counts.unpersist()
+    v = len(top)
+    denom = float(n_total) + alpha * (v + 1)
+    oov_logp = math.log(alpha / denom)
+    rows = [(r["token"], math.log((r["c"] + alpha) / denom)) for r in top]
+    rows.append((None, oov_logp))
+    model = df.sparkSession.createDataFrame(rows, "token string, logp double")
+
+    vocab = model.where(F.col("token").isNotNull())
+    per_doc = (
+        feats.join(F.broadcast(vocab), "token", "left")
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.round(
+                -(F.sum(F.col("cnt")
+                        * F.coalesce(F.col("logp"), F.lit(oov_logp)))
+                  / F.sum("cnt")),
+                6,
+            ).alias("avg_neg_logp"),
+        )
+    )
+    scores = (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+            .alias("n_tokens"),
+            "avg_neg_logp",
+        )
+    )
+    return model, scores
+
+
 def perplexity_buckets(
     scores: DataFrame,
     *,

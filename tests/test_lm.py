@@ -110,3 +110,49 @@ def test_unigram_lm_single_training_scan(spark, docs):
     model = unigram_lm(docs, "doc_id", "text", vocab_size=20)
     plan = model._jdf.queryExecution().optimizedPlan().toString()
     assert "parquet" not in plan.lower()
+
+
+def test_fused_train_and_score_matches_two_pass(spark, docs):
+    from great_expectations_spark.pipeline.lm import lm_train_and_score
+
+    model2, scores2 = lm_train_and_score(
+        docs, "doc_id", "text", vocab_size=2, alpha=1.0)
+    model1 = unigram_lm(docs, "doc_id", "text", vocab_size=2, alpha=1.0)
+    # the model is bit-identical (integer count arithmetic either way)
+    key = lambda t: (t[0] is None, t[0], t[1])
+    assert sorted(map(tuple, model2.collect()), key=key) == sorted(
+        map(tuple, model1.collect()), key=key)
+    s1 = {r["doc_id"]: r for r in
+          doc_logprob(docs, model1, "doc_id", "text").collect()}
+    s2 = {r["doc_id"]: r for r in scores2.collect()}
+    assert set(s1) == set(s2)
+    for k in s1:
+        assert s2[k]["n_tokens"] == s1[k]["n_tokens"]
+        if s1[k]["avg_neg_logp"] is None:
+            assert s2[k]["avg_neg_logp"] is None
+        else:
+            # same quantity up to fp association; both round to 6 decimals
+            assert s2[k]["avg_neg_logp"] == pytest.approx(
+                s1[k]["avg_neg_logp"], abs=2e-6)
+
+
+def test_fused_scoring_never_rereads_text(spark, docs):
+    """The fused path tokenizes the corpus EXACTLY once: the scoring
+    plan's heavy branch bottoms out in the checkpointed (id, token, cnt)
+    features — no split()/explode of the text column appears in it (the
+    only remaining reference to the source is the cheap id-column join
+    that restores NULL-text rows)."""
+    from great_expectations_spark.pipeline.lm import lm_train_and_score
+
+    model, scores = lm_train_and_score(
+        docs, "doc_id", "text", vocab_size=2, alpha=1.0)
+    plan = scores._jdf.queryExecution().optimizedPlan().toString()
+    assert "split(" not in plan and "explode" not in plan.lower()
+    assert scores.count() == 4
+
+
+def test_fused_bad_alpha_raises(spark, docs):
+    from great_expectations_spark.pipeline.lm import lm_train_and_score
+
+    with pytest.raises(ValueError, match="alpha"):
+        lm_train_and_score(docs, "doc_id", "text", alpha=0.0)
