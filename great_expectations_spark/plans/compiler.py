@@ -75,6 +75,15 @@ class Options:
     fuse_violations: bool | None = None
     fuse_rows_threshold: int = 5_000_000
     fuse_count_threshold: int = 6
+    # eager shaped jobs (uniqueness / referential / distribution /
+    # monotonic) are independent per-expectation Spark actions writing
+    # config-id-namespaced metric keys; submitting them from worker
+    # threads lets the scheduler overlap their stages (a suite with a
+    # uniqueness groupBy AND a KL value-counts job pays max() instead of
+    # sum() of their walls). Updates apply on the driver thread in
+    # submission order, so results are deterministic. False = sequential.
+    parallel_eager: bool = True
+    parallel_eager_max_threads: int = 4
     # checkpoint-chunk monoids: aggregate expectations ALSO emit their
     # commutative partial state (count/sum/min/max/mean/M2 as doubles; a
     # datasketches HLL sketch for distinct counts) inside the SAME fused

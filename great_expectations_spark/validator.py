@@ -318,13 +318,41 @@ class SparkValidator:
         self._run_agg(agg2_requests, metrics, compiled, wave=2)
 
         # ---- eager jobs ---------------------------------------------------
-        for i, (config, comp, err) in enumerate(compiled):
-            if comp is None or err is not None or comp.eager is None:
-                continue
-            try:
-                metrics.update(comp.eager(self.df, metrics))
-            except Exception as e:
-                compiled[i] = (config, comp, EVR.exception(config, str(e), traceback.format_exc()))
+        # Each eager callback is an independent Spark action over disjoint,
+        # config-id-namespaced metric keys (uniqueness groupBy, referential
+        # anti-join, distribution value-counts, monotonic lag pass). They
+        # only READ metrics the agg waves already wrote, so they can be
+        # submitted concurrently — the scheduler overlaps their stages and
+        # the suite pays max() instead of sum() of the job walls. Metric
+        # updates (and exception marking) happen here on the driver thread
+        # in submission order, keeping results deterministic.
+        eager_items = [
+            (i, config, comp)
+            for i, (config, comp, err) in enumerate(compiled)
+            if comp is not None and err is None and comp.eager is not None
+        ]
+        if len(eager_items) > 1 and self.options.parallel_eager:
+            from concurrent.futures import ThreadPoolExecutor
+
+            frozen = dict(metrics)  # consistent read snapshot per thread
+            with ThreadPoolExecutor(
+                max_workers=min(self.options.parallel_eager_max_threads,
+                                len(eager_items))) as pool:
+                futs = [pool.submit(comp.eager, self.df, frozen)
+                        for _i, _config, comp in eager_items]
+            for (i, config, comp), fut in zip(eager_items, futs):
+                try:
+                    metrics.update(fut.result())
+                except Exception as e:
+                    compiled[i] = (config, comp, EVR.exception(
+                        config, str(e), traceback.format_exc()))
+        else:
+            for i, config, comp in eager_items:
+                try:
+                    metrics.update(comp.eager(self.df, metrics))
+                except Exception as e:
+                    compiled[i] = (config, comp, EVR.exception(
+                        config, str(e), traceback.format_exc()))
 
         # ---- pass 2: bounded violation extraction ------------------------
         if self.rf.at_least("BASIC"):

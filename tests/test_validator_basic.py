@@ -263,3 +263,57 @@ def test_suite_statistics(xyz):
     assert res.statistics["evaluated_expectations"] == 2
     assert res.statistics["successful_expectations"] == 1
     assert not res.success
+
+
+def test_parallel_eager_matches_sequential(spark):
+    """Suites with several independent eager jobs (uniqueness, KL
+    value-counts, referential) produce identical results whether the jobs
+    are submitted concurrently (default) or sequentially."""
+    from great_expectations_spark.plans.compiler import Options
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (2, "de"), (3, "fr"), (4, None)],
+        "id long, lang string")
+    other = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    suite = (
+        ExpectationSuite(name="par")
+        .add("expect_column_values_to_be_unique", column="id")
+        .add("expect_column_kl_divergence_to_be_less_than", column="lang",
+             partition_object={"values": ["en", "de", "fr"],
+                               "weights": [0.5, 0.25, 0.25]}, threshold=5.0)
+        .add("expect_column_values_to_be_in_other_table",
+             column="id", other_table_name="t", other_column="id")
+    )
+
+    def run(parallel):
+        res = validate(df, suite, tables={"t": other},
+                       result_format="SUMMARY",
+                       options=Options(parallel_eager=parallel))
+        return [(r.expectation_config.expectation_type, r.success,
+                 r.result.get("unexpected_count"),
+                 r.result.get("observed_value")) for r in res.results]
+
+    assert run(True) == run(False)
+
+
+def test_parallel_eager_exception_maps_to_its_expectation(spark):
+    """A failing eager job marks ITS expectation with exception_info and
+    leaves sibling eager results intact (concurrent submission must not
+    cross wires)."""
+    from great_expectations_spark.plans.compiler import Options
+
+    df = spark.createDataFrame([(1, "a"), (1, "b")], "id long, v string")
+    suite = (
+        ExpectationSuite(name="exc")
+        .add("expect_column_values_to_be_unique", column="id")
+        # other_table missing from tables= -> the referential eager raises
+        .add("expect_column_values_to_be_in_other_table",
+             column="id", other_table_name="missing", other_column="id")
+    )
+    res = validate(df, suite, result_format="BASIC",
+                   options=Options(parallel_eager=True))
+    by_type = {r.expectation_config.expectation_type: r for r in res.results}
+    uniq = by_type["expect_column_values_to_be_unique"]
+    ref = by_type["expect_column_values_to_be_in_other_table"]
+    assert not uniq.success and uniq.result["unexpected_count"] == 2
+    assert ref.exception_info["raised_exception"]
