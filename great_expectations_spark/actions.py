@@ -396,3 +396,85 @@ def render_history_docs(
     with open(path, "w") as f:
         f.write(html)
     return path
+
+
+def render_profile_docs(profile_df, docs_dir: str, table_name: str) -> str:
+    """Render a ``profiler.profile()`` result to a static HTML page — the
+    engine-sized subset of the reference's ProfilingResultsPageRenderer +
+    ProfilingResultsOverviewSectionRenderer
+    (render/renderer/page_renderer.py:895,
+    profiling_results_overview_section_renderer.py:16): a dataset-info
+    panel (row count, column count), the variable-kinds summary the
+    overview section renders, and one stats row per column (type,
+    null fraction, approx-distinct + cardinality band, numeric
+    min/max/mean/stddev, datetime range, string/binary length stats).
+
+    ``profile_df`` is the one-row-per-COLUMN frame ``profiler.profile``
+    returns (collected here — driver transfer bounded by schema width) or
+    an already-collected list of Rows/dicts. Pure driver-side rendering;
+    deterministic for a given profile (golden-file test)."""
+    import html as _html
+
+    os.makedirs(docs_dir, exist_ok=True)
+    rows = (profile_df if isinstance(profile_df, list)
+            else profile_df.collect())
+    rows = [r if isinstance(r, dict) else r.asDict() for r in rows]
+
+    def num(v, nd=4):
+        if v is None:
+            return ""
+        f = float(v)
+        return str(int(f)) if f == int(f) else f"{round(f, nd)}"
+
+    n_rows = rows[0]["n_rows"] if rows else 0
+    kinds: dict[str, int] = {}
+    for r in rows:
+        kinds[r["kind"]] = kinds.get(r["kind"], 0) + 1
+    kind_cells = "".join(
+        f"<tr><td>{_html.escape(k)}</td><td>{kinds[k]}</td></tr>"
+        for k in sorted(kinds))
+
+    body: list[str] = []
+    for r in rows:
+        if r["kind"] == "numeric":
+            rng = f"{num(r['min'])} … {num(r['max'])}"
+            extra = f"mean {num(r['mean'])} · sd {num(r['stddev'])}"
+        elif r["kind"] == "datetime":
+            rng = (f"{_html.escape(r['min_ts'] or '')} … "
+                   f"{_html.escape(r['max_ts'] or '')}")
+            extra = ""
+        elif r["kind"] in ("string", "binary"):
+            rng = f"len {num(r['min_len'])} … {num(r['max_len'])}"
+            extra = f"avg len {num(r['avg_len'], 1)}"
+        else:
+            rng, extra = "", ""
+        card = ("" if r["approx_distinct"] is None else
+                f"{r['approx_distinct']} ({_html.escape(r['cardinality_band'] or '')})")
+        body.append(
+            "<tr>"
+            f"<td><code>{_html.escape(r['column'])}</code></td>"
+            f"<td>{_html.escape(r['dtype'])}</td>"
+            f"<td>{_html.escape(r['kind'])}</td>"
+            f"<td>{num(r['null_fraction'])}</td>"
+            f"<td>{card}</td>"
+            f"<td>{rng}</td>"
+            f"<td>{extra}</td>"
+            "</tr>")
+
+    html = (
+        "<!doctype html><meta charset='utf-8'>"
+        f"<title>Profile — {_html.escape(table_name)}</title>"
+        f"<style>{_DOCS_CSS}</style>"
+        f"<h1>Profile: {_html.escape(table_name)}</h1>"
+        f"<section><h3>dataset</h3><p>{n_rows} rows · {len(rows)} columns "
+        "profiled</p>"
+        f"<table><tr><th>kind</th><th>columns</th></tr>{kind_cells}</table>"
+        "</section>"
+        "<section><h3>columns</h3>"
+        "<table><tr><th>column</th><th>type</th><th>kind</th>"
+        "<th>null frac</th><th>≈distinct (band)</th><th>range</th>"
+        "<th></th></tr>" + "".join(body) + "</table></section>")
+    path = os.path.join(docs_dir, f"profile__{table_name}.html")
+    with open(path, "w") as f:
+        f.write(html)
+    return path

@@ -152,3 +152,38 @@ def test_update_data_docs_uses_full_renderer(spark, tmp_path):
                            run_id="r2")
     html = open(receipts[0]["path"]).read()
     assert "<section>" in html and "most common unexpected values" in html
+
+
+def test_render_profile_docs(spark, tmp_path):
+    """Profiling page: dataset panel, kind summary, one stats row per
+    column; deterministic golden pin (same policy as the validation
+    page)."""
+    import os
+
+    from great_expectations_spark.actions import render_profile_docs
+    from great_expectations_spark.profiler import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, None), (2, "b", 2.5, None), (3, None, None, None)],
+        "id long, s string, x double, b binary")
+    path = render_profile_docs(profile(df), str(tmp_path), "t1")
+    got = open(path).read()
+    assert "Profile: t1" in got and "3 rows" in got and "4 columns" in got
+    assert "<code>id</code>" in got and "numeric" in got and "string" in got
+    assert "mean 2" in got  # numeric stats rendered
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "profile_docs.html")
+    if not os.path.exists(golden_path):
+        with open(golden_path, "w") as f:
+            f.write(got)
+    assert got == open(golden_path).read()
+
+
+def test_render_profile_docs_accepts_collected_rows(spark, tmp_path):
+    from great_expectations_spark.actions import render_profile_docs
+    from great_expectations_spark.profiler import profile
+
+    df = spark.createDataFrame([(1,)], "id long")
+    rows = profile(df).collect()
+    p1 = render_profile_docs(rows, str(tmp_path), "rows")
+    assert "1 rows" in open(p1).read()
