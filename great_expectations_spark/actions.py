@@ -281,7 +281,7 @@ def render_validation_docs(
     return path
 
 
-def build_docs_site(store: Any, docs_dir: str) -> str:
+def build_docs_site(store: Any, docs_dir: str, suite_store: Any = None) -> str:
     """Build a static data-docs SITE from every result in a
     ``stores.ValidationResultStore``: one page per (suite, run) via
     ``render_validation_docs`` plus an ``index.html`` grouped by suite with
@@ -289,6 +289,11 @@ def build_docs_site(store: Any, docs_dir: str) -> str:
     SiteBuilder + DefaultSiteIndexBuilder
     (render/renderer/site_builder.py:37,291,511,725) over an
     HtmlSiteStore (data_context/store/html_site_store.py:35).
+
+    ``suite_store`` (a ``stores.ExpectationSuiteStore``) additionally
+    renders one suite-DEFINITION page per stored suite
+    (``render_suite_docs``) and links it from the index section header —
+    the reference site's Expectation-Suites tab.
 
     Pure driver-side rendering. Returns the index path. Deterministic for
     given store contents (keys render in sorted order)."""
@@ -300,10 +305,16 @@ def build_docs_site(store: Any, docs_dir: str) -> str:
         by_suite.setdefault(suite_name, []).append(
             (run_id, store.get((suite_name, run_id))))
 
+    suite_pages: dict[str, str] = {}
+    if suite_store is not None:
+        for (name,) in suite_store.list_keys():
+            suite_pages[name] = render_suite_docs(
+                suite_store.get((name,)), docs_dir)
+
     suite_sections: list[str] = []
-    for suite_name in sorted(by_suite):
+    for suite_name in sorted(set(by_suite) | set(suite_pages)):
         rows = []
-        for run_id, result in by_suite[suite_name]:
+        for run_id, result in by_suite.get(suite_name, []):
             page = render_validation_docs(result, docs_dir, run_id)
             stats = result.statistics
             status = ("<span class='pass'>Succeeded</span>" if result.success
@@ -313,8 +324,13 @@ def build_docs_site(store: Any, docs_dir: str) -> str:
                 f"{_html.escape(run_id)}</a></td><td>{status}</td>"
                 f"<td>{stats.get('successful_expectations')}/"
                 f"{stats.get('evaluated_expectations')}</td></tr>")
+        head = _html.escape(suite_name)
+        if suite_name in suite_pages:
+            head += (" <a href='"
+                     f"{_html.escape(os.path.basename(suite_pages[suite_name]))}"
+                     "'>[definition]</a>")
         suite_sections.append(
-            f"<section><h2>{_html.escape(suite_name)}</h2>"
+            f"<section><h2>{head}</h2>"
             "<table><tr><th>run</th><th>status</th><th>passed</th></tr>"
             + "".join(rows) + "</table></section>")
 
@@ -475,6 +491,53 @@ def render_profile_docs(profile_df, docs_dir: str, table_name: str) -> str:
         "<th>null frac</th><th>≈distinct (band)</th><th>range</th>"
         "<th></th></tr>" + "".join(body) + "</table></section>")
     path = os.path.join(docs_dir, f"profile__{table_name}.html")
+    with open(path, "w") as f:
+        f.write(html)
+    return path
+
+
+def render_suite_docs(suite, docs_dir: str) -> str:
+    """Render an ExpectationSuite DEFINITION (not a result) to a static
+    HTML page — the engine-sized subset of the reference's
+    ExpectationSuitePageRenderer (render/renderer/page_renderer.py:647):
+    a header panel (suite name, expectation count, evaluation parameters)
+    and one row per expectation with its type and kwargs, grouped by
+    column (table-level expectations first), matching the reference's
+    column-section organization. Pure driver-side rendering;
+    deterministic for a given suite."""
+    import html as _html
+
+    os.makedirs(docs_dir, exist_ok=True)
+    groups: dict[str, list] = {}
+    for cfg in suite.expectations:
+        col = cfg.kwargs.get("column") or cfg.kwargs.get("column_A") or (
+            ", ".join(cfg.kwargs.get("column_list", [])) or "(table)")
+        groups.setdefault(str(col), []).append(cfg)
+    ordered = sorted(groups, key=lambda c: (c != "(table)", c))
+
+    sections: list[str] = []
+    for col in ordered:
+        rows = "".join(
+            "<tr>"
+            f"<td><code>{_html.escape(cfg.expectation_type)}</code></td>"
+            f"<td>{_fmt({k: v for k, v in sorted(cfg.kwargs.items())})}</td>"
+            "</tr>"
+            for cfg in groups[col])
+        sections.append(
+            f"<section><h3>{_html.escape(col)}</h3>"
+            "<table><tr><th>expectation</th><th>kwargs</th></tr>"
+            + rows + "</table></section>")
+
+    ep = suite.evaluation_parameters or {}
+    ep_html = (f"<p>evaluation parameters: {_fmt(ep)}</p>" if ep else "")
+    html = (
+        "<!doctype html><meta charset='utf-8'>"
+        f"<title>Suite — {_html.escape(suite.name)}</title>"
+        f"<style>{_DOCS_CSS}</style>"
+        f"<h1>Suite: {_html.escape(suite.name)}</h1>"
+        f"<p>{len(suite.expectations)} expectations</p>" + ep_html
+        + "".join(sections))
+    path = os.path.join(docs_dir, f"suite__{suite.name}.html")
     with open(path, "w") as f:
         f.write(html)
     return path

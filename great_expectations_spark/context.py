@@ -163,7 +163,8 @@ class DataContext:
             if self.root_dir is None:
                 raise ValueError("ephemeral context: pass docs_dir explicitly")
             docs_dir = os.path.join(self.root_dir, "data_docs")
-        return build_docs_site(self.validations, docs_dir)
+        return build_docs_site(self.validations, docs_dir,
+                               suite_store=self.suites)
 
 
 def get_context(root_dir: str | None = None, **kwargs: Any) -> DataContext:

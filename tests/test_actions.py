@@ -187,3 +187,48 @@ def test_render_profile_docs_accepts_collected_rows(spark, tmp_path):
     rows = profile(df).collect()
     p1 = render_profile_docs(rows, str(tmp_path), "rows")
     assert "1 rows" in open(p1).read()
+
+
+def test_render_suite_docs_grouped_by_column(tmp_path):
+    from great_expectations_spark.actions import render_suite_docs
+    from great_expectations_spark.core.suite import ExpectationSuite
+
+    s = (ExpectationSuite(name="demo", evaluation_parameters={"mn": 5})
+         .add("expect_table_row_count_to_be_between", min_value=1)
+         .add("expect_column_values_to_not_be_null", column="id")
+         .add("expect_column_pair_values_a_to_be_greater_than_b",
+              column_A="a", column_B="b")
+         .add("expect_compound_columns_to_be_unique", column_list=["x", "y"]))
+    p = render_suite_docs(s, str(tmp_path))
+    h = open(p).read()
+    # table-level section first, then columns alphabetically
+    assert h.index("(table)") < h.index("<h3>a</h3>") < h.index("<h3>id</h3>")
+    assert "expect_compound_columns_to_be_unique" in h and "x, y" in h
+    assert "mn" in h  # evaluation parameters panel
+    # deterministic
+    assert open(render_suite_docs(s, str(tmp_path))).read() == h
+
+
+def test_build_docs_site_links_suite_definitions(spark, tmp_path):
+    from great_expectations_spark.actions import build_docs_site
+    from great_expectations_spark.stores import (
+        ExpectationSuiteStore, InMemoryStoreBackend, ValidationResultStore)
+    from great_expectations_spark.core.suite import ExpectationSuite
+    from great_expectations_spark import validate
+
+    suite = (ExpectationSuite(name="s1")
+             .add("expect_column_values_to_not_be_null", column="id"))
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    res = validate(df, suite)
+    vstore = ValidationResultStore(InMemoryStoreBackend())
+    vstore.set(("s1", "r1"), res)
+    sstore = ExpectationSuiteStore(InMemoryStoreBackend())
+    sstore.save(suite)
+    # a stored suite with NO runs yet must still get a definition section
+    sstore.save(ExpectationSuite(name="s2")
+                .add("expect_table_row_count_to_be_between", min_value=0))
+    index = open(build_docs_site(vstore, str(tmp_path),
+                                 suite_store=sstore)).read()
+    assert "[definition]" in index and "suite__s1.html" in index
+    assert "s2" in index and "suite__s2.html" in index
+    assert "r1" in index  # run link still present
