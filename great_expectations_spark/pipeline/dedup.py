@@ -461,6 +461,32 @@ def lsh_bucket_table(
         F.col("__id").alias("id"), "band", "bucket")
 
 
+def signature_tables(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """ONE text scan → ``(digest_table, bucket_table)``: the two
+    persistable incremental-dedup state tables ``exact_digest_table`` and
+    ``lsh_bucket_table`` produce — same schemas, same values — without
+    reading the batch text twice at ingest (each table is written once per
+    ingested batch; separately computed they each scan the text).
+
+    Built on ``digest_and_buckets``'s checkpointed per-doc feature scan;
+    write both outputs in the same ingest job and the corpus text is read
+    exactly once."""
+    digests, triples = digest_and_buckets(
+        df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n)
+    return (
+        digests.select(F.col("__id").alias("id"),
+                       F.col("__h").alias("digest")),
+        triples.select(F.col("__id").alias("id"), "band", "bucket"),
+    )
+
+
 def incremental_exact_dedup(
     new: DataFrame,
     seen_digests: DataFrame,

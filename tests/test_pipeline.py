@@ -508,3 +508,31 @@ def test_minhash_threshold_autoplan(spark):
     manual = sorted(map(tuple, minhash_lsh_candidates(
         df, "doc_id", "text", k=12, bands=p["bands"]).collect()))
     assert auto == manual and (1, 2) in auto
+
+
+def test_signature_tables_one_scan_matches_separate(spark):
+    """signature_tables = exact_digest_table + lsh_bucket_table from ONE
+    text scan: schemas and values identical to the separate paths."""
+    from great_expectations_spark.pipeline.dedup import (
+        exact_digest_table,
+        lsh_bucket_table,
+        signature_tables,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y"), (4, None)],
+        "doc_id long, text string")
+    dig, buck = signature_tables(docs, "doc_id", "text", k=4, bands=2)
+    dig_sep = exact_digest_table(docs, "doc_id", "text")
+    buck_sep = lsh_bucket_table(docs, "doc_id", "text", k=4, bands=2)
+    assert dig.columns == dig_sep.columns == ["id", "digest"]
+    assert buck.columns == buck_sep.columns == ["id", "band", "bucket"]
+    assert sorted(map(tuple, dig.collect())) == sorted(
+        map(tuple, dig_sep.collect()))
+    assert sorted(map(tuple, buck.collect())) == sorted(
+        map(tuple, buck_sep.collect()))
+    # NULL-text row carries no state in either table (same contract)
+    assert all(r["id"] != 4 for r in dig.collect())
+    # the short doc (< shingle_n tokens) has a digest but no buckets
+    assert any(r["id"] == 3 for r in dig.collect())
+    assert all(r["id"] != 3 for r in buck.collect())

@@ -145,3 +145,58 @@ class TestSparkProperties:
         assert math.isclose(got_mean, sum(rows) / len(rows),
                             rel_tol=1e-9, abs_tol=1e-6)
         assert math.isclose(got_sum, sum(rows), rel_tol=1e-9, abs_tol=1e-6)
+
+
+class TestFusedPathProperties:
+    """Round-3 single-scan fusions: the fused forms must equal the
+    separate-pass forms on arbitrary corpora (including empty strings,
+    repeated docs, and single-token docs)."""
+
+    @given(texts=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=24), min_size=0,
+        max_size=10))
+    @SPARK_EXAMPLES
+    def test_digest_and_buckets_matches_separate_paths(self, spark, texts):
+        from pyspark.sql import functions as F
+
+        from great_expectations_spark.pipeline.dedup import (
+            _band_buckets, digest_and_buckets, exact_digest_table)
+
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string") \
+            if rows else spark.createDataFrame([], "doc_id long, text string")
+        dig, tri = digest_and_buckets(df, "doc_id", "text", k=4, bands=2)
+        old_tri = _band_buckets(df, "doc_id", "text", 4, 2, 3)
+        old_dig = exact_digest_table(df, "doc_id", "text").select(
+            F.col("id").alias("__id"), F.col("digest").alias("__h"))
+        assert sorted(map(tuple, tri.collect())) == sorted(
+            map(tuple, old_tri.collect()))
+        assert sorted(map(tuple, dig.collect())) == sorted(
+            map(tuple, old_dig.collect()))
+
+    @given(texts=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=30), min_size=1,
+        max_size=8))
+    @SPARK_EXAMPLES
+    def test_lm_fused_matches_two_pass(self, spark, texts):
+        from great_expectations_spark.pipeline.lm import (
+            doc_logprob, lm_train_and_score, unigram_lm)
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        model2, scores2 = lm_train_and_score(
+            df, "doc_id", "text", vocab_size=3, alpha=0.5)
+        model1 = unigram_lm(df, "doc_id", "text", vocab_size=3, alpha=0.5)
+        key = lambda t: (t[0] is None, t[0], t[1])
+        assert sorted(map(tuple, model2.collect()), key=key) == sorted(
+            map(tuple, model1.collect()), key=key)
+        s1 = {r["doc_id"]: r for r in
+              doc_logprob(df, model1, "doc_id", "text").collect()}
+        s2 = {r["doc_id"]: r for r in scores2.collect()}
+        assert set(s1) == set(s2)
+        for k in s1:
+            assert s2[k]["n_tokens"] == s1[k]["n_tokens"]
+            a, b = s1[k]["avg_neg_logp"], s2[k]["avg_neg_logp"]
+            assert (a is None) == (b is None)
+            if a is not None:
+                assert b == pytest.approx(a, abs=2e-6)
