@@ -162,15 +162,20 @@ def bootstrap_range(
     svals = sorted(vals)
     q_lo = false_positive_rate / 2.0
     q_hi = 1.0 - false_positive_rate / 2.0
+    # one resample pass serves both bounds: the draws depend only on
+    # (r, n, seed), so regenerating them per quantile doubles driver CPU
+    # for byte-identical results
+    boots_lo: list[float] = []
+    boots_hi: list[float] = []
+    for r in range(n_resamples):
+        draw = sorted(
+            vals[_resample_index(r * n + j, n, seed)] for j in range(n)
+        )
+        boots_lo.append(_quantile_linear(draw, q_lo))
+        boots_hi.append(_quantile_linear(draw, q_hi))
     out: list[float] = []
-    for q in (q_lo, q_hi):
+    for q, boots in ((q_lo, boots_lo), (q_hi, boots_hi)):
         sample_q = _quantile_linear(svals, q)
-        boots: list[float] = []
-        for r in range(n_resamples):
-            draw = sorted(
-                vals[_resample_index(r * n + j, n, seed)] for j in range(n)
-            )
-            boots.append(_quantile_linear(draw, q))
         mean = sum(boots) / n_resamples
         # population std (np.std default ddof=0), as the reference uses
         se = math.sqrt(sum((b - mean) ** 2 for b in boots) / n_resamples)

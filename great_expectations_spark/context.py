@@ -63,7 +63,6 @@ class DataContext:
         self.root_dir = root_dir
         if root_dir is not None:
             os.makedirs(root_dir, exist_ok=True)
-            db = DatabaseStoreBackend(os.path.join(root_dir, "metrics.db"))
             self.suites = suites or ExpectationSuiteStore(
                 TupleFilesystemStoreBackend(
                     os.path.join(root_dir, "expectations"), key_length=1))
@@ -75,7 +74,8 @@ class DataContext:
                 DatabaseStoreBackend(
                     os.path.join(root_dir, "metrics.db"), table="metrics"))
             self.evaluation_parameters = evaluation_parameters or (
-                EvaluationParameterStore(db))
+                EvaluationParameterStore(DatabaseStoreBackend(
+                    os.path.join(root_dir, "metrics.db"))))
         else:
             self.suites = suites or ExpectationSuiteStore(InMemoryStoreBackend())
             self.validations = validations or ValidationResultStore(
@@ -118,18 +118,17 @@ class DataContext:
 
         Bound evaluation parameters from PRIOR runs in this context are
         injected automatically: `$PARAMETER` URNs referencing an upstream
-        suite resolve against the most recent run that published them."""
+        suite resolve against the most recently PUBLISHED value (insertion
+        order — caller-supplied run ids need not sort chronologically)."""
         if isinstance(suite, str):
             suite = self.get_suite(suite)
         run_id = run_id or _default_run_id()
         params = dict(validate_kwargs.pop("evaluation_parameters", None) or {})
-        # latest-run-wins URN binding across everything published so far
+        # latest-published-wins URN binding: one O(params) prefix scan of
+        # the store's latest-value view, regardless of run-history depth
         # (explicit evaluation_parameters= always beat stored ones)
-        prior_runs = sorted({k[0] for k in self.evaluation_parameters.list_keys()},
-                            reverse=True)
-        for prior_run in prior_runs:
-            for urn, v in self.evaluation_parameters.bind_params(prior_run).items():
-                params.setdefault(urn, v)
+        for urn, v in self.evaluation_parameters.bind_latest_params().items():
+            params.setdefault(urn, v)
         result = _validate(
             df, suite, result_format=result_format, tables=tables,
             evaluation_parameters=params or None, **validate_kwargs)

@@ -38,13 +38,25 @@ def tracked_checkpoint(
     The id set is what :func:`unpersist_ids` needs to free this cut later.
     ``persist`` registers the RDD at call time (not first materialization),
     so this works for ``eager=False`` too; for ``reliable=True`` the data
-    lives in checkpoint files and the set is usually empty — freeing it is
-    then a no-op."""
+    lives in checkpoint files, the pinned set is usually empty, and
+    freeing it is then a no-op.
+
+    The id is read off the RETURNED frame's own plan (``checkpoint``
+    returns a Dataset over ``LogicalRDD(pinned_rdd)``), never by diffing
+    the session-global persistent-RDD registry: a global before/after diff
+    would capture whatever a CONCURRENT thread persisted in the window and
+    later unpersist it — and a localCheckpoint's blocks are unrecoverable
+    once dropped (truncated lineage cannot recompute). Falls back to the
+    global diff only if a future Spark changes the returned plan shape."""
     sc = df.sparkSession.sparkContext
     before = _persistent_ids(sc)
     out = df.checkpoint(eager=eager) if reliable else df.localCheckpoint(
         eager=eager)
-    return out, _persistent_ids(sc) - before
+    try:
+        # LogicalRDD.rdd() — the exact RDD checkpoint() just registered
+        return out, {int(out._jdf.queryExecution().analyzed().rdd().id())}
+    except Exception:
+        return out, _persistent_ids(sc) - before
 
 
 def unpersist_ids(df_or_sc, ids: set[int]) -> None:

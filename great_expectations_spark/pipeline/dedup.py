@@ -229,6 +229,38 @@ def lsh_plan(
     }
 
 
+def _validate_banding(k: int, bands: int) -> int:
+    """Validate a (k, bands) split and return rows-per-band."""
+    if bands <= 0 or k % bands != 0:
+        # bands > k would give r=0 — every doc in ONE bucket per band (a
+        # full N^2 self-join); k % bands != 0 would silently drop the last
+        # signature rows and change precision/recall behind the caller's back
+        raise ValueError(
+            f"bands must evenly divide the signature size (k={k}, bands={bands})")
+    return k // bands
+
+
+def _explode_banded(sig_df: DataFrame, k: int, bands: int) -> DataFrame:
+    """``(__id, __sig)`` → ``(__id, band, bucket)`` — THE banding
+    definition. Bucket values are cross-path join keys (history state
+    tables vs new-batch probes), so every producer of banded buckets must
+    come through here: a drift in salt, separator, or slice between two
+    copies would silently make incremental dedup find zero candidates."""
+    r = _validate_banding(k, bands)
+    band_cols = [
+        _md5(F.concat_ws("|", *[F.col("__sig")[b * r + j] for j in range(r)])).alias("__bucket")
+        for b in range(bands)
+    ]
+    return sig_df.select(
+        "__id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.__bucket").alias("bucket"))
+
+
 def _band_buckets(
     df: DataFrame,
     id_col: str,
@@ -240,13 +272,7 @@ def _band_buckets(
     """(__id, band, bucket) triples of the MinHash-LSH banding pipeline —
     the single definition candidate pairing AND hot-bucket reporting share,
     so the reported buckets are exactly the ones the pairing saw."""
-    if bands <= 0 or k % bands != 0:
-        # bands > k would give r=0 — every doc in ONE bucket per band (a
-        # full N^2 self-join); k % bands != 0 would silently drop the last
-        # signature rows and change precision/recall behind the caller's back
-        raise ValueError(
-            f"bands must evenly divide the signature size (k={k}, bands={bands})")
-    r = k // bands
+    _validate_banding(k, bands)
     base = (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
@@ -255,18 +281,7 @@ def _band_buckets(
         .select("__id", hashed_shingles(F.col("__th"), shingle_n).alias("__h"))
         .select("__id", minhash_from_hashes(F.col("__h"), k).alias("__sig"))
     )
-    band_cols = [
-        _md5(F.concat_ws("|", *[F.col("__sig")[b * r + j] for j in range(r)])).alias("__bucket")
-        for b in range(bands)
-    ]
-    return base.select(
-        "__id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.__bucket").alias("bucket"))
+    return _explode_banded(base, k, bands)
 
 
 def minhash_lsh_candidates(
@@ -365,10 +380,7 @@ def digest_and_buckets(
     16-byte digest + k longs) is lazily checkpointed, and both outputs
     read the materialized blocks.
     """
-    if bands <= 0 or k % bands != 0:
-        raise ValueError(
-            f"bands must evenly divide the signature size (k={k}, bands={bands})")
-    r = k // bands
+    _validate_banding(k, bands)
     feat = (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("__id"), _md5(F.col(text_col)).alias("__h"),
@@ -388,24 +400,8 @@ def digest_and_buckets(
         )
     ).localCheckpoint(eager=False)
     digests = feat.select("__id", "__h")
-    band_cols = [
-        _md5(F.concat_ws("|", *[F.col("__sig")[b * r + j] for j in range(r)])).alias("__bucket")
-        for b in range(bands)
-    ]
-    triples = (
-        feat.where(F.col("__nt") >= shingle_n)
-        .select(
-            "__id",
-            F.explode(
-                F.array(*[
-                    F.struct(F.lit(b).alias("band"), band_cols[b])
-                    for b in range(bands)
-                ])
-            ).alias("bb"),
-        )
-        .select("__id", F.col("bb.band").alias("band"),
-                F.col("bb.__bucket").alias("bucket"))
-    )
+    triples = _explode_banded(
+        feat.where(F.col("__nt") >= shingle_n).select("__id", "__sig"), k, bands)
     return digests, triples
 
 

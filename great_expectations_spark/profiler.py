@@ -191,9 +191,6 @@ CANDIDATE_STRFTIME: list[str] = [
     "%H:%M:%S.%f",
 ]
 
-_NP_EPSILON = 2.220446049250313e-16  # np.finfo(float).eps, as the reference
-
-
 def _strftime_mask_udf(candidates: list[str]):
     """One Arrow-batched pandas UDF: per value, a bitmask long with bit i
     set iff the value parses under candidates[i] (Python strptime — the
@@ -292,8 +289,12 @@ def infer_formats(
             r: int(row[f"{c}__re{i}"] or 0) for i, r in enumerate(regexes)}
         sf_counts = {
             f: int(row[f"{c}__sf{i}"] or 0) for i, f in enumerate(strfs)}
-        re_ratios = {r: n / (nn + _NP_EPSILON) for r, n in re_counts.items()}
-        sf_ratios = {f: n / (nn + _NP_EPSILON) for f, n in sf_counts.items()}
+        # exact ratio when nonnull rows exist: the reference's
+        # n / (nn + eps) form only survives float rounding at nn == 1,
+        # where a 100%-matching format lands at 1 - 2e-16 and can never
+        # clear the default threshold of exactly 1.0
+        re_ratios = {r: (n / nn if nn else 0.0) for r, n in re_counts.items()}
+        sf_ratios = {f: (n / nn if nn else 0.0) for f, n in sf_counts.items()}
         rb, rr = best_of(re_ratios)
         sb, sr = best_of(sf_ratios)
         out[c] = {

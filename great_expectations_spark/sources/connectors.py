@@ -55,7 +55,8 @@ class BatchDefinition:
 
 
 def _identifiers_from_match(
-    m: "re.Match[str]", group_names: list[str] | None
+    m: "re.Match[str]", group_names: list[str] | None,
+    *, keep_asset_group: bool = False,
 ) -> tuple[str, dict[str, str]]:
     named = m.groupdict()
     if named:
@@ -65,7 +66,12 @@ def _identifiers_from_match(
                if group_names is None or k in group_names}
     else:
         ids = dict(zip(group_names or [], m.groups()))
-    asset = ids.pop("data_asset_name", DEFAULT_ASSET)
+    asset = ids.get("data_asset_name", DEFAULT_ASSET)
+    if not keep_asset_group:
+        # inferred connectors route the group into the asset name;
+        # configured assets are named by dict key, so the group stays a
+        # plain batch identifier
+        ids.pop("data_asset_name", None)
     return asset, ids
 
 
@@ -261,12 +267,8 @@ class ConfiguredFilesystemAssets(InferredFilesystemAssets):
                 if m is None:
                     self._unmatched.append(f"{name}:{rel}")
                     continue
-                named = m.groupdict()
-                if named:
-                    ids = {k: v for k, v in named.items()
-                           if spec.group_names is None or k in spec.group_names}
-                else:
-                    ids = dict(zip(spec.group_names or [], m.groups()))
+                _, ids = _identifiers_from_match(
+                    m, spec.group_names, keep_asset_group=True)
                 self._batches.append(BatchDefinition(name, ids, p))
 
     def asset_names(self) -> list[str]:

@@ -294,9 +294,14 @@ class DatabaseStoreBackend(StoreBackend):
     def _list_keys(self, prefix: tuple[str, ...]) -> Iterator[tuple[str, ...]]:
         if prefix:
             packed = self._pack(prefix)
+            # escape LIKE wildcards: '_'/'%' are ordinary characters in key
+            # parts (suite names, run ids), not match-any operators
+            escaped = (packed.replace("\\", "\\\\")
+                       .replace("%", "\\%").replace("_", "\\_"))
             rows = self._conn.execute(
-                f"SELECT key FROM {self._table} WHERE key = ? OR key LIKE ?",
-                (packed, packed + _UNIT_SEP + "%"))
+                f"SELECT key FROM {self._table} WHERE key = ? "
+                "OR key LIKE ? ESCAPE '\\'",
+                (packed, escaped + _UNIT_SEP + "%"))
         else:
             rows = self._conn.execute(f"SELECT key FROM {self._table}")
         return (tuple(r[0].split(_UNIT_SEP)) for r in rows.fetchall())
@@ -412,11 +417,22 @@ class MetricStore(Store):
 
 class EvaluationParameterStore(MetricStore):
     """Same shape as MetricStore (reference ``metric_store.py:67``), plus a
-    flat URN view consumable by ``validate(evaluation_parameters=...)``."""
+    flat URN view consumable by ``validate(evaluation_parameters=...)``.
+
+    ``LATEST_RUN`` is a reserved run id: every ``store_suite_result`` call
+    also upserts its params under it, so "the most recently PUBLISHED value
+    of each URN" is one O(params) prefix scan — publication order, not the
+    lexicographic order of caller-supplied run-id strings, and independent
+    of how many historical runs the store holds."""
+
+    LATEST_RUN = "__latest__"
 
     def store_suite_result(self, result: SuiteValidationResult, run_id: str) -> int:
         """Persist each EVR's observed_value under its validations URN —
         the durable twin of ``StoreEvaluationParametersAction``."""
+        if run_id == self.LATEST_RUN:
+            raise InvalidKeyError(
+                f"run_id {run_id!r} is reserved for the latest-value view")
         stored = 0
         for evr in result.results:
             res = evr.result or {}
@@ -426,8 +442,14 @@ class EvaluationParameterStore(MetricStore):
             col = evr.expectation_config.kwargs.get("column")
             kid = f"column={col}" if col is not None else "__"
             self.set((run_id, f"{result.suite_name}:{et}", kid), res["observed_value"])
+            self.set((self.LATEST_RUN, f"{result.suite_name}:{et}", kid),
+                     res["observed_value"])
             stored += 1
         return stored
+
+    def bind_latest_params(self) -> dict[str, Any]:
+        """URN → most-recently-published value, O(distinct params)."""
+        return self.bind_params(self.LATEST_RUN)
 
     def bind_params(self, run_id: str) -> dict[str, Any]:
         """URN → value map for a run, in the exact key format

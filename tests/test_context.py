@@ -140,3 +140,23 @@ def test_explicit_params_beat_stored(spark):
     res = ctx.validate(_pages(spark, n=10), "down", run_id="r2",
                        evaluation_parameters={urn: 5})
     assert res.success
+
+
+def test_eval_param_publication_order_beats_lexicographic(spark):
+    """User-supplied run ids need not sort chronologically: 'run-9' >
+    'run-10' as strings, but run-10 published later and must win."""
+    ctx = get_context()
+    up = ExpectationSuite("up2").add(
+        "expect_table_row_count_to_be_between", min_value=1, max_value=10**6)
+    ctx.add_suite(up)
+    ctx.validate(_pages(spark, n=10), "up2", run_id="run-9")
+    ctx.validate(_pages(spark, n=50), "up2", run_id="run-10")
+    down = ExpectationSuite("down2").add(
+        "expect_table_row_count_to_be_between",
+        min_value={"$PARAMETER": (
+            "urn:great_expectations:validations:up2:"
+            "expect_table_row_count_to_be_between.result.observed_value")},
+        max_value=10**6)
+    ctx.add_suite(down)
+    # 30 ≥ 10 (run-9) but < 50 (run-10, published last) — run-10 must win
+    assert not ctx.validate(_pages(spark, n=30), "down2", run_id="run-11").success

@@ -536,3 +536,44 @@ def test_signature_tables_one_scan_matches_separate(spark):
     # the short doc (< shingle_n tokens) has a digest but no buckets
     assert any(r["id"] == 3 for r in dig.collect())
     assert all(r["id"] != 3 for r in buck.collect())
+
+
+def test_tracked_checkpoint_scoped_to_own_frame(spark):
+    """A concurrently-persisted RDD registered during the checkpoint call
+    must NOT be captured (and later unpersisted) — the id comes off the
+    returned frame's own plan, not a global registry diff."""
+    from pyspark.sql import DataFrame
+
+    from great_expectations_spark.pipeline._lineage import (
+        tracked_checkpoint, unpersist_ids,
+    )
+
+    interloper = spark.range(5).persist()
+    try:
+        sc = spark.sparkContext
+        real = DataFrame.localCheckpoint
+        victim = spark.range(7).selectExpr("id", "id * 3 as v")
+
+        def racy(self, eager=True):
+            # simulate another thread persisting inside the call window
+            interloper.count()
+            return real(self, eager=eager)
+
+        DataFrame.localCheckpoint = racy
+        try:
+            out, ids = tracked_checkpoint(victim)
+        finally:
+            DataFrame.localCheckpoint = real
+        persistent = {int(i) for i in
+                      sc._jsc.getPersistentRDDs().keySet().toArray()}
+        assert len(ids) == 1 and ids <= persistent
+        assert out.count() == 7  # before the cleanup: freed blocks are
+        # unrecoverable by design (truncated lineage)
+        unpersist_ids(out, ids)
+        # interloper's blocks survive the cleanup
+        assert interloper.count() == 5
+        remaining = {int(i) for i in
+                     sc._jsc.getPersistentRDDs().keySet().toArray()}
+        assert not (ids & remaining)
+    finally:
+        interloper.unpersist()

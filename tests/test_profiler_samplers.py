@@ -400,3 +400,14 @@ def test_suggest_suite_format_inference_opt_out(spark):
     types = {e.expectation_type for e in suite.expectations}
     assert "expect_column_values_to_match_regex" not in types
     assert "expect_column_values_to_match_strftime_format" not in types
+
+
+def test_infer_formats_single_row_full_match(spark):
+    """A 1-row column that matches 100% must clear threshold=1.0 — the
+    n/(nn+eps) ratio form only misses exact 1.0 at nn == 1."""
+    from great_expectations_spark.profiler import infer_formats
+
+    df = spark.createDataFrame([("2024-01-05",)], ["d"])
+    inf = infer_formats(df, threshold=1.0)
+    assert inf["d"]["strftime"]["best"] == "%Y-%m-%d"
+    assert inf["d"]["strftime"]["ratio"] == 1.0

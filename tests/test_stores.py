@@ -245,3 +245,44 @@ def test_build_docs_site(tmp_path):
     assert page.count("<section>") == 3
     # deterministic: second build byte-identical
     assert open(build_docs_site(store, str(tmp_path / "docs"))).read() == html
+
+
+def test_sqlite_prefix_listing_escapes_like_wildcards(tmp_path):
+    """'_'/'%' in key parts are literal characters, not LIKE wildcards —
+    without ESCAPE, listing ('suite_a',) also returned 'suiteXa' keys."""
+    b = DatabaseStoreBackend(str(tmp_path / "esc.db"))
+    b.set(("suite_a", "r1"), "1")
+    b.set(("suiteXa", "r1"), "2")
+    b.set(("suite%a", "r2"), "3")
+    b.set(("suite_a_extra", "r3"), "4")
+    assert set(b.list_keys(("suite_a",))) == {("suite_a", "r1")}
+    assert set(b.list_keys(("suite%a",))) == {("suite%a", "r2")}
+    assert set(b.list_keys(("suiteXa",))) == {("suiteXa", "r1")}
+
+
+def test_eval_param_store_latest_view(tmp_path):
+    """store_suite_result maintains an O(params) latest-value view keyed
+    by PUBLICATION order, and rejects the reserved run id."""
+    from great_expectations_spark.core.result import (
+        ExpectationValidationResult as EVR,
+    )
+
+    def _result(n):
+        return SuiteValidationResult(
+            suite_name="up", success=True,
+            results=[EVR(
+                success=True,
+                expectation_config=ExpectationConfiguration(
+                    expectation_type="expect_table_row_count_to_be_between",
+                    kwargs={"min_value": 1}),
+                result={"observed_value": n})])
+
+    s = EvaluationParameterStore(DatabaseStoreBackend(str(tmp_path / "ep.db")))
+    # lexicographically DESCENDING run ids: run-9 > run-10 as strings
+    s.store_suite_result(_result(10), "run-9")
+    s.store_suite_result(_result(50), "run-10")
+    urn = ("urn:great_expectations:validations:up:"
+           "expect_table_row_count_to_be_between.result.observed_value")
+    assert s.bind_latest_params()[urn] == 50
+    with pytest.raises(InvalidKeyError):
+        s.store_suite_result(_result(1), s.LATEST_RUN)
