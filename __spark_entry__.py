@@ -1786,6 +1786,64 @@ def _p9j(spark, sf):
         n=40, buckets=512).select("doc_id")
 
 
+@_q("pipeline_bm25_topk", """
+WITH docs AS (SELECT doc_id, text FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+tok AS (SELECT doc_id AS id, token FROM
+          (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docs)
+        WHERE token != ''),
+post AS (SELECT id, token, count(*) AS tf FROM tok GROUP BY id, token),
+dl AS (SELECT id, count(*) AS dl FROM tok GROUP BY id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+q AS (SELECT doc_id AS query_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')
+             AS qtext
+      FROM docs WHERE doc_id % 97 = 3),
+qt AS (SELECT DISTINCT query_id, token FROM
+         (SELECT query_id, unnest(string_split(qtext, ' ')) AS token FROM q)
+       WHERE token != ''),
+dfreq AS (SELECT token, count(*) AS df FROM post
+          WHERE token IN (SELECT token FROM qt) GROUP BY token),
+scored AS (
+  SELECT qt.query_id, p.id,
+         round(sum( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                    * p.tf * 2.2
+                    / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) ), 6)
+         AS score
+  FROM post p
+  JOIN qt ON qt.token = p.token
+  JOIN dfreq d ON d.token = p.token
+  JOIN dl l ON l.id = p.id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, p.id),
+ranked AS (SELECT query_id, id AS doc_id, score,
+                  CAST(row_number() OVER
+                       (PARTITION BY query_id ORDER BY score DESC, id)
+                       AS INTEGER) AS rank
+           FROM scored)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 5
+""")
+def _p9k(spark, sf):
+    """BM25 top-5 lexical retrieval (pipeline/retrieval.py): ONE postings
+    scan semi-joined to the broadcast query vocabulary, df from the hit
+    rows, map-combinable per-(query, doc) score sum, two-phase salted
+    top-k. Queries are 6 documents' own 4-token prefixes (doc_id % 97 = 3)
+    so every query hits; scores round to 6 decimals BEFORE ranking — the
+    cross-engine total order."""
+    from great_expectations_spark.pipeline.retrieval import bm25_search
+
+    docs = _tbl(spark, sf, "documents")
+    queries = (
+        docs.where((F.col("doc_id") % 97 == 3) & F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 4), " ")
+            .alias("text"),
+        )
+    )
+    return bm25_search(docs, queries, top_k=5)
+
+
 @_q("pipeline_classifier_scores", """
 WITH tf AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
             FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),

@@ -482,6 +482,22 @@ def main() -> None:
             docs, "doc_id", "text", vocab_size=50_000)
         perplexity_buckets(scores).groupBy("bucket").count().collect()
 
+    @timed("bm25_search")
+    def _q20():
+        # BM25 lexical retrieval: index the corpus (one tokenize scan ->
+        # postings) and run document-prefix queries — hits-only shuffles,
+        # broadcast query vocabulary, two-phase salted top-k
+        from great_expectations_spark.pipeline.retrieval import bm25_search
+
+        queries = (docs.where((F.col("doc_id") % 97 == 7)
+                              & F.col("text").isNotNull())
+                   .select(F.col("doc_id").alias("query_id"),
+                           F.array_join(
+                               F.slice(F.split(F.col("text"), " "), 1, 6),
+                               " ").alias("text")))
+        bm25_search(docs, queries, top_k=10).select(
+            F.count(F.lit(1))).first()
+
     # NOT counted in rows_validated (appended in round 2)
 
     total = round(sum(timings.values()), 4)
