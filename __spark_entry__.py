@@ -1844,6 +1844,86 @@ def _p9k(spark, sf):
     return bm25_search(docs, queries, top_k=5)
 
 
+_HOST_EDGES_SQL = """
+raw AS (
+  SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS src,
+         CASE WHEN doc_id % 11 = 0
+              THEN 'sink' || CAST(doc_id % 3 AS VARCHAR)
+              ELSE 'h' || CAST((doc_id * doc_id) % 37 AS VARCHAR) END AS dst
+  FROM documents WHERE doc_id IS NOT NULL),
+e AS (SELECT DISTINCT src, dst FROM raw WHERE src != dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)
+"""
+
+
+def _host_edges(spark, sf):
+    """Deterministic host-link graph derived from documents: every doc
+    links its host h(doc_id % 37) to h(doc_id^2 % 37) (quadratic residues
+    => skewed in-degree), and every 11th doc links to one of 3 pure-sink
+    hosts that never appear as src => dangling mass. Same arithmetic as
+    _HOST_EDGES_SQL."""
+    docs = _tbl(spark, sf, "documents").where(F.col("doc_id").isNotNull())
+    did = F.col("doc_id")
+    return docs.select(
+        F.concat(F.lit("h"), (did % 37).cast("string")).alias("src"),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit("sink"), (did % 3).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("h"), ((did * did) % 37).cast("string"))
+        ).alias("dst"),
+    )
+
+
+_PR_ITER_SQL = """
+c{k} AS (SELECT e.dst AS node, sum(r{p}.r / deg.outdeg) AS c
+         FROM e JOIN r{p} ON r{p}.node = e.src JOIN deg ON deg.src = e.src
+         GROUP BY e.dst),
+m{k} AS (SELECT 1.0 - coalesce(sum(c), 0.0) AS dang FROM c{k}),
+r{k} AS (SELECT nodes.node,
+                (1.0 - 0.85) / nn.n
+                + 0.85 * (coalesce(c{k}.c, 0.0) + m{k}.dang / nn.n) AS r
+         FROM nodes CROSS JOIN nn CROSS JOIN m{k}
+         LEFT JOIN c{k} ON c{k}.node = nodes.node)"""
+
+
+@_q("graph_pagerank", "WITH " + _HOST_EDGES_SQL.strip().rstrip() + """,
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),"""
+    + ",".join(_PR_ITER_SQL.format(k=k, p=k - 1) for k in (1, 2, 3)) + """
+SELECT node, round(r, 6) AS rank FROM r3
+""")
+def _p9m(spark, sf):
+    """PageRank (pipeline/graph.py): 3 iterations, damping 0.85, dangling
+    mass redistributed as 1 - sum(contributions), ranks rounded to 6
+    decimals at the END only — DuckDB unrolls the identical recurrence,
+    so the parity check covers degree annotation, the per-iteration
+    contribution join/agg, and the dangling scalar."""
+    from great_expectations_spark.pipeline.graph import pagerank
+
+    return pagerank(_host_edges(spark, sf), iterations=3, round_to=6)
+
+
+@_q("graph_degree_stats", "WITH " + _HOST_EDGES_SQL.strip() + """,
+od AS (SELECT src AS node, count(*) AS c FROM e GROUP BY src),
+ind AS (SELECT dst AS node, count(*) AS c FROM e GROUP BY dst)
+SELECT nodes.node,
+       CAST(coalesce(od.c, 0) AS BIGINT) AS out_degree,
+       CAST(coalesce(ind.c, 0) AS BIGINT) AS in_degree
+FROM nodes
+LEFT JOIN od ON od.node = nodes.node
+LEFT JOIN ind ON ind.node = nodes.node
+""")
+def _p9n(spark, sf):
+    """Single-exchange degree report (pipeline/graph.py degree_stats):
+    unioned (node, out, in) increments summed in one map-side-combinable
+    groupBy must equal DuckDB's two-agg + join formulation exactly."""
+    from great_expectations_spark.pipeline.graph import degree_stats
+
+    return degree_stats(_host_edges(spark, sf))
+
+
 @_q("pipeline_classifier_scores", """
 WITH tf AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
             FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),

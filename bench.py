@@ -498,6 +498,29 @@ def main() -> None:
         bm25_search(docs, queries, top_k=10).select(
             F.count(F.lit(1))).first()
 
+    @timed("pagerank_hosts")
+    def _q21():
+        # host-graph PageRank, 5 iterations: per-doc links scaled up via
+        # 4 deterministic edge variants per doc (skewed in-degree via
+        # quadratic residues, 3 pure-sink hosts for dangling mass); one
+        # degree-annotated persisted edge list, two exchanges/iteration
+        from great_expectations_spark.pipeline.graph import pagerank
+
+        did = F.col("doc_id")
+        k = F.col("k")
+        edges = (docs.where(did.isNotNull())
+                 .select(did, F.explode(F.array(
+                     *[F.lit(i) for i in range(4)])).alias("k"))
+                 .select(
+                     F.concat(F.lit("h"), ((did + k * 251) % 997)
+                              .cast("string")).alias("src"),
+                     F.when((did + k) % 11 == 0,
+                            F.concat(F.lit("sink"), (did % 5).cast("string")))
+                     .otherwise(F.concat(F.lit("h"), ((did * did + k) % 997)
+                                         .cast("string"))).alias("dst")))
+        pagerank(edges, iterations=5).select(
+            F.sum("rank"), F.count(F.lit(1))).first()
+
     # NOT counted in rows_validated (appended in round 2)
 
     total = round(sum(timings.values()), 4)
