@@ -1924,6 +1924,59 @@ def _p9n(spark, sf):
     return degree_stats(_host_edges(spark, sf))
 
 
+@_q("pipeline_chunk_windows", """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+dd AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) >= 1),
+nc AS (SELECT doc_id, toks, n,
+              CASE WHEN n <= 32 THEN 1
+                   ELSE 1 + CAST(floor((n - 32 + 23) / 24.0) AS BIGINT)
+              END AS num
+       FROM dd),
+k AS (SELECT doc_id, toks, n,
+             unnest(generate_series(0, num - 1)) AS k
+      FROM nc)
+SELECT doc_id,
+       CAST(k AS INTEGER) AS chunk_idx,
+       CAST(k * 24 AS BIGINT) AS start_token,
+       CAST(least(32, n - k * 24) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, k * 24 + 1, least(k * 24 + 32, n)),
+                       ' ') AS chunk_text
+FROM k
+""")
+def _p9o(spark, sf):
+    """RAG chunking (pipeline/chunking.py): window 32, overlap 8 over every
+    document — chunk boundaries, ragged tails, and the no-pure-suffix-chunk
+    count rule all replayed by DuckDB's list arithmetic."""
+    from great_expectations_spark.pipeline.chunking import chunk_documents
+
+    docs = _tbl(spark, sf, "documents")
+    return chunk_documents(docs, "doc_id", "text", window=32, overlap=8)
+
+
+@_q("pipeline_chunk_roundtrip", """
+SELECT doc_id,
+       array_to_string(list_filter(string_split(text, ' '), x -> x <> ''),
+                       ' ') AS text
+FROM documents
+WHERE doc_id IS NOT NULL AND text IS NOT NULL
+  AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1
+""")
+def _p9p(spark, sf):
+    """Chunk → reassemble must restore every document's token stream
+    (token-lossless contract): overlap trimming + the map-side
+    sort_array(collect_list(struct)) ordering vs the plain normalized
+    text."""
+    from great_expectations_spark.pipeline.chunking import (
+        chunk_documents, reassemble_chunks)
+
+    docs = _tbl(spark, sf, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", window=32, overlap=8)
+    return reassemble_chunks(chunks, "doc_id", overlap=8)
+
+
 @_q("pipeline_classifier_scores", """
 WITH tf AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
             FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),

@@ -521,6 +521,17 @@ def main() -> None:
         pagerank(edges, iterations=5).select(
             F.sum("rank"), F.count(F.lit(1))).first()
 
+    @timed("chunk_windows")
+    def _q22():
+        # RAG chunking: every doc -> overlapping 256-token windows; pure
+        # row-local projection + explode, zero shuffle
+        from great_expectations_spark.pipeline.chunking import (
+            chunk_documents)
+
+        chunk_documents(docs, "doc_id", "text", window=256,
+                        overlap=32).select(
+            F.count(F.lit(1)), F.sum("n_tokens")).first()
+
     # NOT counted in rows_validated (appended in round 2)
 
     total = round(sum(timings.values()), 4)
