@@ -1615,6 +1615,61 @@ lm_scores AS (
   FROM documents d LEFT JOIN per p ON p.id = d.doc_id)"""
 
 
+@_q("pipeline_lm_bigram", """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+dd AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) >= 1),
+uni AS (SELECT token, count(*) AS c
+        FROM (SELECT unnest(toks) AS token FROM dd) GROUP BY token),
+meta AS (SELECT (SELECT sum(c) FROM uni) AS n,
+                (SELECT count(*) FROM
+                 (SELECT 1 FROM uni ORDER BY c DESC, token LIMIT 20)) AS v),
+pu AS (SELECT token,
+              (CAST(c AS DOUBLE) + 0.5)
+              / (CAST(n AS DOUBLE) + 0.5 * (v + 1)) AS pu
+       FROM (SELECT token, c FROM uni ORDER BY c DESC, token LIMIT 20),
+            meta),
+oov AS (SELECT 0.5 / (CAST(n AS DOUBLE) + 0.5 * (v + 1)) AS po FROM meta),
+pairs AS (SELECT doc_id,
+                 CASE WHEN i = 1 THEN NULL ELSE toks[i - 1] END AS prev,
+                 toks[i] AS cur
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, n)) AS i FROM dd)),
+bigc AS (SELECT prev AS w1, cur AS w2, count(*) AS c12 FROM pairs
+         WHERE prev IS NOT NULL GROUP BY prev, cur),
+big AS (SELECT b.w1, b.w2, CAST(b.c12 AS DOUBLE) / u.c AS pc
+        FROM (SELECT w1, w2, c12 FROM bigc
+              ORDER BY c12 DESC, w1, w2 LIMIT 100) b
+        JOIN uni u ON u.token = b.w1),
+lp AS (SELECT p.doc_id,
+              CASE WHEN p.prev IS NULL THEN ln(coalesce(pu.pu, o.po))
+                   ELSE ln(0.75 * coalesce(big.pc, 0.0)
+                           + 0.25 * coalesce(pu.pu, o.po)) END AS lp
+       FROM pairs p CROSS JOIN oov o
+       LEFT JOIN pu ON pu.token = p.cur
+       LEFT JOIN big ON big.w1 = p.prev AND big.w2 = p.cur),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(-avg(lp), 6) AS avg_neg_logp
+        FROM lp GROUP BY doc_id)
+SELECT d0.doc_id, coalesce(per.n_tokens, 0) AS n_tokens, per.avg_neg_logp
+FROM documents d0 LEFT JOIN per ON per.doc_id = d0.doc_id
+""")
+def _p9q(spark, sf):
+    """Interpolated bigram LM (pipeline/lm.py bigram_lm +
+    doc_logprob_bigram): vocab 20 of 31 synthetic tokens (OOV exercised),
+    bigram table pruned to top 100 (fallback-to-unigram exercised),
+    Jelinek-Mercer lam=0.75 — per-doc scores digit-exact vs DuckDB's
+    unrolled replica including the first-token unigram rule."""
+    from great_expectations_spark.pipeline.lm import (
+        bigram_lm, doc_logprob_bigram)
+
+    docs = _tbl(spark, sf, "documents")
+    model = bigram_lm(docs, "doc_id", "text", vocab_size=20,
+                      bigram_size=100, alpha=0.5)
+    return doc_logprob_bigram(docs, model, "doc_id", "text", lam=0.75)
+
+
 @_q("pipeline_lm_scores", f"""
 WITH {_lm_scores_cte()}
 SELECT * FROM lm_scores

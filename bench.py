@@ -521,6 +521,19 @@ def main() -> None:
         pagerank(edges, iterations=5).select(
             F.sum("rank"), F.count(F.lit(1))).first()
 
+    @timed("lm_bigram")
+    def _q23():
+        # interpolated bigram LM: one tokenize pass trains unigram +
+        # bigram tables (bounded TakeOrdered cuts), scoring = row-local
+        # pair stream + two broadcast joins + doc-keyed combine
+        from great_expectations_spark.pipeline.lm import (
+            bigram_lm, doc_logprob_bigram)
+
+        model = bigram_lm(docs, "doc_id", "text", vocab_size=50_000,
+                          bigram_size=200_000)
+        doc_logprob_bigram(docs, model, "doc_id", "text").select(
+            F.count(F.lit(1)), F.avg("avg_neg_logp")).first()
+
     @timed("chunk_windows")
     def _q22():
         # RAG chunking: every doc -> overlapping 256-token windows; pure

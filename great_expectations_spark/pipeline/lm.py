@@ -1,8 +1,9 @@
-"""Corpus-trained unigram language-model scoring and perplexity-bucket
-quality stratification (the CCNet recipe of Wenzek et al. 2020,
-arXiv:1911.00359, with the KenLM 5-gram model replaced by a unigram LM
-the engine trains on the corpus itself — no external model files, and
-every step stays a DataFrame plan).
+"""Corpus-trained language-model scoring and perplexity-bucket quality
+stratification (the CCNet recipe of Wenzek et al. 2020,
+arXiv:1911.00359, with the KenLM 5-gram model replaced by models the
+engine trains on the corpus itself — a unigram LM and a Jelinek-Mercer
+interpolated bigram LM; no external model files, and every step stays a
+DataFrame plan).
 
 Pipeline shape
 --------------
@@ -206,6 +207,174 @@ def lm_train_and_score(
         )
     )
     return model, scores
+
+
+def bigram_lm(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    vocab_size: int = 50_000,
+    bigram_size: int = 200_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Interpolation-ready bigram model in ONE self-contained table
+    ``(w1, w2, p)``:
+
+    * ``(NULL, token, p)`` — add-alpha unigram probability for the top
+      ``vocab_size`` tokens (ties toward the smaller token, as in
+      :func:`unigram_lm`);
+    * ``(NULL, NULL, p)`` — the out-of-vocabulary unigram probability;
+    * ``(w1, w2, p)`` — UNsmoothed conditional ``count(w1 w2)/count(w1)``
+      for the top ``bigram_size`` bigrams by count (ties toward smaller
+      (w1, w2)); smoothing comes from Jelinek-Mercer interpolation with
+      the unigram at scoring time, so a pruned or unseen bigram degrades
+      gracefully instead of scoring zero.
+
+    One tokenize pass: the per-doc token array is materialized (lazy
+    localCheckpoint), then the unigram stream and the adjacent-pair
+    stream both read it — the corpus text is never re-read. Both count
+    aggregations are map-side-combinable; both cuts are
+    ``orderBy().limit()`` TakeOrdered, never a global sort. The model
+    materializes to the driver (``vocab_size + bigram_size + 1`` rows —
+    broadcast-sized by construction, the same bound scoring relies on).
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if vocab_size < 1 or bigram_size < 0:
+        raise ValueError(
+            f"vocab_size must be >= 1 and bigram_size >= 0, got "
+            f"{vocab_size}/{bigram_size}")
+    arrs = (
+        df.where(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(F.filter(F.split(F.col(text_col), " "),
+                         lambda t: t != F.lit("")).alias("toks"))
+        .where(F.size("toks") >= 1)
+    ).localCheckpoint(eager=False)
+
+    uni = (arrs.select(F.explode("toks").alias("token"))
+           .groupBy("token").agg(F.count(F.lit(1)).alias("c"))).persist()
+    try:
+        n_total = uni.agg(F.sum("c")).first()[0] or 0
+        top = (uni.orderBy(F.col("c").desc(), F.col("token"))
+               .limit(vocab_size).collect())
+
+        pairs = arrs.where(F.size("toks") >= 2).select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1)
+                    .alias("w1"),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1)
+                    .alias("w2"),
+                )
+            ).alias("p")
+        ).select("p.w1", "p.w2")
+        big = (
+            pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+            # c(w1) rides a join against the SAME persisted unigram counts
+            .join(uni.withColumnRenamed("token", "w1")
+                  .withColumnRenamed("c", "c1"), "w1")
+            .orderBy(F.col("c12").desc(), "w1", "w2")
+            .limit(bigram_size)
+            .collect()
+        )
+    finally:
+        uni.unpersist()
+
+    v = len(top)
+    denom = float(n_total) + alpha * (v + 1)
+    rows = [(None, r["token"], (r["c"] + alpha) / denom) for r in top]
+    rows.append((None, None, alpha / denom))
+    rows.extend((r["w1"], r["w2"], r["c12"] / float(r["c1"])) for r in big)
+    return df.sparkSession.createDataFrame(
+        rows, "w1 string, w2 string, p double")
+
+
+def doc_logprob_bigram(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-doc interpolated-bigram score ``(id_col, n_tokens,
+    avg_neg_logp)``: the first token scores ``ln(p_uni)``, every later
+    token ``ln(lam * p(w_i | w_{i-1}) + (1 - lam) * p_uni(w_i))`` with
+    the conditional falling to 0 for pruned/unseen bigrams. ``lam=0``
+    reduces exactly to :func:`doc_logprob` (up to 6-decimal rounding).
+    Docs with NULL/empty text get NULL score and ``n_tokens = 0``.
+
+    Plan: one row-local (prev, cur) pair stream off the token arrays, two
+    broadcast joins (unigram part on ``cur``, bigram part on the pair),
+    one map-combinable groupBy by doc id — the same shape as
+    :func:`doc_logprob` plus one broadcast."""
+    if not 0.0 <= lam < 1.0:
+        raise ValueError(f"lam must be in [0, 1), got {lam}")
+    vocab = (model.where(F.col("w1").isNull() & F.col("w2").isNotNull())
+             .select(F.col("w2").alias("cur"), F.col("p").alias("pu")))
+    oov_row = (model.where(F.col("w1").isNull() & F.col("w2").isNull())
+               .select("p").first())
+    if oov_row is None:
+        raise ValueError("model has no OOV row (w1 IS NULL, w2 IS NULL)")
+    oov_p = float(oov_row["p"])
+    bigrams = (model.where(F.col("w1").isNotNull())
+               .select("w1", "w2", F.col("p").alias("pc")))
+
+    arrs = (
+        df.where(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.filter(F.split(F.col(text_col), " "),
+                     lambda t: t != F.lit("")).alias("toks"),
+        )
+        .where(F.size("toks") >= 1)
+    )
+    # (prev, cur) for every position; position 1 gets prev = NULL, which
+    # the plain (non-null-safe) bigram join correctly never matches
+    pairs = arrs.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.concat(F.array(F.lit(None).cast("string")),
+                         F.slice(F.col("toks"), 1, F.size("toks") - 1))
+                .alias("prev"),
+                F.col("toks").alias("cur"),
+            )
+        ).alias("p"),
+    ).select("id", "p.prev", "p.cur")
+
+    scored = (
+        pairs.join(F.broadcast(vocab), "cur", "left")
+        .join(F.broadcast(bigrams),
+              (F.col("prev") == F.col("w1"))
+              & (F.col("cur") == F.col("w2")), "left")
+        .select(
+            "id",
+            F.when(
+                F.col("prev").isNull(),
+                F.log(F.coalesce(F.col("pu"), F.lit(oov_p))),
+            ).otherwise(
+                F.log(F.lit(lam) * F.coalesce(F.col("pc"), F.lit(0.0))
+                      + F.lit(1.0 - lam)
+                      * F.coalesce(F.col("pu"), F.lit(oov_p)))
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(-F.avg("lp"), 6).alias("avg_neg_logp"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+            .alias("n_tokens"),
+            "avg_neg_logp",
+        )
+    )
 
 
 def perplexity_buckets(

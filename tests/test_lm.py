@@ -156,3 +156,137 @@ def test_fused_bad_alpha_raises(spark, docs):
 
     with pytest.raises(ValueError, match="alpha"):
         lm_train_and_score(docs, "doc_id", "text", alpha=0.0)
+
+
+# ---- interpolated bigram LM -------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bdocs(spark):
+    rows = [(1, "a b a b"), (2, "a b c"), (3, "c"), (4, ""), (5, None)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bigram_model_hand_computed(spark, bdocs):
+    from great_expectations_spark.pipeline.lm import bigram_lm
+
+    # unigrams: a=3, b=3, c=2 (N=8); bigrams: (a,b)=3, (b,a)=1, (b,c)=1
+    m = bigram_lm(bdocs, "doc_id", "text", vocab_size=3,
+                  bigram_size=10, alpha=1.0)
+    uni = {r["w2"]: r["p"] for r in m.where("w1 IS NULL").collect()}
+    big = {(r["w1"], r["w2"]): r["p"]
+           for r in m.where("w1 IS NOT NULL").collect()}
+    denom = 8 + 1.0 * (3 + 1)
+    assert uni["a"] == pytest.approx(4 / denom)
+    assert uni["c"] == pytest.approx(3 / denom)
+    assert uni[None] == pytest.approx(1 / denom)   # OOV row
+    assert big == {("a", "b"): pytest.approx(3 / 3),
+                   ("b", "a"): pytest.approx(1 / 3),
+                   ("b", "c"): pytest.approx(1 / 3)}
+
+
+def test_bigram_cut_keeps_top_by_count(spark, bdocs):
+    from great_expectations_spark.pipeline.lm import bigram_lm
+
+    m = bigram_lm(bdocs, "doc_id", "text", vocab_size=3,
+                  bigram_size=1, alpha=1.0)
+    big = [(r["w1"], r["w2"]) for r in m.where("w1 IS NOT NULL").collect()]
+    assert big == [("a", "b")]
+
+
+def test_bigram_scores_hand_computed(spark, bdocs):
+    from great_expectations_spark.pipeline.lm import (
+        bigram_lm, doc_logprob_bigram)
+
+    lam = 0.5
+    m = bigram_lm(bdocs, "doc_id", "text", vocab_size=3,
+                  bigram_size=10, alpha=1.0)
+    got = {r["doc_id"]: (r["n_tokens"], r["avg_neg_logp"])
+           for r in doc_logprob_bigram(
+               bdocs, m, "doc_id", "text", lam=lam).collect()}
+    denom = 12.0
+    pu = {"a": 4 / denom, "b": 4 / denom, "c": 3 / denom}
+    pc = {("a", "b"): 1.0, ("b", "a"): 1 / 3, ("b", "c"): 1 / 3}
+
+    def tok_lp(prev, cur):
+        if prev is None:
+            return math.log(pu[cur])
+        return math.log(lam * pc.get((prev, cur), 0.0)
+                        + (1 - lam) * pu[cur])
+
+    def doc_lp(toks):
+        lps = [tok_lp(p, c)
+               for p, c in zip([None] + toks[:-1], toks)]
+        return round(-sum(lps) / len(lps), 6)
+
+    assert got[1] == (4, pytest.approx(doc_lp(["a", "b", "a", "b"])))
+    assert got[2] == (3, pytest.approx(doc_lp(["a", "b", "c"])))
+    assert got[3] == (1, pytest.approx(doc_lp(["c"])))
+    assert got[4] == (0, None)
+    assert got[5] == (0, None)
+
+
+def test_bigram_lambda_zero_equals_unigram(spark, bdocs):
+    from great_expectations_spark.pipeline.lm import (
+        bigram_lm, doc_logprob, doc_logprob_bigram, unigram_lm)
+
+    m2 = bigram_lm(bdocs, "doc_id", "text", vocab_size=2,
+                   bigram_size=10, alpha=0.5)
+    m1 = unigram_lm(bdocs, "doc_id", "text", vocab_size=2, alpha=0.5)
+    a = {r["doc_id"]: r["avg_neg_logp"]
+         for r in doc_logprob_bigram(bdocs, m2, "doc_id", "text",
+                                     lam=0.0).collect()}
+    b = {r["doc_id"]: r["avg_neg_logp"]
+         for r in doc_logprob(bdocs, m1, "doc_id", "text").collect()}
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=2e-6)
+
+
+def test_bigram_oov_and_unseen_bigram_fallback(spark, bdocs):
+    from great_expectations_spark.pipeline.lm import (
+        bigram_lm, doc_logprob_bigram)
+
+    m = bigram_lm(bdocs, "doc_id", "text", vocab_size=3,
+                  bigram_size=10, alpha=1.0)
+    batch = spark.createDataFrame([(9, "zz c a")], "doc_id long, text string")
+    got = doc_logprob_bigram(batch, m, "doc_id", "text", lam=0.5).first()
+    denom = 12.0
+    oov = 1 / denom
+    exp = -(math.log(oov)                        # zz: OOV first token
+            + math.log(0.5 * 0.0 + 0.5 * (3 / denom))   # (zz,c) unseen
+            + math.log(0.5 * 0.0 + 0.5 * (4 / denom))   # (c,a) unseen
+            ) / 3
+    assert got["n_tokens"] == 3
+    assert got["avg_neg_logp"] == pytest.approx(round(exp, 6))
+
+
+def test_bigram_partitioning_invariance(spark):
+    from great_expectations_spark.pipeline.lm import (
+        bigram_lm, doc_logprob_bigram)
+
+    rows = [(i, " ".join(f"w{(i * j) % 17}" for j in range(1, 20)))
+            for i in range(1, 60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    m = bigram_lm(docs.repartition(7), "doc_id", "text",
+                  vocab_size=10, bigram_size=50)
+    a = sorted(doc_logprob_bigram(docs.repartition(5), m, "doc_id",
+                                  "text").collect())
+    b = sorted(doc_logprob_bigram(docs.repartition(2), m, "doc_id",
+                                  "text").collect())
+    assert a == b
+
+
+def test_bigram_bad_args_raise(spark, bdocs):
+    from great_expectations_spark.pipeline.lm import (
+        bigram_lm, doc_logprob_bigram)
+
+    with pytest.raises(ValueError, match="alpha"):
+        bigram_lm(bdocs, "doc_id", "text", alpha=0)
+    with pytest.raises(ValueError, match="vocab_size"):
+        bigram_lm(bdocs, "doc_id", "text", vocab_size=0)
+    m = bigram_lm(bdocs, "doc_id", "text", vocab_size=2, bigram_size=2)
+    with pytest.raises(ValueError, match="lam"):
+        doc_logprob_bigram(bdocs, m, "doc_id", "text", lam=1.0)
+    with pytest.raises(ValueError, match="OOV"):
+        doc_logprob_bigram(bdocs, m.where("w1 IS NOT NULL"),
+                           "doc_id", "text")
