@@ -1615,6 +1615,97 @@ lm_scores AS (
   FROM documents d LEFT JOIN per p ON p.id = d.doc_id)"""
 
 
+_BOILER_BASE_SQL = """
+base AS (
+  SELECT doc_id, source || '.example' AS domain,
+         CASE WHEN doc_id % 3 <> 0
+              THEN 'NAV ' || source || chr(10) ELSE '' END
+         || text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || 'PROMO ' || source ELSE '' END
+         || chr(10) || 'FOOT ' || source AS text
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND source IS NOT NULL),
+lines AS (
+  SELECT doc_id, domain, i, l[i] AS p
+  FROM (SELECT doc_id, domain, l, unnest(generate_series(1, len(l))) AS i
+        FROM (SELECT doc_id, domain, string_split(text, chr(10)) AS l
+              FROM base))),
+cnts AS (SELECT domain, p, count(DISTINCT doc_id) AS n
+         FROM lines WHERE len(p) >= 1 GROUP BY domain, p),
+tot AS (SELECT domain, count(*) AS t FROM base GROUP BY domain),
+bp AS (SELECT c.domain, c.p, c.n, tot.t
+       FROM cnts c JOIN tot USING (domain)
+       WHERE c.n >= 2 AND c.n >= 0.5 * tot.t)
+"""
+
+
+def _boiler_pages(spark, sf):
+    """Planted per-domain boilerplate over documents: NAV in ~2/3 of each
+    domain's docs (removed), PROMO in 1/5 (kept), FOOT in all (removed) —
+    byte-identical to _BOILER_BASE_SQL's construction."""
+    docs = _tbl(spark, sf, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        & F.col("source").isNotNull())
+    did, src = F.col("doc_id"), F.col("source")
+    return docs.select(
+        "doc_id",
+        F.concat(src, F.lit(".example")).alias("domain"),
+        F.concat(
+            F.when(did % 3 != 0,
+                   F.concat(F.lit("NAV "), src, F.lit("\n")))
+            .otherwise(F.lit("")),
+            F.col("text"),
+            F.when(did % 5 == 0, F.concat(F.lit("\nPROMO "), src))
+            .otherwise(F.lit("")),
+            F.lit("\nFOOT "), src,
+        ).alias("text"),
+    )
+
+
+@_q("pipeline_boilerplate_lines", "WITH " + _BOILER_BASE_SQL.strip() + """
+SELECT domain, p AS line, CAST(n AS BIGINT) AS n_docs,
+       CAST(t AS BIGINT) AS domain_docs
+FROM bp
+""")
+def _p9r(spark, sf):
+    """Boilerplate audit table (pipeline/boilerplate.py): per-domain
+    frequent lines under the (min_docs=2, min_doc_frac=0.5) rule — the
+    two-stage exact distinct count vs DuckDB's count(DISTINCT)."""
+    from great_expectations_spark.pipeline.boilerplate import (
+        domain_boilerplate_lines)
+
+    return domain_boilerplate_lines(_boiler_pages(spark, sf))
+
+
+@_q("pipeline_boilerplate_clean", "WITH " + _BOILER_BASE_SQL.strip() + """,
+marked AS (
+  SELECT l.doc_id, l.i, l.p,
+         (len(l.p) = 0 OR bp.p IS NULL) AS keep
+  FROM lines l
+  LEFT JOIN bp ON bp.domain = l.domain AND bp.p = l.p)
+SELECT b.doc_id,
+       coalesce(m.text, '') AS text,
+       m.n_rm
+FROM base b
+JOIN (SELECT doc_id,
+             string_agg(CASE WHEN keep THEN p END, chr(10) ORDER BY i)
+             AS text,
+             CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_rm
+      FROM marked GROUP BY doc_id) m USING (doc_id)
+""")
+def _p9s(spark, sf):
+    """Boilerplate removal (pipeline/boilerplate.py): every occurrence of
+    a domain's frequent lines removed, byte-lossless reassembly of the
+    rest — full-table text parity vs the DuckDB replica."""
+    from great_expectations_spark.pipeline.boilerplate import (
+        domain_boilerplate_removal)
+
+    return domain_boilerplate_removal(
+        _boiler_pages(spark, sf), removed_count_col="n_rm",
+    ).select("doc_id", "text", "n_rm")
+
+
 @_q("pipeline_lm_bigram", """
 WITH d AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -521,6 +521,24 @@ def main() -> None:
         pagerank(edges, iterations=5).select(
             F.sum("rank"), F.count(F.lit(1))).first()
 
+    @timed("boilerplate_rm")
+    def _q24():
+        # per-domain boilerplate line removal: two-stage distinct count,
+        # small-right marking join, byte-lossless reassembly
+        from great_expectations_spark.pipeline.boilerplate import (
+            domain_boilerplate_removal)
+
+        did = F.col("doc_id")
+        pages = docs.where(did.isNotNull() & F.col("text").isNotNull()
+                           & F.col("source").isNotNull()).select(
+            "doc_id", F.col("source").alias("domain"),
+            F.concat(
+                F.when(did % 3 != 0, F.lit("NAV\n")).otherwise(F.lit("")),
+                F.col("text"), F.lit("\nFOOTER")).alias("text"))
+        domain_boilerplate_removal(
+            pages, removed_count_col="n_rm").select(
+            F.sum("n_rm"), F.count(F.lit(1))).first()
+
     @timed("lm_bigram")
     def _q23():
         # interpolated bigram LM: one tokenize pass trains unigram +
