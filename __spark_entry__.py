@@ -1969,7 +1969,7 @@ ranked AS (SELECT query_id, id AS doc_id, score,
            FROM scored)
 SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 5
 """)
-def _p9k(spark, sf):
+def _p9t(spark, sf):
     """BM25 top-5 lexical retrieval (pipeline/retrieval.py): ONE postings
     scan semi-joined to the broadcast query vocabulary, df from the hit
     rows, map-combinable per-(query, doc) score sum, two-phase salted

@@ -88,6 +88,25 @@ def domain_boilerplate_lines(
     """The audit table: ``(domain, line, n_docs, domain_docs)`` for every
     line the rule flags as boilerplate — run this BEFORE the removal to
     eyeball what a threshold would delete."""
+    return _flagged(
+        df, id_col, text_col, domain_col, sep, min_doc_frac, min_docs,
+        min_chars,
+    ).select(
+        F.col("__dom").alias("domain"),
+        F.col("__p").alias("line"),
+        F.col("__n_docs").alias("n_docs"),
+        F.col("__total").alias("domain_docs"),
+    )
+
+
+def _flagged(
+    df: DataFrame, id_col: str, text_col: str, domain_col: str, sep: str,
+    min_doc_frac: float, min_docs: int, min_chars: int,
+) -> DataFrame:
+    """Flagged lines WITH their digest (``__dom, __d, __p, __n_docs,
+    __total``) — the removal path joins on ``__d`` directly instead of
+    re-hashing the audit table's line text. Validates the shared
+    arguments for both public entry points."""
     if not sep:
         raise ValueError("sep must be a non-empty literal string")
     if not 0.0 < min_doc_frac <= 1.0:
@@ -97,7 +116,6 @@ def domain_boilerplate_lines(
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     if min_chars < 1:
         raise ValueError(f"min_chars must be >= 1, got {min_chars}")
-
     counts = _line_doc_counts(df, id_col, text_col, domain_col, sep,
                               min_chars)
     totals = (
@@ -105,19 +123,9 @@ def domain_boilerplate_lines(
         .groupBy(F.col(domain_col).alias("__dom"))
         .agg(F.count(F.lit(1)).alias("__total"))
     )
-    return (
-        counts.join(totals, "__dom")
-        .where(
-            (F.col("__n_docs") >= min_docs)
-            & (F.col("__n_docs")
-               >= F.lit(min_doc_frac) * F.col("__total"))
-        )
-        .select(
-            F.col("__dom").alias("domain"),
-            F.col("__p").alias("line"),
-            F.col("__n_docs").alias("n_docs"),
-            F.col("__total").alias("domain_docs"),
-        )
+    return counts.join(totals, "__dom").where(
+        (F.col("__n_docs") >= min_docs)
+        & (F.col("__n_docs") >= F.lit(min_doc_frac) * F.col("__total"))
     )
 
 
@@ -140,14 +148,10 @@ def domain_boilerplate_removal(
     order, ``sep``-joined). Rows with NULL text/id/domain pass through
     unchanged; ``id_col`` values must be unique (they key reassembly).
     Optionally emits the per-doc removed-line count."""
-    # argument validation shared with the audit entry point
-    bp = domain_boilerplate_lines(
-        df, id_col, text_col, domain_col, sep=sep,
-        min_doc_frac=min_doc_frac, min_docs=min_docs, min_chars=min_chars,
-    ).select(
-        F.col("domain").alias("__bdom"),
-        F.md5(F.encode(F.col("line"), "UTF-8")).alias("__bd"),
-    )
+    bp = _flagged(
+        df, id_col, text_col, domain_col, sep, min_doc_frac, min_docs,
+        min_chars,
+    ).select(F.col("__dom").alias("__bdom"), F.col("__d").alias("__bd"))
 
     paras = (
         df.where(_clean(df, id_col, text_col, domain_col))
@@ -165,16 +169,8 @@ def domain_boilerplate_removal(
         "left",
     ).withColumn("__keep", F.col("__bd").isNull())
 
-    # paragraph._reassemble passes through rows where text/id is NULL;
-    # NULL-domain rows must pass through too, so hide them behind a
-    # frame whose "dedupable" predicate matches ours
-    full = df.withColumn(
-        "__clean", _clean(df, id_col, text_col, domain_col))
-    deduped_part = _reassemble(
-        kept, full.where("__clean").drop("__clean"), id_col, text_col,
-        sep, removed_count_col)
-    nulls = full.where(~F.col("__clean")).drop("__clean")
-    if removed_count_col:
-        nulls = nulls.withColumn(
-            removed_count_col, F.lit(None).cast("long"))
-    return deduped_part.unionByName(nulls)
+    # NULL-domain rows must pass through alongside NULL-id/text ones, so
+    # hand _reassemble this operator's own cleanliness predicate
+    return _reassemble(
+        kept, df, id_col, text_col, sep, removed_count_col,
+        clean=_clean(df, id_col, text_col, domain_col))

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from great_expectations_spark.pipeline.dedup import tokens
+from great_expectations_spark.pipeline.dedup import nonempty_tokens
 
 __all__ = ["chunk_documents", "reassemble_chunks"]
 
@@ -74,8 +74,7 @@ def chunk_documents(
         df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias(id_col),
-            F.filter(tokens(F.col(text_col)),
-                     lambda t: t != F.lit("")).alias("__toks"),
+            nonempty_tokens(F.col(text_col)).alias("__toks"),
         )
         .withColumn("__n", F.size("__toks"))
         .where(F.col("__n") >= min_tokens)

@@ -54,6 +54,13 @@ def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def nonempty_tokens(text: Column) -> Column:
+    """:func:`tokens` with empty strings dropped — the shared contract
+    for every module that counts or windows tokens (retrieval, chunking,
+    lm): adjacent/leading/trailing spaces contribute no tokens."""
+    return F.filter(tokens(text), lambda t: t != F.lit(""))
+
+
 def _shingle_index(t: Column, n: int) -> Column:
     # sequence(0, -1) would DESCEND in Spark — guard short docs with an
     # explicit empty array instead

@@ -96,6 +96,7 @@ def pagerank(
     drop_self_loops: bool = True,
     round_to: int | None = None,
     checkpoint_every: int = 2,
+    reliable: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge table → ``(node, rank)``.
 
@@ -106,9 +107,14 @@ def pagerank(
     the shortfall from 1 IS the dangling mass — no anti-join needed).
     Ranks sum to 1 after every iteration.
 
-    ``iterations=0`` returns the uniform distribution over the node set.
+    ``iterations=0`` returns the uniform distribution over the node set
+    (without building the degree-annotated edge list at all).
     ``round_to`` rounds the final rank (HALF_UP, like ``F.round``) for a
-    deterministic, engine-comparable output.
+    deterministic, engine-comparable output. ``reliable=True`` routes
+    the per-``checkpoint_every`` lineage cuts through reliable
+    ``checkpoint()`` files instead of executor-local blocks (same knob
+    as :func:`~.cluster.connected_components` — survives executor loss
+    on a real cluster; requires ``sc.setCheckpointDir``).
     """
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
@@ -131,6 +137,16 @@ def pagerank(
         nodes.unpersist(False)
         return out
 
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    if iterations == 0:
+        out = ranks
+        if round_to is not None:
+            out = out.select(
+                "node", F.round(F.col("rank"), round_to).alias("rank"))
+        # lineage stays on the (now uncached) node-set plan — recomputable
+        nodes.unpersist(False)
+        return out
+
     # Degree-annotate once; hash-partition on the per-iteration join key
     # so only the rank side moves each round.
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -142,7 +158,6 @@ def pagerank(
     )
     edges_w.count()
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
     pinned: set[int] = set()
     live_contribs: list[DataFrame] = []
@@ -165,7 +180,8 @@ def pagerank(
         )
         live_contribs.append(contrib)
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            ranks, new_ids = tracked_checkpoint(ranks, eager=True)
+            ranks, new_ids = tracked_checkpoint(
+                ranks, eager=True, reliable=reliable)
             unpersist_ids(ranks, pinned)
             pinned = new_ids
             # contribs cached since the last cut are now unreachable from

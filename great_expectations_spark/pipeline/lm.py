@@ -40,6 +40,10 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from great_expectations_spark.pipeline.dedup import (
+    nonempty_tokens as _nonempty_tokens,
+)
+
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (
@@ -231,13 +235,16 @@ def bigram_lm(
       the unigram at scoring time, so a pruned or unseen bigram degrades
       gracefully instead of scoring zero.
 
-    One tokenize pass: the per-doc token array is materialized (lazy
-    localCheckpoint), then the unigram stream and the adjacent-pair
-    stream both read it — the corpus text is never re-read. Both count
-    aggregations are map-side-combinable; both cuts are
-    ``orderBy().limit()`` TakeOrdered, never a global sort. The model
-    materializes to the driver (``vocab_size + bigram_size + 1`` rows —
-    broadcast-sized by construction, the same bound scoring relies on).
+    One tokenize pass: the per-doc token array is ``persist``-ed (NOT
+    localCheckpointed — the model collects to the driver, so nothing
+    downstream reads the blocks and they are freed before returning;
+    a checkpoint would pin them for the session, see ``_lineage``),
+    then the unigram stream and the adjacent-pair stream both read it —
+    the corpus text is never re-read. Both count aggregations are
+    map-side-combinable; both cuts are ``orderBy().limit()``
+    TakeOrdered, never a global sort. The model materializes to the
+    driver (``vocab_size + bigram_size + 1`` rows — broadcast-sized by
+    construction, the same bound scoring relies on).
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
@@ -247,10 +254,9 @@ def bigram_lm(
             f"{vocab_size}/{bigram_size}")
     arrs = (
         df.where(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
-        .select(F.filter(F.split(F.col(text_col), " "),
-                         lambda t: t != F.lit("")).alias("toks"))
+        .select(_nonempty_tokens(F.col(text_col)).alias("toks"))
         .where(F.size("toks") >= 1)
-    ).localCheckpoint(eager=False)
+    ).persist()
 
     uni = (arrs.select(F.explode("toks").alias("token"))
            .groupBy("token").agg(F.count(F.lit(1)).alias("c"))).persist()
@@ -280,6 +286,7 @@ def bigram_lm(
         )
     finally:
         uni.unpersist()
+        arrs.unpersist()
 
     v = len(top)
     denom = float(n_total) + alpha * (v + 1)
@@ -325,8 +332,7 @@ def doc_logprob_bigram(
         df.where(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
         .select(
             F.col(id_col).alias("id"),
-            F.filter(F.split(F.col(text_col), " "),
-                     lambda t: t != F.lit("")).alias("toks"),
+            _nonempty_tokens(F.col(text_col)).alias("toks"),
         )
         .where(F.size("toks") >= 1)
     )

@@ -177,11 +177,15 @@ def _reassemble(
     text_col: str,
     sep: str,
     removed_count_col: str | None,
+    clean: Column | None = None,
 ) -> DataFrame:
-    """Shared tail of both dedup variants: rebuild each doc's text from
-    the ``__keep``-marked paragraph rows (original order, ``sep``-joined),
-    join back onto the full-width rows, pass NULL-id/NULL-text rows
-    through (NULL removed-count — nothing was scanned)."""
+    """Shared tail of the line-removal operators: rebuild each doc's text
+    from the ``__keep``-marked paragraph rows (original order,
+    ``sep``-joined), join back onto the full-width rows, pass rows NOT
+    matching ``clean`` through untouched (NULL removed-count — nothing
+    was scanned). ``clean`` defaults to the paragraph-dedup predicate
+    (id and text non-NULL); callers whose split phase skipped more rows
+    (e.g. NULL-domain in boilerplate removal) pass their own."""
     rebuilt = kept.groupBy("__id").agg(
         F.concat_ws(
             sep,
@@ -197,7 +201,9 @@ def _reassemble(
         F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias("__n_removed"),
     )
 
-    nn = df.where(_dedupable(df, id_col, text_col))
+    if clean is None:
+        clean = _dedupable(df, id_col, text_col)
+    nn = df.where(clean)
     out_cols = [
         F.col("__new_text").alias(c) if c == text_col else F.col(c)
         for c in df.columns
@@ -208,7 +214,7 @@ def _reassemble(
         rebuilt, nn[id_col] == rebuilt["__id"], "inner"
     ).select(*out_cols)
 
-    nulls = df.where(~_dedupable(df, id_col, text_col))
+    nulls = df.where(~clean)
     if removed_count_col:
         nulls = nulls.withColumn(removed_count_col, F.lit(None).cast("long"))
     return deduped.unionByName(nulls)

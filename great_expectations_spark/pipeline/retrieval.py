@@ -32,13 +32,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from great_expectations_spark.pipeline.dedup import tokens
+from great_expectations_spark.pipeline.dedup import nonempty_tokens as _nonempty_tokens  # noqa: E501
 
 __all__ = ["bm25_index", "bm25_search", "bm25_search_index"]
-
-
-def _nonempty_tokens(text: Column) -> Column:
-    return F.filter(tokens(text), lambda t: t != F.lit(""))
 
 
 def bm25_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -116,11 +112,16 @@ def bm25_search_index(
     avgdl = float(stats["avgdl"]) if n_docs else 1.0
 
     # the single postings scan: semi-join to hits on the broadcast query
-    # vocabulary, materialize once — df counts AND scoring read the blocks
+    # vocabulary, cached so df counts AND scoring reuse the blocks.
+    # persist (NOT localCheckpoint): lineage stays intact so the blocks
+    # are evictable under memory pressure and recomputable — a checkpoint
+    # here would pin one hit set per search call for the session lifetime
+    # (see _lineage). Worst case after eviction is one extra postings
+    # scan, still bounded by the broadcast semi-join.
     hits = (
         postings.join(F.broadcast(tokd), "token")
         .select("token", "__id", "tf", "dl")
-    ).localCheckpoint(eager=False)
+    ).persist()
     # postings rows are unique per (doc, token) ⇒ count(*) per token = df
     dfreq = hits.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
 

@@ -121,3 +121,19 @@ def test_degree_stats_keeps_self_loops_when_asked(spark):
     got = {r["node"]: (r["out_degree"], r["in_degree"])
            for r in degree_stats(e, drop_self_loops=False).collect()}
     assert got == {"a": (2, 1), "b": (0, 1)}
+
+
+def test_pagerank_zero_iterations_skips_edge_materialization(spark):
+    """r3 regression: iterations=0 returns the uniform distribution
+    without building/persisting the degree-annotated edge list (a full
+    groupBy + join + repartition job the result never reads)."""
+    sc = spark.sparkContext
+
+    def n_persistent():
+        return len(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    before = n_persistent()
+    out = pagerank(e, iterations=0)
+    assert out.count() == 3
+    assert n_persistent() == before

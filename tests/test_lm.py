@@ -290,3 +290,21 @@ def test_bigram_bad_args_raise(spark, bdocs):
     with pytest.raises(ValueError, match="OOV"):
         doc_logprob_bigram(bdocs, m.where("w1 IS NOT NULL"),
                            "doc_id", "text")
+
+
+def test_bigram_lm_leaves_no_pinned_blocks(spark, bdocs):
+    """r3 regression: the model collects to the driver, so training must
+    free every block it cached — a localCheckpoint here pinned one full
+    token-array copy per call for the session lifetime."""
+    from great_expectations_spark.pipeline.lm import bigram_lm
+
+    sc = spark.sparkContext
+
+    def n_persistent():
+        return len(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    before = n_persistent()
+    for _ in range(2):
+        m = bigram_lm(bdocs, "doc_id", "text", vocab_size=5, bigram_size=10)
+        assert m.count() >= 1
+    assert n_persistent() - before == 0

@@ -118,3 +118,30 @@ def test_bm25_top_k_validation(spark):
     queries = spark.createDataFrame([("q", "cat")], "query_id string, text string")
     with pytest.raises(ValueError, match="top_k"):
         bm25_search(_corpus(spark), queries, top_k=0)
+
+
+def test_bm25_search_leaves_no_pinned_blocks(spark):
+    """r3 regression: the hits cache must stay evictable (persist, not
+    localCheckpoint) — repeated searches otherwise pin one hit set each
+    for the session lifetime. persist() registers blocks while the
+    returned frame is alive; after the result is consumed the frame can
+    be freed without losing correctness (lineage intact)."""
+    from great_expectations_spark.pipeline._lineage import _persistent_ids
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 5}") for i in range(40)],
+        "doc_id long, text string")
+    qs = spark.createDataFrame([(1, "alpha w3")], "query_id long, text string")
+    sc = spark.sparkContext
+    before = _persistent_ids(sc)
+    out = bm25_search(corpus, qs, top_k=3)
+    assert out.count() >= 1
+    # whatever the call registered must be UNPINNED storage: every new id
+    # must belong to an RDD whose lineage survives unpersist — prove it by
+    # freeing them all and re-running the action
+    new = _persistent_ids(sc) - before
+    for rid in new:
+        jrdd = sc._jsc.getPersistentRDDs().get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+    assert out.count() >= 1  # recomputable => it was a persist, not a pin
