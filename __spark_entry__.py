@@ -3649,6 +3649,44 @@ def _ctx1(spark, sf):
         "expectation_type", F.round("observed", 6).alias("observed"), "success")
 
 
+@_q("wet_roundtrip", """
+SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n_bytes
+FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+""")
+def _wet1(spark, sf):
+    """WARC/WET ingestion (sources/wet.py): serialize the documents table
+    as real WET conversion records (multi-part, deterministic headers),
+    re-read through the custom-delimiter text scan + codegen header
+    parse, and emit (doc_id, text, n_bytes). A hash match against the
+    parquet originals certifies the round trip is byte-lossless AND that
+    every record's Content-Length audit agrees (n_bytes comes from the
+    re-read payload; rows with length_ok false are excluded, so a single
+    mis-framed record would surface as a row-count mismatch)."""
+    import hashlib
+    import tempfile
+
+    from great_expectations_spark.sources.wet import read_wet, write_wet
+
+    docs = (
+        _tbl(spark, sf, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
+    tag = hashlib.md5(sf.encode()).hexdigest()[:12]
+    out = f"{tempfile.gettempdir()}/ges_wet_{tag}"
+    write_wet(
+        docs.select(
+            F.concat(F.lit("http://docs.example/"), "doc_id").alias("url"),
+            "text"),
+        out, mode="overwrite", partitions=4)
+    got = read_wet(spark, out).where(F.col("length_ok"))
+    return got.select(
+        F.replace(F.col("url"), F.lit("http://docs.example/"), F.lit(""))
+        .cast("long").alias("doc_id"),
+        "text",
+        F.col("content_length").alias("n_bytes"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

@@ -1,0 +1,151 @@
+"""WARC/WET file ingestion — the Common Crawl plain-text archive format.
+
+Common Crawl distributes extracted page text as WET files: WARC-framed
+records (``WARC/1.0`` + header lines + blank line + payload, records
+separated by CRLF CRLF) whose payload is the page's plain text. The
+north-star table (url, warc_ts, text, ...) is exactly one ``read_wet``
+away from these files; the reference engine has no archive-format reader
+at all (its closest is the file-path data connectors under
+great_expectations/datasource/data_connector/), so this belongs to the
+web-scale ingestion surface alongside `sources/webpages.py`.
+
+Spark-first design — no Python in the data path:
+
+* **Record splitting is the Hadoop line reader with a custom
+  delimiter**: ``spark.read.option("lineSep", CRLF CRLF + "WARC/1.0" +
+  CRLF).text(path)`` streams records without ever buffering a file, and
+  uncompressed inputs stay SPLITTABLE (the delimiter scan is the same
+  machinery as newline splitting). ``.wet.gz`` segments read
+  transparently (one split per file — Common Crawl ships thousands of
+  ~150 MB segments precisely so file-level parallelism is enough).
+* **Header parsing is whole-stage-codegen built-ins** (`substring_index`,
+  `regexp_extract`, `try_to_timestamp`) — zero UDFs, zero Arrow.
+* The inter-record separator is CONSUMED by the delimiter, so payloads
+  come out exact; only the file's final record keeps its trailing
+  CRLF CRLF, which is stripped. A payload that itself contains the full
+  record separator sequence (``\\r\\n\\r\\nWARC/1.0\\r\\n``) cannot be
+  recovered by any delimiter scan — such mis-splits are surfaced, not
+  hidden: ``length_ok`` compares the header's Content-Length against the
+  parsed payload's UTF-8 byte count, so corrupted or mis-split records
+  are a ``WHERE NOT length_ok`` audit away.
+
+``write_wet`` is the deterministic inverse (fixed header order, byte
+Content-Length, stable record ids) — it exists so tests and benches can
+round-trip a corpus through real files; its output is spec-shaped enough
+for any WET consumer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["read_wet", "write_wet"]
+
+_CRLF = "\r\n"
+_SEP = _CRLF * 2
+# one record per row: the separator + next record's version line
+_DELIM = _SEP + "WARC/1.0" + _CRLF
+
+
+def _hdr_field(hdr, name: str):
+    out = F.regexp_extract(hdr, rf"(?m)^{name}:[ \t]*(\S+)", 1)
+    return F.when(out != "", out)
+
+
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    *,
+    record_types: tuple[str, ...] | None = ("conversion",),
+) -> DataFrame:
+    """Read WET/WARC files → ``(url, warc_ts, record_type,
+    content_length, length_ok, text)``.
+
+    ``record_types`` filters on the WARC-Type header (WET payload records
+    are ``conversion``; ``warcinfo`` / ``metadata`` framing records are
+    dropped by default) — pass ``None`` to keep every record. Missing
+    headers surface as NULL; ``length_ok`` is NULL when the record has no
+    Content-Length header.
+    """
+    raw = spark.read.option("lineSep", _DELIM).text(path)
+    rec = (
+        raw
+        # the file's FIRST record keeps its version line (no preceding
+        # separator to consume) — strip it so all records parse alike
+        .select(F.regexp_replace("value", r"\AWARC/1\.0\r\n", "")
+                .alias("rec"))
+        .where(F.length(F.trim(F.col("rec"))) > 0)
+    )
+    hdr = F.substring_index(F.col("rec"), _SEP, 1)
+    # everything after the first blank line; the final record of each
+    # file retains one trailing separator — strip exactly that
+    payload = F.regexp_replace(
+        F.substring(F.col("rec"), F.length(hdr) + F.lit(5),
+                    F.length(F.col("rec"))),
+        r"\r\n\r\n\Z", "")
+    clen = _hdr_field(hdr, "Content-Length").cast("long")
+    out = rec.select(
+        _hdr_field(hdr, "WARC-Target-URI").alias("url"),
+        F.try_to_timestamp(_hdr_field(hdr, "WARC-Date")).alias("warc_ts"),
+        _hdr_field(hdr, "WARC-Type").alias("record_type"),
+        clen.alias("content_length"),
+        (clen == F.length(F.encode(payload, "UTF-8"))).alias("length_ok"),
+        payload.alias("text"),
+    )
+    if record_types is not None:
+        out = out.where(F.col("record_type").isin(list(record_types)))
+    return out
+
+
+def write_wet(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    *,
+    date: str = "2024-01-01T00:00:00Z",
+    mode: str = "error",
+    compression: str | None = None,
+    partitions: int | None = None,
+) -> None:
+    """Serialize ``(url, text)`` rows as WET ``conversion`` records.
+
+    Deterministic: fixed header order, constant ``date`` (or a per-row
+    timestamp column of that name if one exists in ``df``), record id =
+    md5 of (url, payload). Content-Length is the payload's UTF-8 byte
+    count, as the spec requires. Rows with NULL url or text are skipped
+    (a conversion record without a target or a payload is meaningless).
+    ``compression="gzip"`` writes ``.gz`` part files that ``read_wet``
+    consumes transparently.
+    """
+    if date in df.columns:
+        ts = F.date_format(F.col(date), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    else:
+        ts = F.lit(date)
+    url = F.col(url_col)
+    payload = F.col(text_col)
+    rec = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: conversion" + _CRLF),
+        F.lit("WARC-Target-URI: "), url, F.lit(_CRLF),
+        F.lit("WARC-Date: "), ts, F.lit(_CRLF),
+        F.lit("WARC-Record-ID: <urn:md5:"),
+        F.md5(F.encode(F.concat_ws("\n", url, payload), "UTF-8")),
+        F.lit(">" + _CRLF),
+        F.lit("Content-Type: text/plain" + _CRLF),
+        F.lit("Content-Length: "),
+        F.length(F.encode(payload, "UTF-8")).cast("string"),
+        F.lit(_SEP),
+        payload,
+    )
+    out = (
+        df.where(url.isNotNull() & payload.isNotNull())
+        .select(rec.alias("value"))
+    )
+    if partitions is not None:
+        out = out.repartition(partitions)
+    writer = out.write.mode(mode).option("lineSep", _SEP)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(path)
