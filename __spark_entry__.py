@@ -3687,6 +3687,33 @@ def _wet1(spark, sf):
     )
 
 
+@_q("pipeline_shard_shuffle", """
+WITH k AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 15))
+              ::BIGINT % 16 AS INTEGER) AS shard,
+         ('0x' || substr(md5('1|' || CAST(doc_id AS VARCHAR)), 1, 15))
+         ::BIGINT AS ord
+  FROM documents WHERE doc_id IS NOT NULL)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1
+            AS BIGINT) AS pos
+FROM k
+""")
+def _shuf1(spark, sf):
+    """Deterministic shard shuffle (pipeline/sampling.py shard_shuffle):
+    the Dolma/FineWeb-style final 'shuffle and shard' — shard membership
+    and within-shard position from two independent portable md5
+    namespaces, ONE exchange (window hash-partition + per-shard sort).
+    Digit-exact (shard, pos) parity for every document proves the
+    permutation is engine-replayable, not partition-order luck."""
+    from great_expectations_spark.pipeline.sampling import shard_shuffle
+
+    docs = (_tbl(spark, sf, "documents")
+            .where(F.col("doc_id").isNotNull()).select("doc_id"))
+    return shard_shuffle(docs, "doc_id", shards=16)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

@@ -38,6 +38,7 @@ __all__ = [
     "stratified_sample",
     "mixture_fractions",
     "build_mixture",
+    "shard_shuffle",
 ]
 
 _U_MOD = 1_000_000
@@ -169,4 +170,52 @@ def build_mixture(
     )
     return stratified_sample(
         df, strata_col, fractions, key_col, default_fraction=0.0, seed=seed
+    )
+
+
+def shard_shuffle(
+    df: DataFrame,
+    key_col: str,
+    *,
+    shards: int,
+    seed: int = 0,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle into ``shards`` training shards — the
+    last step before tokenization (Dolma/FineWeb "shuffle and shard"):
+    training order must be decorrelated from crawl/ingest order, and the
+    permutation must be reproducible so a resumed or re-run job emits
+    byte-identical shards.
+
+    Adds ``shard_col`` = ``h(seed || key) % shards`` and ``pos_col`` =
+    the row's 0-based position within its shard under the order of
+    ``h(seed+1 || key)`` (ties broken by key) — two independent hash
+    namespaces, so shard membership and within-shard order are
+    uncorrelated. Same portable md5 contract as :func:`uniform_from_key`
+    (DuckDB-replayable). Keys must be unique and non-NULL for a fully
+    deterministic permutation (duplicate keys tie in both hashes; their
+    relative order is then partition-dependent).
+
+    Cost at 10^12 rows: exactly ONE exchange — the window's
+    hash-partition on ``shard_col`` plus a per-shard sort, which is the
+    same shuffle a shard writer must pay anyway. Write shards with
+    ``.repartition(shards, shard_col).sortWithinPartitions(pos_col)
+    .write.partitionBy(shard_col)`` — no extra exchange (AQE reuses the
+    window's partitioning when the expressions match).
+    """
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    from pyspark.sql import Window
+
+    key_s = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    shard = (_md5_int(F.concat_ws("|", F.lit(str(seed)), key_s))
+             % shards).cast("int")
+    order = _md5_int(F.concat_ws("|", F.lit(str(seed + 1)), key_s))
+    w = Window.partitionBy(shard_col).orderBy(F.col("__ord"), F.col(key_col))
+    return (
+        df.withColumn(shard_col, shard)
+        .withColumn("__ord", order)
+        .withColumn(pos_col, (F.row_number().over(w) - 1).cast("long"))
+        .drop("__ord")
     )

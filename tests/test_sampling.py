@@ -114,3 +114,62 @@ def test_null_key_rows_deterministic_and_together(spark):
     import hashlib
     expect = (int(hashlib.md5(b"7|").hexdigest()[:15], 16) % 1_000_000) / 1_000_000
     assert nulls[0] == nulls[1] == pytest.approx(expect)
+
+
+def test_shard_shuffle_partition_and_layout_invariant(spark):
+    from great_expectations_spark.pipeline.sampling import shard_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    a = sorted(shard_shuffle(df.repartition(7), "doc_id", shards=8).collect())
+    b = sorted(shard_shuffle(df.repartition(2), "doc_id", shards=8).collect())
+    assert a == b
+    # every shard's positions are exactly 0..n_s-1
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+
+
+def test_shard_shuffle_decorrelates_order_from_key(spark):
+    from great_expectations_spark.pipeline.sampling import shard_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = shard_shuffle(df, "doc_id", shards=1)
+    order = [r["doc_id"] for r in sorted(out.collect(),
+                                         key=lambda r: r["pos"])]
+    assert order != sorted(order)  # permuted, not ingest order
+    # and a different seed gives a different permutation
+    out2 = shard_shuffle(df, "doc_id", shards=1, seed=99)
+    order2 = [r["doc_id"] for r in sorted(out2.collect(),
+                                          key=lambda r: r["pos"])]
+    assert order2 != order
+
+
+def test_shard_shuffle_matches_reference_hash_contract(spark):
+    import hashlib
+
+    from great_expectations_spark.pipeline.sampling import shard_shuffle
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    got = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+           shard_shuffle(df, "doc_id", shards=4, seed=3).collect()}
+    exp_shard = {i: h(f"3|{i}") % 4 for i in range(50)}
+    assert {k: v[0] for k, v in got.items()} == exp_shard
+    for s in range(4):
+        members = sorted((h(f"4|{i}"), i) for i in range(50)
+                         if exp_shard[i] == s)
+        for pos, (_, i) in enumerate(members):
+            assert got[i][1] == pos
+
+
+def test_shard_shuffle_validates_shards(spark):
+    from great_expectations_spark.pipeline.sampling import shard_shuffle
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="shards"):
+        shard_shuffle(df, "doc_id", shards=0)
