@@ -563,6 +563,37 @@ def main() -> None:
                         overlap=32).select(
             F.count(F.lit(1)), F.sum("n_tokens")).first()
 
+    @timed("shard_shuffle")
+    def _q23():
+        # deterministic train-corpus shuffle: ONE exchange (hash-partition
+        # on shard + per-shard sort)
+        from great_expectations_spark.pipeline.sampling import shard_shuffle
+
+        shard_shuffle(docs.select("doc_id"), "doc_id", shards=64).select(
+            F.count(F.lit(1)), F.max("pos")).first()
+
+    @timed("wet_ingest")
+    def _q24():
+        # WARC/WET round trip through real files: serialize + custom-
+        # delimiter re-read + header parse + Content-Length audit
+        import shutil
+        import tempfile
+
+        from great_expectations_spark.sources.wet import read_wet, write_wet
+
+        out = tempfile.mkdtemp(prefix="ges_bench_wet_")
+        try:
+            write_wet(
+                docs.where(F.col("text").isNotNull()).select(
+                    F.concat(F.lit("http://b.example/"), "doc_id")
+                    .alias("url"), "text"),
+                out, mode="overwrite", partitions=par)
+            read_wet(spark, out).select(
+                F.count(F.lit(1)),
+                F.sum(F.col("length_ok").cast("int"))).first()
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
     # NOT counted in rows_validated (appended in round 2)
 
     total = round(sum(timings.values()), 4)
