@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_wet", "write_wet"]
+__all__ = ["read_wet", "wet_pages", "write_wet"]
 
 _CRLF = "\r\n"
 _SEP = _CRLF * 2
@@ -149,3 +149,33 @@ def write_wet(
     if compression:
         writer = writer.option("compression", compression)
     writer.text(path)
+
+
+def wet_pages(
+    spark: SparkSession,
+    path: str,
+    *,
+    guess_lang: bool = True,
+) -> DataFrame:
+    """WET files → the engine's web-page table shape ``(url, warc_ts,
+    html, text, lang)`` — Common Crawl straight into the validation /
+    pipeline surface (same schema as `sources/webpages.py`, so every
+    suite and pipeline operator applies unchanged).
+
+    WET carries extracted text only, so ``html`` is a NULL binary column;
+    ``lang`` comes from the in-plan marker heuristic
+    (`pipeline/textstats.lang_id_guess`, codegen — or NULL with
+    ``guess_lang=False`` when a real classifier runs downstream). Only
+    records whose Content-Length audit passes survive — mis-framed
+    records must not enter the corpus silently; count them from
+    :func:`read_wet` directly."""
+    from great_expectations_spark.pipeline.textstats import lang_id_guess
+
+    rec = read_wet(spark, path).where(F.col("length_ok"))
+    lang = (lang_id_guess(F.col("text")) if guess_lang
+            else F.lit(None).cast("string"))
+    return rec.select(
+        "url", "warc_ts",
+        F.lit(None).cast("binary").alias("html"),
+        "text", lang.alias("lang"),
+    )

@@ -111,3 +111,28 @@ def test_write_mode_error_and_overwrite(spark, tmp_path):
     df2 = spark.createDataFrame([("http://x/1", "v2")], "url string, text string")
     write_wet(df2, out, mode="overwrite")
     assert [r["text"] for r in read_wet(spark, out).collect()] == ["v2"]
+
+
+def test_wet_pages_north_rule_shape(spark, tmp_path):
+    rows = [("http://en.example/1", "the of and to a page in english"),
+            ("http://de.example/2", "der die und das ist hier")]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = str(tmp_path / "wet")
+    write_wet(df, out)
+
+    from great_expectations_spark.sources.wet import wet_pages
+    pages = wet_pages(spark, out)
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert dict(pages.dtypes)["html"] == "binary"
+    got = {r["url"]: r for r in pages.collect()}
+    assert got["http://en.example/1"]["lang"] == "en"
+    assert got["http://de.example/2"]["lang"] == "de"
+    assert all(r["html"] is None for r in got.values())
+    # and the suite surface applies unchanged
+    from great_expectations_spark import ExpectationSuite, validate
+    res = validate(
+        pages,
+        ExpectationSuite("wet").add(
+            "expect_column_values_to_not_be_null", column="url"),
+        result_format="BOOLEAN_ONLY")
+    assert res.success
