@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_wet", "wet_pages", "write_wet"]
+__all__ = ["read_warc", "read_wet", "wet_pages", "write_wet"]
 
 _CRLF = "\r\n"
 _SEP = _CRLF * 2
@@ -96,6 +96,31 @@ def read_wet(
     if record_types is not None:
         out = out.where(F.col("record_type").isin(list(record_types)))
     return out
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read full WARC crawl archives (``response`` records: HTTP message
+    as payload) → ``(url, warc_ts, content_length, length_ok,
+    http_status, html)``.
+
+    Same record framing and audit as :func:`read_wet`; on top of it the
+    HTTP message splits into status line + headers (dropped, bar the
+    parsed status code) and body, which lands in ``html`` as UTF-8 bytes
+    — the north-rule table's raw-capture column. Records whose payload
+    has no HTTP header/body blank line yield NULL html (truncated
+    captures), NOT a mis-parse crash."""
+    rec = read_wet(spark, path, record_types=("response",))
+    msg = F.col("text")
+    status = F.regexp_extract(msg, r"\AHTTP/\d\.\d (\d{3})", 1)
+    hdr_end = F.instr(msg, _SEP)  # 1-based; 0 = no blank line at all
+    body = F.when(
+        hdr_end > 0,
+        F.substring(msg, hdr_end + F.lit(4), F.length(msg)))
+    return rec.select(
+        "url", "warc_ts", "content_length", "length_ok",
+        F.when(status != "", status).cast("int").alias("http_status"),
+        F.encode(body, "UTF-8").alias("html"),
+    )
 
 
 def write_wet(

@@ -136,3 +136,44 @@ def test_wet_pages_north_rule_shape(spark, tmp_path):
             "expect_column_values_to_not_be_null", column="url"),
         result_format="BOOLEAN_ONLY")
     assert res.success
+
+
+def test_read_warc_response_records(spark, tmp_path):
+    from great_expectations_spark.sources.wet import read_warc
+
+    html = "<html><body>Héllo\n<b>page</b></body></html>"
+    http = ("HTTP/1.1 200 OK\r\n"
+            "Content-Type: text/html; charset=utf-8\r\n"
+            "\r\n"
+            f"{html}")
+    trunc = "HTTP/1.1 301"  # truncated capture: no header/body blank line
+    rec = (
+        "WARC/1.0\r\n"
+        "WARC-Type: warcinfo\r\n"
+        "\r\n"
+        "crawl info\r\n\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: http://warc.example/ok\r\n"
+        "WARC-Date: 2024-05-06T07:08:09Z\r\n"
+        f"Content-Length: {len(http.encode())}\r\n"
+        "\r\n"
+        f"{http}\r\n\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: http://warc.example/trunc\r\n"
+        f"Content-Length: {len(trunc.encode())}\r\n"
+        "\r\n"
+        f"{trunc}\r\n\r\n"
+    )
+    p = tmp_path / "crawl.warc"
+    p.write_bytes(rec.encode())
+
+    got = {r["url"]: r for r in read_warc(spark, str(p)).collect()}
+    assert set(got) == {"http://warc.example/ok", "http://warc.example/trunc"}
+    ok = got["http://warc.example/ok"]
+    assert ok["http_status"] == 200 and ok["length_ok"] is True
+    assert bytes(ok["html"]).decode() == html
+    assert str(ok["warc_ts"]) == "2024-05-06 07:08:09"
+    t = got["http://warc.example/trunc"]
+    assert t["html"] is None and t["http_status"] == 301
