@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_warc", "read_wet", "wet_pages", "write_wet"]
+__all__ = ["read_warc", "read_wet", "stream_wet", "wet_pages", "write_wet"]
 
 _CRLF = "\r\n"
 _SEP = _CRLF * 2
@@ -69,6 +69,14 @@ def read_wet(
     Content-Length header.
     """
     raw = spark.read.option("lineSep", _DELIM).text(path)
+    return _parse_records(raw, record_types)
+
+
+def _parse_records(
+    raw: DataFrame, record_types: tuple[str, ...] | None
+) -> DataFrame:
+    """Shared parse plan of the batch and streaming readers: delimiter-
+    split rows of ``value`` → typed record columns."""
     rec = (
         raw
         # the file's FIRST record keeps its version line (no preceding
@@ -204,3 +212,27 @@ def wet_pages(
         F.lit(None).cast("binary").alias("html"),
         "text", lang.alias("lang"),
     )
+
+
+def stream_wet(
+    spark: SparkSession,
+    path: str,
+    *,
+    record_types: tuple[str, ...] | None = ("conversion",),
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-Streaming twin of :func:`read_wet`: watch a directory
+    for arriving WET segments (the Common Crawl delivery unit) and emit
+    parsed records per micro-batch — feed straight into
+    `streaming/validate_stream.py` or `streaming/dedup_stream.py`.
+
+    Identical schema and parse plan to the batch reader (the text file
+    source takes the same custom ``lineSep``); each segment file is
+    processed exactly once by the file-source log, so a long-running
+    ingest survives restarts without re-parsing old segments."""
+    reader = spark.readStream.option("lineSep", _DELIM)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    raw = reader.text(path)
+    return _parse_records(raw, record_types)

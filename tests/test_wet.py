@@ -177,3 +177,24 @@ def test_read_warc_response_records(spark, tmp_path):
     assert str(ok["warc_ts"]) == "2024-05-06 07:08:09"
     t = got["http://warc.example/trunc"]
     assert t["html"] is None and t["http_status"] == 301
+
+
+def test_stream_wet_availablenow_matches_batch(spark, tmp_path):
+    from great_expectations_spark.sources.wet import stream_wet
+
+    rows = [(f"http://s.example/{i}", f"streamed {i}\nbody") for i in range(20)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    src = str(tmp_path / "wet")
+    write_wet(df, src, partitions=3)
+
+    out = str(tmp_path / "sink")
+    cp = str(tmp_path / "cp")
+    q = (stream_wet(spark, src, max_files_per_trigger=1)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", cp)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert sorted((r["url"], r["text"]) for r in got.collect()) == sorted(rows)
+    assert got.columns == ["url", "warc_ts", "record_type",
+                           "content_length", "length_ok", "text"]
