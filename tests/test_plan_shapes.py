@@ -269,3 +269,34 @@ def test_classifier_scoring_broadcasts_weights(spark, fresh_docs):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan
+
+
+def test_wet_read_stays_in_codegen_no_exchange(spark, tmp_path):
+    """WET parse: one text scan, header/payload extraction entirely in
+    WholeStageCodegen built-ins — no Python eval node, no Exchange (a
+    format reader that shuffled or dropped to Arrow would not survive a
+    100-TB crawl ingest)."""
+    from great_expectations_spark.sources.wet import read_wet, write_wet
+
+    df = spark.createDataFrame(
+        [(f"http://p.example/{i}", f"doc {i}") for i in range(10)],
+        "url string, text string")
+    out = str(tmp_path / "wet")
+    write_wet(df, out)
+    plan = _plan(read_wet(spark, out))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "codegen id" in plan  # parse runs inside whole-stage codegen
+
+
+def test_shard_shuffle_single_exchange(spark, fresh_docs):
+    """Shard shuffle: exactly ONE Exchange (the window's hash-partition
+    on shard) + in-partition Sort — the same shuffle a shard writer pays;
+    anything more would double the corpus movement."""
+    from great_expectations_spark.pipeline.sampling import shard_shuffle
+
+    plan = _plan(shard_shuffle(
+        fresh_docs.select("doc_id"), "doc_id", shards=8))
+    assert plan.count(") Exchange") == 1
+    assert "hashpartitioning(shard" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
