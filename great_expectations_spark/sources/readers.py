@@ -105,11 +105,17 @@ def read_any(spark: SparkSession, path: str | list[str],
     paths goes to ONE spark.read call (csv/tsv/parquet readers take path
     lists natively — the scale path for multi-file assets); delta is
     directory-shaped and rejects lists."""
+    from great_expectations_spark.sources.wet import read_warc, read_wet
+
     multi = isinstance(path, (list, tuple))
     method = (reader_method or "").lower()
     if not method:
         lowered = (path[0] if multi else path).lower()
-        for ext, m in ((".csv", "csv"), (".tsv", "tsv"), (".parquet", "parquet")):
+        # .wet before .warc: Common Crawl WET segments are named
+        # *.warc.wet.gz and must land on the conversion-record reader
+        for ext, m in ((".csv", "csv"), (".tsv", "tsv"),
+                       (".parquet", "parquet"), (".wet", "wet"),
+                       (".warc", "warc")):
             if lowered.endswith(ext) or f"{ext}." in lowered:
                 method = m
                 break
@@ -120,6 +126,8 @@ def read_any(spark: SparkSession, path: str | list[str],
         "tsv": read_tsv,
         "parquet": read_parquet,
         "delta": read_delta,
+        "wet": read_wet,
+        "warc": read_warc,
     }
     if method not in dispatch:
         raise ValueError(f"unsupported reader_method {method!r}")

@@ -210,3 +210,27 @@ class TestLshHotBucketCap:
              for r in minhash_lsh_candidates(
                  docs, "doc_id", "text", max_bucket_size=1000).collect()}
         assert a == b
+
+
+def test_read_any_dispatches_wet_and_warc(spark, tmp_path):
+    from great_expectations_spark.sources.readers import read_any
+    from great_expectations_spark.sources.wet import write_wet
+
+    df = spark.createDataFrame(
+        [("http://x/1", "wet body")], "url string, text string")
+    out = str(tmp_path / "seg.warc.wet")
+    write_wet(df, out)
+    # extension sniff: *.warc.wet* must land on the WET (conversion) reader
+    got = read_any(spark, out)
+    assert [(r["url"], r["text"]) for r in got.collect()] == [
+        ("http://x/1", "wet body")]
+    # explicit reader_method wins over sniffing
+    assert read_any(spark, out, reader_method="wet").count() == 1
+
+    warc = tmp_path / "crawl.warc"
+    warc.write_bytes(
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x/2\r\n\r\n"
+        b"HTTP/1.1 200 OK\r\n\r\n<html>hi</html>\r\n\r\n")
+    hot = read_any(spark, str(warc)).collect()
+    assert bytes(hot[0]["html"]).decode() == "<html>hi</html>"
