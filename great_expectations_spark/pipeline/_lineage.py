@@ -22,8 +22,19 @@ actions fail, not recompute.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark import SparkContext
 from pyspark.sql import DataFrame
+
+# Serializes checkpoint MATERIALIZATION (see fused_checkpoint): Spark's
+# RDD.doCheckpoint takes the JVM-global RDDCheckpointData lock and then
+# per-RDD monitors, while the DAG scheduler takes them in the opposite
+# order when a concurrently-scheduled plan references the same RDD — a
+# lock inversion observed as a hard driver deadlock (dag-scheduler vs
+# broadcast-exchange thread) when a LAZY localCheckpoint's first
+# materialization landed on an AQE broadcast-exchange thread.
+_MATERIALIZE_LOCK = threading.Lock()
 
 
 def _persistent_ids(sc: SparkContext) -> set[int]:
@@ -50,8 +61,9 @@ def tracked_checkpoint(
     global diff only if a future Spark changes the returned plan shape."""
     sc = df.sparkSession.sparkContext
     before = _persistent_ids(sc)
-    out = df.checkpoint(eager=eager) if reliable else df.localCheckpoint(
-        eager=eager)
+    with _MATERIALIZE_LOCK:
+        out = df.checkpoint(eager=eager) if reliable else df.localCheckpoint(
+            eager=eager)
     try:
         # LogicalRDD.rdd() — the exact RDD checkpoint() just registered
         return out, {int(out._jdf.queryExecution().analyzed().rdd().id())}
@@ -69,3 +81,30 @@ def unpersist_ids(df_or_sc, ids: set[int]) -> None:
         jrdd = jmap.get(i)
         if jrdd is not None:
             jrdd.unpersist(False)
+
+
+def fused_checkpoint(df: DataFrame) -> DataFrame:
+    """One-shot materialize-and-reuse cut for a frame that feeds MULTIPLE
+    plan branches (LSH triples, shingle subtrees, token arrays): compute
+    it once, let every branch read the blocks.
+
+    EAGER by design, never lazy: with ``localCheckpoint(eager=False)``
+    the first consuming job performs the materialization, and under AQE
+    that job can run on a broadcast-exchange thread concurrently with
+    the DAG scheduler's handling of a sibling stage of the SAME query —
+    the two take Spark's global RDDCheckpointData lock and the RDD
+    monitor in opposite orders and the driver deadlocks (observed live:
+    ``dag-scheduler-event-loop`` vs ``broadcast-exchange-33``, found by
+    ``jstack``'s deadlock detector). Materializing here, on the calling
+    thread and under the process-wide lock, makes every later
+    ``doCheckpoint`` a no-op so Spark's internal threads never enter
+    that critical section. The extra cost vs lazy is one scheduling
+    round, not a data pass — the materialization job IS the compute the
+    first consumer would have done.
+
+    Blocks stay pinned for the session (localCheckpoint semantics) —
+    callers that can free them afterwards should use
+    :func:`tracked_checkpoint` + :func:`unpersist_ids` instead.
+    """
+    with _MATERIALIZE_LOCK:
+        return df.localCheckpoint(eager=True)

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ._lineage import tracked_checkpoint, unpersist_ids
+from ._lineage import fused_checkpoint, tracked_checkpoint, unpersist_ids
 
 
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -249,7 +249,7 @@ def pair_jaccard(
     # intersection join, the final left join); when it arrives as the raw
     # LSH subtree (dedup_cluster_assignments' verify path) each branch
     # would re-run shingling + banding — materialize it once
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = pairs.transform(fused_checkpoint)
     wanted = (
         pairs.select(F.col("id_a").alias("__id"))
         .union(pairs.select(F.col("id_b").alias("__id")))
@@ -266,9 +266,9 @@ def pair_jaccard(
         .select("__id", hashed_shingles(F.col("__th"), shingle_n).alias("__h"))
     )
     # the shingling subtree (tokenize + per-token md5) feeds four plan
-    # branches (both join sides + both size lookups); a lazy localCheckpoint
+    # branches (both join sides + both size lookups); an eager fused_checkpoint
     # materializes it once and reuses the blocks instead of recomputing
-    sh = sh.localCheckpoint(eager=False)
+    sh = sh.transform(fused_checkpoint)
     ex = sh.select("__id", F.explode("__h").alias("s"))
     sizes = sh.select("__id", F.size("__h").alias("sz"))
     inter = (

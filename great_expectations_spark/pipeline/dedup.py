@@ -20,6 +20,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from great_expectations_spark.pipeline._lineage import fused_checkpoint
+
 HEX = "0123456789abcdef"
 
 # Mersenne prime 2^31-1: universal-hash modulus. Token/shingle hashes are
@@ -336,7 +338,7 @@ def minhash_lsh_candidates(
     # full corpus reads). Like pair_jaccard's cut, the blocks stay pinned
     # for the session (documented localCheckpoint semantics).
     exploded = _band_buckets(df, id_col, text_col, k, bands, shingle_n)
-    exploded = exploded.localCheckpoint(eager=False)
+    exploded = exploded.transform(fused_checkpoint)
     return _pairs_from_triples(exploded, max_bucket_size)
 
 
@@ -384,7 +386,7 @@ def digest_and_buckets(
     Separately computed, the exact digest and the MinHash signature each
     read the corpus text once — two full scans of a 100 TB table. Here the
     md5 digest rides the signature scan; the per-doc feature row (id +
-    16-byte digest + k longs) is lazily checkpointed, and both outputs
+    16-byte digest + k longs) is checkpointed once (eager fused_checkpoint), and both outputs
     read the materialized blocks.
     """
     _validate_banding(k, bands)
@@ -405,7 +407,7 @@ def digest_and_buckets(
                     hashed_shingles(F.col("__th"), shingle_n), k),
             ).alias("__sig"),
         )
-    ).localCheckpoint(eager=False)
+    ).transform(fused_checkpoint)
     digests = feat.select("__id", "__h")
     triples = _explode_banded(
         feat.where(F.col("__nt") >= shingle_n).select("__id", "__sig"), k, bands)
@@ -636,7 +638,7 @@ def ngram_jaccard_pairs(
     # four plan branches consume `sh` (both join sides + both size lookups)
     # with no exchange reuse between them — materialize the shingle scan
     # once (same cut pair_jaccard applies to its shingle subtree)
-    sh = sh.localCheckpoint(eager=False)
+    sh = sh.transform(fused_checkpoint)
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from great_expectations_spark.pipeline._lineage import fused_checkpoint
 from great_expectations_spark.pipeline.dedup import _md5_int
 from great_expectations_spark.pipeline.sampling import uniform_from_key
 
@@ -173,7 +174,7 @@ def dsir_log_weights(
         target, id_col, text_col, buckets=buckets, alpha=alpha)
     feats = hashed_ngram_counts(df, id_col, text_col, buckets=buckets)
     if materialize_features:
-        feats = feats.localCheckpoint(eager=False)
+        feats = feats.transform(fused_checkpoint)
     q_r = _distribution_from_feats(feats, buckets, alpha)
     ratio = (
         p_t.withColumnRenamed("logp", "lp")

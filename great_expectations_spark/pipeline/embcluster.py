@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from great_expectations_spark.pipeline._lineage import fused_checkpoint
+
 from great_expectations_spark.pipeline.similarity import (
     cosine_sim,
     ivf_assign,
@@ -347,7 +349,7 @@ def semantic_pairs(
         corpus.where(finite & F.col(id_col).isNotNull())
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("c", _assign_col(F.col("v"), centroids, assign))
-        .localCheckpoint(eager=False)
+        .transform(fused_checkpoint)
     )
     if max_cluster_size is not None:
         ok = (

@@ -40,6 +40,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from great_expectations_spark.pipeline._lineage import fused_checkpoint
 from great_expectations_spark.pipeline.dedup import (
     nonempty_tokens as _nonempty_tokens,
 )
@@ -160,8 +161,8 @@ def lm_train_and_score(
     (both round to 6 decimals; oracle: pipeline_lm_fused).
 
     Plan: ONE ``groupBy(id, token)`` count (map-combinable — the shuffle
-    carries distinct (doc, token) pairs, not token instances), lazily
-    checkpointed; the model's token totals, the vocabulary cut, and the
+    carries distinct (doc, token) pairs, not token instances),
+    checkpointed once (eager fused_checkpoint); the model's token totals, the vocabulary cut, and the
     per-doc scoring join all read those materialized features instead of
     re-reading text.
     """
@@ -171,7 +172,7 @@ def lm_train_and_score(
         _tokens(df, id_col, text_col)
         .groupBy("id", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-    ).localCheckpoint(eager=False)
+    ).transform(fused_checkpoint)
     counts = feats.groupBy("token").agg(F.sum("cnt").alias("c")).persist()
     try:
         n_total = counts.agg(F.sum("c")).first()[0] or 0

@@ -44,6 +44,8 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from great_expectations_spark.pipeline._lineage import fused_checkpoint
+
 __all__ = [
     "RecipeStage",
     "predicate_stage",
@@ -241,7 +243,7 @@ def run_recipe(
             )
         elif stage.kind == "losers":
             # cut lineage so the fn and the join don't re-run the prefix
-            annotated = annotated.localCheckpoint(eager=False)
+            annotated = annotated.transform(fused_checkpoint)
             survivors = annotated.where(rej.isNull())
             import inspect
 
