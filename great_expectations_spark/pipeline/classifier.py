@@ -128,8 +128,11 @@ def train_ngram_classifier(
         # lineage so the margin pass runs once per iteration; tracked so
         # each iteration frees the previous one's pinned blocks
         # (checkpoint blocks are eviction-exempt: leaving them accumulates
-        # O(iters) margin copies in storage memory)
-        margins, ckpt_ids = tracked_checkpoint(margins, eager=False)
+        # O(iters) margin copies in storage memory). EAGER: a lazy cut's
+        # first materialization can land on an AQE broadcast-exchange
+        # thread (margins is broadcast-sized) and deadlock the driver —
+        # see _lineage.fused_checkpoint
+        margins, ckpt_ids = tracked_checkpoint(margins, eager=True)
         grad_rows = (
             feats.join(margins.select("id", "err"), "id")
             .groupBy("bucket")

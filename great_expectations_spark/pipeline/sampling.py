@@ -53,9 +53,15 @@ def uniform_from_key(key: Column, seed: int = 0) -> Column:
     NULL-key rows share one u (kept or dropped together); give every row
     a real key (doc_id, url) for independent sampling.
     """
+    return (_key_hash(key, seed) % _U_MOD) / F.lit(float(_U_MOD))
+
+
+def _key_hash(key: Column, seed: int) -> Column:
+    """The module's ONE portable hash: 60-bit md5 int of
+    ``seed || '|' || coalesce(key, '')`` — shared by sampling and
+    sharding so the engine-replayable contract lives in one place."""
     key_s = F.coalesce(key.cast("string"), F.lit(""))
-    h = _md5_int(F.concat_ws("|", F.lit(str(seed)), key_s))
-    return (h % _U_MOD) / F.lit(float(_U_MOD))
+    return _md5_int(F.concat_ws("|", F.lit(str(seed)), key_s))
 
 
 def deterministic_sample(
@@ -206,12 +212,16 @@ def shard_shuffle(
     """
     if shards < 1:
         raise ValueError(f"shards must be >= 1, got {shards}")
+    taken = {shard_col, pos_col, "__ord"} & set(df.columns)
+    if taken:
+        # silently overwriting caller data is worse than an error
+        raise ValueError(
+            f"shard_shuffle output columns collide with input columns "
+            f"{sorted(taken)}; rename them or pass shard_col=/pos_col=")
     from pyspark.sql import Window
 
-    key_s = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
-    shard = (_md5_int(F.concat_ws("|", F.lit(str(seed)), key_s))
-             % shards).cast("int")
-    order = _md5_int(F.concat_ws("|", F.lit(str(seed + 1)), key_s))
+    shard = (_key_hash(F.col(key_col), seed) % shards).cast("int")
+    order = _key_hash(F.col(key_col), seed + 1)
     w = Window.partitionBy(shard_col).orderBy(F.col("__ord"), F.col(key_col))
     return (
         df.withColumn(shard_col, shard)

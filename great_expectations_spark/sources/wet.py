@@ -20,14 +20,17 @@ Spark-first design — no Python in the data path:
   ~150 MB segments precisely so file-level parallelism is enough).
 * **Header parsing is whole-stage-codegen built-ins** (`substring_index`,
   `regexp_extract`, `try_to_timestamp`) — zero UDFs, zero Arrow.
-* The inter-record separator is CONSUMED by the delimiter, so payloads
-  come out exact; only the file's final record keeps its trailing
-  CRLF CRLF, which is stripped. A payload that itself contains the full
-  record separator sequence (``\\r\\n\\r\\nWARC/1.0\\r\\n``) cannot be
-  recovered by any delimiter scan — such mis-splits are surfaced, not
-  hidden: ``length_ok`` compares the header's Content-Length against the
-  parsed payload's UTF-8 byte count, so corrupted or mis-split records
-  are a ``WHERE NOT length_ok`` audit away.
+* The inter-record separator is CONSUMED by the delimiter
+  (``\\r\\n\\r\\nWARC/`` — version-agnostic, so WARC/1.0 and WARC/1.1
+  files both split), so payloads come out exact; only the file's final
+  record keeps its trailing CRLF CRLF, trimmed under the header's own
+  Content-Length arbitration (a payload whose byte count already
+  matches is never trimmed). A payload that itself contains the
+  separator sequence (``\\r\\n\\r\\nWARC/``) cannot be recovered by any
+  delimiter scan — such mis-splits are surfaced, not hidden:
+  ``length_ok`` compares the header's Content-Length against the parsed
+  payload's UTF-8 byte count, so corrupted or mis-split records are a
+  ``WHERE NOT length_ok`` audit away.
 
 ``write_wet`` is the deterministic inverse (fixed header order, byte
 Content-Length, stable record ids) — it exists so tests and benches can
@@ -44,12 +47,16 @@ __all__ = ["read_warc", "read_wet", "stream_wet", "wet_pages", "write_wet"]
 
 _CRLF = "\r\n"
 _SEP = _CRLF * 2
-# one record per row: the separator + next record's version line
-_DELIM = _SEP + "WARC/1.0" + _CRLF
+# one record per row: the separator + the next record's version-line
+# prefix. Version-AGNOSTIC ("WARC/" without the number) so WARC/1.0 and
+# WARC/1.1 (ISO 28500:2017) files both split; the remnant version digits
+# are stripped per record.
+_DELIM = _SEP + "WARC/"
 
 
 def _hdr_field(hdr, name: str):
-    out = F.regexp_extract(hdr, rf"(?m)^{name}:[ \t]*(\S+)", 1)
+    # (?i): WARC field names are case-insensitive (ISO 28500 §5)
+    out = F.regexp_extract(hdr, rf"(?mi)^{name}:[ \t]*(\S+)", 1)
     return F.when(out != "", out)
 
 
@@ -79,20 +86,31 @@ def _parse_records(
     split rows of ``value`` → typed record columns."""
     rec = (
         raw
-        # the file's FIRST record keeps its version line (no preceding
-        # separator to consume) — strip it so all records parse alike
-        .select(F.regexp_replace("value", r"\AWARC/1\.0\r\n", "")
+        # the delimiter consumed "WARC/" but not the version digits; the
+        # file's FIRST record keeps the full version line — strip both
+        # shapes so all records parse alike
+        .select(F.regexp_replace("value", r"\A(WARC/)?\d+\.\d+\r\n", "")
                 .alias("rec"))
         .where(F.length(F.trim(F.col("rec"))) > 0)
     )
     hdr = F.substring_index(F.col("rec"), _SEP, 1)
-    # everything after the first blank line; the final record of each
-    # file retains one trailing separator — strip exactly that
-    payload = F.regexp_replace(
-        F.substring(F.col("rec"), F.length(hdr) + F.lit(5),
-                    F.length(F.col("rec"))),
-        r"\r\n\r\n\Z", "")
+    # everything after the first blank line
+    raw_payload = F.substring(
+        F.col("rec"), F.length(hdr) + F.lit(5), F.length(F.col("rec")))
     clen = _hdr_field(hdr, "Content-Length").cast("long")
+    raw_bytes = F.length(F.encode(raw_payload, "UTF-8"))
+    stripped = F.regexp_replace(raw_payload, r"\r\n\r\n\Z", "")
+    # only the file's FINAL record retains its trailing record separator
+    # (every other one is consumed by the delimiter). Use the header's
+    # own Content-Length to decide: if the raw bytes already match, the
+    # payload legitimately ends with CRLF CRLF and must NOT be trimmed;
+    # if they match + 4, the surplus IS the separator. No usable
+    # Content-Length → strip-if-present (the overwhelmingly common
+    # shape; a spec-legal payload ending in CRLF CRLF with no
+    # Content-Length is then trimmed and unrecoverable — surfaced
+    # as length_ok NULL, not hidden).
+    payload = F.when(clen.isNotNull() & (raw_bytes == clen), raw_payload) \
+        .otherwise(stripped)
     out = rec.select(
         _hdr_field(hdr, "WARC-Target-URI").alias("url"),
         F.try_to_timestamp(_hdr_field(hdr, "WARC-Date")).alias("warc_ts"),
@@ -148,7 +166,11 @@ def write_wet(
     timestamp column of that name if one exists in ``df``), record id =
     md5 of (url, payload). Content-Length is the payload's UTF-8 byte
     count, as the spec requires. Rows with NULL url or text are skipped
-    (a conversion record without a target or a payload is meaningless).
+    (a conversion record without a target or a payload is meaningless),
+    as are rows whose url contains whitespace — a URI is whitespace-free
+    by definition, and writing one would truncate silently on re-read
+    (embedded CR/LF would even inject forged headers); count skips with
+    a ``WHERE url RLIKE '\\\\s'`` audit before writing.
     ``compression="gzip"`` writes ``.gz`` part files that ``read_wet``
     consumes transparently.
     """
@@ -173,7 +195,8 @@ def write_wet(
         payload,
     )
     out = (
-        df.where(url.isNotNull() & payload.isNotNull())
+        df.where(url.isNotNull() & payload.isNotNull()
+                 & ~url.rlike(r"\s"))
         .select(rec.alias("value"))
     )
     if partitions is not None:

@@ -173,3 +173,14 @@ def test_shard_shuffle_validates_shards(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="shards"):
         shard_shuffle(df, "doc_id", shards=0)
+
+
+def test_shard_shuffle_rejects_column_collisions(spark):
+    from great_expectations_spark.pipeline.sampling import shard_shuffle
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, pos long")
+    with pytest.raises(ValueError, match="collide"):
+        shard_shuffle(df, "doc_id", shards=2)
+    # custom names route around the collision
+    out = shard_shuffle(df, "doc_id", shards=2, pos_col="__pp")
+    assert {"shard", "__pp", "pos"} <= set(out.columns)

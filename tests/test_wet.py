@@ -198,3 +198,54 @@ def test_stream_wet_availablenow_matches_batch(spark, tmp_path):
     assert sorted((r["url"], r["text"]) for r in got.collect()) == sorted(rows)
     assert got.columns == ["url", "warc_ts", "record_type",
                            "content_length", "length_ok", "text"]
+
+
+def test_warc_1_1_files_parse(spark, tmp_path):
+    # ISO 28500:2017 version line + lower-cased header names must parse
+    p = tmp_path / "v11.wet"
+    p.write_bytes(
+        b"WARC/1.1\r\n"
+        b"warc-type: conversion\r\n"
+        b"warc-target-uri: http://v11.example/a\r\n"
+        b"content-length: 5\r\n"
+        b"\r\n"
+        b"first\r\n\r\n"
+        b"WARC/1.1\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://v11.example/b\r\n"
+        b"Content-Length: 6\r\n"
+        b"\r\n"
+        b"second\r\n\r\n")
+    got = {r["url"]: r for r in read_wet(spark, str(p)).collect()}
+    assert set(got) == {"http://v11.example/a", "http://v11.example/b"}
+    assert got["http://v11.example/a"]["text"] == "first"
+    assert got["http://v11.example/b"]["text"] == "second"
+    assert all(r["length_ok"] for r in got.values())
+
+
+def test_final_record_payload_ending_in_separator_survives(spark, tmp_path):
+    # Content-Length arbitration: a final record whose payload
+    # legitimately ends with CRLF CRLF must NOT be trimmed
+    body = "tail\r\n\r\n"
+    p = tmp_path / "tail.wet"
+    p.write_bytes((
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://t.example/a\r\n"
+        f"Content-Length: {len(body.encode())}\r\n"
+        "\r\n"
+        f"{body}\r\n\r\n").encode())
+    r = read_wet(spark, str(p)).collect()[0]
+    assert r["text"] == body and r["length_ok"] is True
+
+
+def test_writer_skips_whitespace_urls(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("http://x/ok", "keep"),
+         ("http://x/a b", "space"),
+         ("http://x/a\r\nContent-Length: 0\r\n", "inject")],
+        "url string, text string")
+    out = str(tmp_path / "wet")
+    write_wet(df, out)
+    got = read_wet(spark, out).collect()
+    assert [(r["url"], r["text"]) for r in got] == [("http://x/ok", "keep")]
