@@ -54,6 +54,24 @@ def read_tsv(spark: SparkSession, path: str, **kwargs: Any) -> DataFrame:
     return read_csv(spark, path, **kwargs)
 
 
+def read_jsonl(spark: SparkSession, path: str, schema: Any = None,
+               **reader_options: Any) -> DataFrame:
+    """JSON-Lines reader (one object per line — the Dolma/web-corpus
+    delivery format; ``.jsonl.gz`` parts read transparently, uncompressed
+    files stay splittable). An explicit ``schema`` skips the inference
+    scan — at crawl scale always pass one (e.g. ``"id string, text
+    string, metadata map<string,string>"``); without it Spark reads every
+    file once just to infer. Corrupt lines land in the standard
+    ``_corrupt_record`` column (mode=PERMISSIVE default) instead of
+    failing the job — the WET reader's length_ok philosophy: surface,
+    don't crash."""
+    reader = spark.read.options(**reader_options)
+    resolved = _resolve_schema(schema)
+    if resolved is not None:
+        reader = reader.schema(resolved)
+    return reader.json(path)
+
+
 def read_parquet(spark: SparkSession, path: str, schema: Any = None,
                  **reader_options: Any) -> DataFrame:
     """An explicit ``schema`` is APPLIED (projection/validation), not
@@ -114,7 +132,8 @@ def read_any(spark: SparkSession, path: str | list[str],
         # .wet before .warc: Common Crawl WET segments are named
         # *.warc.wet.gz and must land on the conversion-record reader
         for ext, m in ((".csv", "csv"), (".tsv", "tsv"),
-                       (".parquet", "parquet"), (".wet", "wet"),
+                       (".parquet", "parquet"), (".jsonl", "jsonl"),
+                       (".ndjson", "jsonl"), (".wet", "wet"),
                        (".warc", "warc")):
             if lowered.endswith(ext) or f"{ext}." in lowered:
                 method = m
@@ -126,6 +145,8 @@ def read_any(spark: SparkSession, path: str | list[str],
         "tsv": read_tsv,
         "parquet": read_parquet,
         "delta": read_delta,
+        "jsonl": read_jsonl,
+        "json": read_jsonl,
         "wet": read_wet,
         "warc": read_warc,
     }

@@ -234,3 +234,27 @@ def test_read_any_dispatches_wet_and_warc(spark, tmp_path):
         b"HTTP/1.1 200 OK\r\n\r\n<html>hi</html>\r\n\r\n")
     hot = read_any(spark, str(warc)).collect()
     assert bytes(hot[0]["html"]).decode() == "<html>hi</html>"
+
+
+def test_read_jsonl_schema_and_corrupt_lines(spark, tmp_path):
+    import gzip
+
+    from great_expectations_spark.sources.readers import read_any, read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"id": 1, "text": "a"}\n'
+                 'NOT JSON AT ALL\n'
+                 '{"id": 2, "text": "b"}\n')
+    got = read_jsonl(
+        spark, str(p),
+        schema="id long, text string, _corrupt_record string")
+    rows = got.collect()
+    assert sorted((r["id"], r["text"]) for r in rows
+                  if r["_corrupt_record"] is None) == [(1, "a"), (2, "b")]
+    assert sum(1 for r in rows if r["_corrupt_record"] is not None) == 1
+
+    # extension sniff incl. .jsonl.gz
+    gz = tmp_path / "docs2.jsonl.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write('{"id": 3}\n')
+    assert read_any(spark, str(gz)).collect()[0]["id"] == 3
