@@ -3714,6 +3714,103 @@ def _shuf1(spark, sf):
     return shard_shuffle(docs, "doc_id", shards=16)
 
 
+# ---- corpus-trained BPE tokenizer (pipeline/bpe.py) -----------------------
+#
+# The oracle replays BPE TRAINING in DuckDB: merge steps are unrolled as
+# CTE stages (the kmeans-oracle pattern), each stage a recursive
+# leftmost-merge loop; because the engine encodes by rank-order
+# application (Sennrich apply_bpe), the final word-state IS the encoding
+# of every corpus piece, so per-doc token counts fall out of one join.
+# DuckDB v1.0 note: a MATERIALIZED CTE referenced from a recursive term
+# silently reads empty after the first iteration, so best{k} stays
+# plain (inlined) while the words{k} chain is MATERIALIZED to stop the
+# exponential CTE re-expansion.
+
+_BPE_MERGES = 16
+
+
+def _bpe_chain(num_merges: int) -> str:
+    from great_expectations_spark.pipeline.textstats import BPE_SPLIT_PATTERN
+
+    pat_sql = "'" + BPE_SPLIT_PATTERN.replace("'", "''") + "'"
+    first_pos = ("list_position([toks[i] = b.l AND toks[i+1] = b.r "
+                 "FOR i IN generate_series(1, len(toks)-1)], true)")
+    parts = [f"""
+WITH RECURSIVE rawp AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(text, {pat_sql})) AS piece
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+words0 AS MATERIALIZED (
+  SELECT piece, regexp_extract_all(piece, '(?s).') AS toks,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM rawp GROUP BY piece)"""]
+    for k in range(num_merges):
+        parts.append(f""",
+best{k} AS (
+  SELECT l, r FROM (
+    SELECT toks[i] AS l, toks[i+1] AS r, sum(cnt) AS c
+    FROM words{k}, unnest(generate_series(1, len(toks)-1)) AS u(i)
+    GROUP BY 1, 2)
+  WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1),
+rec{k} AS (
+  SELECT piece, toks, cnt FROM words{k}
+  UNION ALL
+  SELECT piece,
+         list_slice(toks, 1, bi-1) || [toks[bi] || toks[bi+1]]
+           || list_slice(toks, bi+2, len(toks)) AS toks,
+         cnt
+  FROM (SELECT piece, toks, cnt,
+               (SELECT {first_pos} FROM best{k} b) AS bi
+        FROM rec{k}) x
+  WHERE bi > 0),
+words{k+1} AS MATERIALIZED (
+  SELECT piece, toks, cnt FROM rec{k}
+  WHERE coalesce((SELECT {first_pos} FROM best{k} b), 0) = 0)""")
+    return "".join(parts)
+
+
+def _bpe_train(spark, sf):
+    from great_expectations_spark.pipeline.bpe import train_bpe
+
+    docs = (_tbl(spark, sf, "documents")
+            .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull()))
+    return docs, train_bpe(docs, "doc_id", "text", num_merges=_BPE_MERGES,
+                           max_pieces=5_000_000)
+
+
+@_q("pipeline_bpe_merges", _bpe_chain(_BPE_MERGES) + "\n"
+    + " UNION ALL ".join(
+        f'SELECT {k} AS rank, l AS "left", r AS "right" FROM best{k}'
+        for k in range(_BPE_MERGES)))
+def _bpe1(spark, sf):
+    """BPE merge-table parity (pipeline/bpe.py train_bpe): the full
+    learned merge sequence — pair counts, count-desc/lexicographic
+    tiebreaks, and the min_pair_count=2 early stop — replayed
+    digit-exact by the unrolled DuckDB training stages."""
+    _docs, merges = _bpe_train(spark, sf)
+    return merges
+
+
+@_q("pipeline_bpe_encode", _bpe_chain(_BPE_MERGES) + f"""
+SELECT d.doc_id, CAST(coalesce(t.s, 0) AS INT) AS n_bpe
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL) d
+LEFT JOIN (SELECT r.doc_id, sum(len(w.toks)) AS s
+           FROM rawp r JOIN words{_BPE_MERGES} w USING (piece)
+           GROUP BY r.doc_id) t USING (doc_id)""")
+def _bpe2(spark, sf):
+    """Trained-BPE token counts per document (pipeline/bpe.py
+    bpe_encode): pre-tokenize in codegen, apply the learned merges in
+    ONE Arrow-batched pandas UDF with a per-worker piece memo.  The
+    oracle re-trains the same 16 merges in SQL and reads the final
+    training word-state as each piece's encoding (legal because the
+    engine applies merges in rank order — encoding replays training),
+    so every document's token count is digit-exact end-to-end."""
+    docs, merges = _bpe_train(spark, sf)
+    from great_expectations_spark.pipeline.bpe import bpe_encode
+
+    return bpe_encode(docs, merges, "doc_id", "text").select("doc_id", "n_bpe")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

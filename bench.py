@@ -594,6 +594,16 @@ def main() -> None:
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
+    @timed("bpe_tokenize")
+    def _q25():
+        # corpus-trained BPE: ONE piece-dict scan + driver merge learning,
+        # then Arrow-batched rank-order encoding of every document
+        from great_expectations_spark.pipeline.bpe import bpe_encode, train_bpe
+
+        merges = train_bpe(docs, "doc_id", "text", num_merges=512)
+        bpe_encode(docs, merges, "doc_id", "text").select(
+            F.count(F.lit(1)), F.sum("n_bpe")).first()
+
     # NOT counted in rows_validated (appended in round 2)
 
     total = round(sum(timings.values()), 4)

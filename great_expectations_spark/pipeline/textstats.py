@@ -44,7 +44,9 @@ def token_count_bpe(text: Column) -> Column:
     A training-data pipeline budgeting a tokenizer's context windows needs
     a cheap per-doc token estimate; pre-tokenizer piece count is the
     standard proxy (actual BPE merges only split pieces further, never
-    across pieces). Pure ``regexp_count`` codegen — no UDF."""
+    across pieces). Pure ``regexp_count`` codegen — no UDF.  For exact
+    counts from a vocabulary trained on the corpus itself, see
+    ``pipeline.bpe`` (train_bpe / bpe_token_count)."""
     return F.when(
         text.isNull(), F.lit(None).cast("int")
     ).otherwise(F.regexp_count(text, F.lit(BPE_SPLIT_PATTERN)).cast("int"))

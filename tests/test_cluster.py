@@ -217,14 +217,16 @@ def test_iterative_rounds_free_previous_checkpoint_blocks(spark):
     final round's cut may stay pinned."""
     sc = spark.sparkContext
 
-    def n_persistent():
-        return len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    def persistent_ids():
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
 
     # a 64-node chain needs several star rounds to converge
     edges = [(i, i + 1) for i in range(64)]
     e = spark.createDataFrame(edges, "id_a long, id_b long")
-    before = n_persistent()
+    before = persistent_ids()
     out = connected_components(e, driver_threshold=0)
     assert out.count() == 65
-    grown = n_persistent() - before
+    # Only NEW ids count as leaks (the ContextCleaner may concurrently
+    # unpersist unrelated earlier-test RDDs, shrinking the before-set).
+    grown = len(persistent_ids() - before)
     assert grown <= 1, f"{grown} checkpoint RDDs leaked (expected <= 1)"

@@ -129,11 +129,14 @@ def test_pagerank_zero_iterations_skips_edge_materialization(spark):
     groupBy + join + repartition job the result never reads)."""
     sc = spark.sparkContext
 
-    def n_persistent():
-        return len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    def persistent_ids():
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
 
     e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
-    before = n_persistent()
+    before = persistent_ids()
     out = pagerank(e, iterations=0)
     assert out.count() == 3
-    assert n_persistent() == before
+    # Set containment, not count equality: the ContextCleaner may
+    # asynchronously unpersist UNRELATED earlier-test RDDs in the window,
+    # shrinking the set — only NEW ids would mean we materialized edges.
+    assert persistent_ids() <= before

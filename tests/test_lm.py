@@ -300,11 +300,13 @@ def test_bigram_lm_leaves_no_pinned_blocks(spark, bdocs):
 
     sc = spark.sparkContext
 
-    def n_persistent():
-        return len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    def persistent_ids():
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
 
-    before = n_persistent()
+    before = persistent_ids()
     for _ in range(2):
         m = bigram_lm(bdocs, "doc_id", "text", vocab_size=5, bigram_size=10)
         assert m.count() >= 1
-    assert n_persistent() - before == 0
+    # Set containment, not count equality: the ContextCleaner may
+    # asynchronously unpersist UNRELATED earlier-test RDDs in the window.
+    assert persistent_ids() <= before
