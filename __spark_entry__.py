@@ -3727,6 +3727,7 @@ def _shuf1(spark, sf):
 # exponential CTE re-expansion.
 
 _BPE_MERGES = 16
+_BPE_MAX_PIECES = 5_000_000
 
 
 def _bpe_chain(num_merges: int) -> str:
@@ -3735,14 +3736,19 @@ def _bpe_chain(num_merges: int) -> str:
     pat_sql = "'" + BPE_SPLIT_PATTERN.replace("'", "''") + "'"
     first_pos = ("list_position([toks[i] = b.l AND toks[i+1] = b.r "
                  "FOR i IN generate_series(1, len(toks)-1)], true)")
+    # words0 mirrors the engine's max_pieces TakeOrdered cut (cnt desc,
+    # piece asc) so the two trainers see the SAME dict even if the corpus
+    # ever exceeds the cap — without this, parity would break silently at
+    # larger scale factors.
     parts = [f"""
 WITH RECURSIVE rawp AS MATERIALIZED (
   SELECT doc_id, unnest(regexp_extract_all(text, {pat_sql})) AS piece
   FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
 words0 AS MATERIALIZED (
-  SELECT piece, regexp_extract_all(piece, '(?s).') AS toks,
-         CAST(count(*) AS BIGINT) AS cnt
-  FROM rawp GROUP BY piece)"""]
+  SELECT piece, regexp_extract_all(piece, '(?s).') AS toks, cnt FROM (
+    SELECT piece, CAST(count(*) AS BIGINT) AS cnt
+    FROM rawp GROUP BY piece
+    ORDER BY cnt DESC, piece LIMIT {_BPE_MAX_PIECES}))"""]
     for k in range(num_merges):
         parts.append(f""",
 best{k} AS (
@@ -3774,7 +3780,7 @@ def _bpe_train(spark, sf):
     docs = (_tbl(spark, sf, "documents")
             .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull()))
     return docs, train_bpe(docs, "doc_id", "text", num_merges=_BPE_MERGES,
-                           max_pieces=5_000_000)
+                           max_pieces=_BPE_MAX_PIECES)
 
 
 @_q("pipeline_bpe_merges", _bpe_chain(_BPE_MERGES) + "\n"

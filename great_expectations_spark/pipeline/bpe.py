@@ -69,6 +69,8 @@ pre-tokenizer estimate to a trained vocabulary.
 
 from __future__ import annotations
 
+import hashlib
+import heapq
 from collections import Counter
 
 import pandas as pd
@@ -79,6 +81,13 @@ from pyspark.sql.types import ArrayType, StringType
 from great_expectations_spark.pipeline.textstats import BPE_SPLIT_PATTERN
 
 MERGES_SCHEMA = "rank INT NOT NULL, left STRING NOT NULL, right STRING NOT NULL"
+
+# Per-process piece->tokens memo, keyed by a fingerprint of the merge
+# table (see bpe_encode): survives across tasks within one python worker.
+# Bounded: a memo that outgrows the cap is cleared wholesale (the cache is
+# an optimization, never a correctness dependency).
+_PIECE_CACHE: dict[str, dict[str, list[str]]] = {}
+_PIECE_CACHE_MAX = 1_000_000
 
 
 def piece_counts(
@@ -125,6 +134,18 @@ def _merge_first(sym: list[str], left: str, right: str) -> list[str] | None:
         if sym[i] == left and sym[i + 1] == right:
             return sym[:i] + [left + right] + sym[i + 2 :]
     return None
+
+
+def _merge_all(sym: list[str], left: str, right: str) -> list[str]:
+    """Greedily collapse every (left, right) occurrence left-to-right —
+    the single merge-application rule shared by the trainer and the
+    encoder (the 'encoding replays training' invariant the SQL oracle
+    depends on lives here, in one place)."""
+    while True:
+        nxt = _merge_first(sym, left, right)
+        if nxt is None:
+            return sym
+        sym = nxt
 
 
 def _pair_stats(
@@ -181,22 +202,42 @@ def train_bpe(
     ]
     counts, where = _pair_stats(words)
 
+    # Lazy max-heap over (count desc, pair asc): every count update pushes
+    # a fresh entry; stale entries are discarded at pop time by checking
+    # against the live Counter. Selection is O(log n) per merge instead of
+    # a full dict scan (which would dominate training at the default
+    # 200k-piece dict x 4000 merges).
+    heap: list[tuple[int, str, str]] = [
+        (-c, p[0], p[1]) for p, c in counts.items()
+    ]
+    heapq.heapify(heap)
+
+    def _pop_best() -> tuple[tuple[str, str], int] | None:
+        while heap:
+            negc, l, r = heap[0]
+            if counts.get((l, r)) == -negc:
+                return (l, r), -negc
+            heapq.heappop(heap)
+        return None
+
     merges: list[tuple[int, str, str]] = []
     for rank in range(num_merges):
-        best: tuple[str, str] | None = None
-        best_cnt = 0
-        for p, c in counts.items():
-            if c > best_cnt or (c == best_cnt and best is not None and p < best):
-                best, best_cnt = p, c
-        if best is None or best_cnt < min_pair_count:
+        top = _pop_best()
+        if top is None or top[1] < min_pair_count:
             break
+        best = top[0]
         merges.append((rank, best[0], best[1]))
-        # Incremental update: rescan only the words containing the pair.
+        # Incremental update: rescan only the words containing the pair,
+        # then re-push every touched pair's fresh count (decrements too —
+        # a pair whose only heap entries are stale would otherwise become
+        # unselectable).
+        touched: set[tuple[str, str]] = set()
         for wi in list(where.get(best, ())):
             sym, cnt = words[wi]
             for i in range(len(sym) - 1):
                 p = (sym[i], sym[i + 1])
                 counts[p] -= cnt
+                touched.add(p)
                 if counts[p] <= 0:
                     del counts[p]
                 s = where.get(p)
@@ -204,17 +245,17 @@ def train_bpe(
                     s.discard(wi)
                     if not s:
                         del where[p]
-            new = sym
-            while True:
-                nxt = _merge_first(new, best[0], best[1])
-                if nxt is None:
-                    break
-                new = nxt
+            new = _merge_all(sym, best[0], best[1])
             words[wi] = (new, cnt)
             for i in range(len(new) - 1):
                 p = (new[i], new[i + 1])
                 counts[p] += cnt
+                touched.add(p)
                 where.setdefault(p, set()).add(wi)
+        for p in touched:
+            c = counts.get(p)
+            if c is not None:
+                heapq.heappush(heap, (-c, p[0], p[1]))
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 
@@ -235,11 +276,7 @@ def _encode_piece(piece: str, ranks: dict[tuple[str, str], int]) -> list[str]:
                 best_rank, best_pair = r, p
         if best_rank is None or best_pair is None:
             break
-        while True:
-            nxt = _merge_first(sym, best_pair[0], best_pair[1])
-            if nxt is None:
-                break
-            sym = nxt
+        sym = _merge_all(sym, best_pair[0], best_pair[1])
         cursor = best_rank + 1
     return sym
 
@@ -271,10 +308,17 @@ def bpe_encode(
     """
     rank_rows = merges.select("rank", "left", "right").collect()
     ranks = {(r["left"], r["right"]): int(r["rank"]) for r in rank_rows}
-    memo: dict[str, list[str]] = {}
+    # Per-PROCESS memo key: the UDF closure is re-deserialized per task, so
+    # a closure-local dict would reset every partition; the module-level
+    # cache (keyed by a fingerprint of the merge table) survives for the
+    # executor's python-worker lifetime, so each distinct piece is encoded
+    # once per worker process, not once per partition.
+    model_key = hashlib.md5(
+        repr(sorted(ranks.items())).encode()).hexdigest()
 
     @F.pandas_udf(ArrayType(StringType(), containsNull=False))
     def _apply(pieces: pd.Series) -> pd.Series:
+        memo = _PIECE_CACHE.setdefault(model_key, {})
         out = []
         for ps in pieces:
             if ps is None:
@@ -284,6 +328,8 @@ def bpe_encode(
             for p in ps:
                 enc = memo.get(p)
                 if enc is None:
+                    if len(memo) >= _PIECE_CACHE_MAX:
+                        memo.clear()
                     enc = _encode_piece(p, ranks)
                     memo[p] = enc
                 toks.extend(enc)
