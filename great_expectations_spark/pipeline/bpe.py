@@ -200,6 +200,18 @@ def train_bpe(
     words: list[tuple[list[str], int]] = [
         (list(r["piece"]), int(r["cnt"])) for r in dict_rows
     ]
+    merges = _learn_merges(words, num_merges, min_pair_count)
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def _learn_merges(
+    words: list[tuple[list[str], int]],
+    num_merges: int,
+    min_pair_count: int,
+) -> list[tuple[int, str, str]]:
+    """The driver-side merge loop of :func:`train_bpe`, factored out so
+    the incremental bookkeeping is testable against a brute-force
+    reference without a SparkSession.  Mutates ``words`` in place."""
     counts, where = _pair_stats(words)
 
     # Lazy max-heap over (count desc, pair asc): every count update pushes
@@ -256,7 +268,7 @@ def train_bpe(
             c = counts.get(p)
             if c is not None:
                 heapq.heappush(heap, (-c, p[0], p[1]))
-    return spark.createDataFrame(merges, MERGES_SCHEMA)
+    return merges
 
 
 def _encode_piece(piece: str, ranks: dict[tuple[str, str], int]) -> list[str]:

@@ -58,6 +58,7 @@ __all__ = [
     "line_array",
     "repetition_signals",
     "quality_signals",
+    "compression_ratio",
     "gopher_suite",
     "gopher_filter",
     "c4_clean_lines",
@@ -301,6 +302,48 @@ def quality_signals(
         rep = repetition_signals(t).alias("__rep")
         out = out.withColumn("__rep", rep).select("*", "__rep.*").drop("__rep")
     return out
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str = "compression_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """Annotate each document with ``len(zlib(text)) / len(utf8(text))``
+    — the compression-ratio repetition proxy the Dolma/RedPajama-style
+    pipelines threshold on (a whole-document signal the per-n-gram
+    Gopher fractions can't see: templated pages compress far below
+    natural prose, near-random gibberish barely compresses at all).
+
+    Lower = more redundant.  NULL text → NULL ratio; empty text → NULL
+    (no bytes to measure).  One Arrow-batched pandas UDF (stdlib zlib,
+    fixed ``level``), row-local — zero shuffles, composable as a
+    ``predicate_stage`` threshold in a cleaning recipe.
+
+    Determinism: exact byte counts from one zlib build are stable; the
+    compressed SIZE may drift a byte or two across zlib versions, so —
+    unlike the word/line signals — this column is pinned by unit tests
+    (ordering + bounds), not by a DuckDB oracle.
+    """
+    if not 0 <= level <= 9:
+        raise ValueError(f"level must be in [0, 9], got {level}")
+
+    @F.pandas_udf(T.DoubleType())
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for v in s:
+            if v is None or len(v) == 0:
+                out.append(None)
+                continue
+            raw = v.encode("utf-8")
+            out.append(len(zlib.compress(raw, level)) / len(raw))
+        return pd.Series(out, dtype="float64")
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))
 
 
 # Gopher A1 thresholds (top-/dup-n-gram entries keyed by n).

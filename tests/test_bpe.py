@@ -195,6 +195,62 @@ def test_rank_order_rule_agrees_with_gpt2_variant(spark):
         assert _encode_piece(w, ranks) == _encode_merge_all(w, ranks), w
 
 
+def _learn_merges_bruteforce(words, num_merges, min_pair_count):
+    """Reference trainer: full pair recount + full scan per merge (the
+    obviously-correct O(dict x merges) loop the incremental/heap
+    implementation must replicate exactly)."""
+    from collections import Counter
+
+    from great_expectations_spark.pipeline.bpe import _merge_all
+
+    words = [(list(sym), cnt) for sym, cnt in words]
+    merges = []
+    for rank in range(num_merges):
+        counts = Counter()
+        for sym, cnt in words:
+            for i in range(len(sym) - 1):
+                counts[(sym[i], sym[i + 1])] += cnt
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        if counts[best] < min_pair_count:
+            break
+        merges.append((rank, best[0], best[1]))
+        words = [(_merge_all(sym, best[0], best[1]), cnt)
+                 for sym, cnt in words]
+    return merges
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        word_counts=st.lists(
+            st.tuples(st.text(alphabet="abcd", min_size=1, max_size=10),
+                      st.integers(1, 9)),
+            min_size=1, max_size=25, unique_by=lambda wc: wc[0]),
+        num_merges=st.integers(0, 30),
+        min_pair_count=st.integers(1, 3),
+    )
+    def test_incremental_trainer_matches_bruteforce(
+            word_counts, num_merges, min_pair_count):
+        """The heap + incremental-pair-stats trainer produces the exact
+        merge sequence of the brute-force recount-everything reference,
+        including overlap-heavy words (aaaa), tiebreaks, and early
+        stop."""
+        from great_expectations_spark.pipeline.bpe import _learn_merges
+
+        words = [(list(w), c) for w, c in word_counts]
+        got = _learn_merges([(list(s), c) for s, c in words],
+                            num_merges, min_pair_count)
+        want = _learn_merges_bruteforce(words, num_merges, min_pair_count)
+        assert got == want
+except ImportError:  # pragma: no cover - hypothesis is in the image
+    pass
+
+
 def test_merges_table_persist_roundtrip(spark, tmp_path):
     df = _word_corpus(spark, SENNRICH)
     merges = train_bpe(df, "doc_id", "text", num_merges=10)

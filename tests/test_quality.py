@@ -228,3 +228,41 @@ def test_repetition_kernel_parity_with_reference_impl():
         cases.append(text)
     for text in cases:
         assert _repetition_one(text) == _repetition_one_py(text), repr(text)
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    from great_expectations_spark.pipeline.quality import compression_ratio
+
+    import random
+    rnd = random.Random(3)
+    gibberish = "".join(chr(rnd.randrange(0x21, 0x7f)) for _ in range(2000))
+    df = spark.createDataFrame(
+        [(1, "the word " * 250),              # highly templated
+         (2, "The quick brown fox jumps over the lazy dog. " * 5
+             + "Pack my box with five dozen liquor jugs. " * 5),
+         (3, gibberish),                      # near-incompressible
+         (4, None),
+         (5, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["compression_ratio"]
+           for r in compression_ratio(df).collect()}
+    assert got[4] is None and got[5] is None
+    # repetition compresses hardest, prose in between, gibberish worst
+    assert got[1] < got[2] < got[3]
+    for v in (got[1], got[2], got[3]):
+        assert 0.0 < v < 1.2  # tiny inputs can exceed 1.0 only via headers
+    # exact agreement with driver-side zlib on the same bytes
+    import zlib
+    raw = ("the word " * 250).encode()
+    assert got[1] == len(zlib.compress(raw, 6)) / len(raw)
+
+
+def test_compression_ratio_level_and_validation(spark):
+    from great_expectations_spark.pipeline.quality import compression_ratio
+
+    df = spark.createDataFrame([(1, "abc " * 100)], "doc_id long, text string")
+    r9 = compression_ratio(df, level=9).collect()[0]["compression_ratio"]
+    r1 = compression_ratio(df, level=1).collect()[0]["compression_ratio"]
+    assert r9 <= r1
+    with pytest.raises(ValueError, match="level"):
+        compression_ratio(df, level=10)
