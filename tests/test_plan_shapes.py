@@ -300,3 +300,28 @@ def test_shard_shuffle_single_exchange(spark, fresh_docs):
     assert plan.count(") Exchange") == 1
     assert "hashpartitioning(shard" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bpe_encode_row_local_arrow_no_exchange(spark, fresh_docs):
+    """BPE encoding: pre-tokenization stays in codegen and the merge
+    application is ONE ArrowEvalPython node — row-local, zero Exchange
+    (the corpus text never moves; only train_bpe's separate piece-dict
+    scan shuffles, and that is bounded by the dict)."""
+    from great_expectations_spark.pipeline.bpe import bpe_encode, train_bpe
+
+    merges = train_bpe(fresh_docs, "doc_id", "text", num_merges=8)
+    plan = _plan(bpe_encode(fresh_docs, merges, "doc_id", "text"))
+    assert "Exchange" not in plan
+    assert plan.count(") ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan  # never the row-at-a-time path
+
+
+def test_compression_ratio_row_local_arrow_no_exchange(spark, fresh_docs):
+    """Compression-ratio signal: one ArrowEvalPython projection over the
+    scan, nothing else — no Exchange, no row-at-a-time Python."""
+    from great_expectations_spark.pipeline.quality import compression_ratio
+
+    plan = _plan(compression_ratio(fresh_docs))
+    assert "Exchange" not in plan
+    assert plan.count(") ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
