@@ -59,6 +59,7 @@ __all__ = [
     "repetition_signals",
     "quality_signals",
     "compression_ratio",
+    "compression_ratio_col",
     "gopher_suite",
     "gopher_filter",
     "c4_clean_lines",
@@ -327,6 +328,15 @@ def compression_ratio(
     unlike the word/line signals — this column is pinned by unit tests
     (ordering + bounds), not by a DuckDB oracle.
     """
+    return df.withColumn(out_col, compression_ratio_col(F.col(text_col),
+                                                        level=level))
+
+
+def compression_ratio_col(text: Column, *, level: int = 6) -> Column:
+    """Column form of :func:`compression_ratio` — composes directly as a
+    cleaning-recipe keep-predicate operand, e.g.
+    ``predicate_stage("compressible", lambda df:
+    compression_ratio_col(F.col("text")) >= 0.25)``."""
     if not 0 <= level <= 9:
         raise ValueError(f"level must be in [0, 9], got {level}")
 
@@ -343,7 +353,7 @@ def compression_ratio(
             out.append(len(zlib.compress(raw, level)) / len(raw))
         return pd.Series(out, dtype="float64")
 
-    return df.withColumn(out_col, _ratio(F.col(text_col)))
+    return _ratio(text)
 
 
 # Gopher A1 thresholds (top-/dup-n-gram entries keyed by n).

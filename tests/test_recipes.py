@@ -199,3 +199,30 @@ def test_dsir_select_tolerates_logw_column(spark):
                       n=2, buckets=64)
     assert out.columns == ["doc_id", "text", "logw"]
     assert out.count() == 2
+
+
+def test_compression_ratio_predicate_stage(spark):
+    """The zlib compression-ratio signal composes as an ordinary recipe
+    keep-predicate: a templated (hyper-compressible) doc is rejected
+    with the stage's name in rejected_by, NULL text rejects too."""
+    from great_expectations_spark.pipeline.quality import compression_ratio_col
+    from great_expectations_spark.pipeline.recipes import (
+        predicate_stage, run_recipe)
+
+    df = spark.createDataFrame(
+        [(1, "spam ham " * 400),
+         (2, "The five boxing wizards jump quickly over a lazy brown dog "
+             "while jackdaws love my big sphinx of quartz and vexed zebras."),
+         (3, None)],
+        "doc_id long, text string")
+    import zlib
+    raw = ("spam ham " * 400).encode()
+    cutoff = len(zlib.compress(raw, 6)) / len(raw) + 0.01  # just above doc 1
+    stage = predicate_stage(
+        "too_compressible",
+        lambda d: compression_ratio_col(F.col("text")) >= cutoff)
+    res = run_recipe(df, [stage], "doc_id")
+    assert {r["doc_id"] for r in res.clean.collect()} == {2}
+    rej = {r["doc_id"]: r["rejected_by"] for r in res.annotated.collect()}
+    assert rej[1] == "too_compressible" and rej[3] == "too_compressible"
+    assert rej[2] is None
