@@ -28,6 +28,7 @@ backends are pluggable per ``stores.py``.
 
 from __future__ import annotations
 
+import itertools
 import os
 import time
 from typing import Any
@@ -43,12 +44,21 @@ from great_expectations_spark.stores import (
     MetricStore,
     TupleFilesystemStoreBackend,
     ValidationResultStore,
+    metric_kwargs_id,
 )
 from great_expectations_spark.validator import validate as _validate
 
 
+_RUN_SEQ = itertools.count()
+
+
 def _default_run_id() -> str:
-    return time.strftime("%Y%m%dT%H%M%S", time.gmtime()) + f".{os.getpid()}"
+    # Second-granularity time alone collides for back-to-back validate()
+    # calls (the store would silently upsert-overwrite the earlier run);
+    # the pid + per-process sequence number make the id unique however
+    # fast runs arrive.
+    return (time.strftime("%Y%m%dT%H%M%S", time.gmtime())
+            + f".{os.getpid()}.{next(_RUN_SEQ)}")
 
 
 class DataContext:
@@ -137,10 +147,9 @@ class DataContext:
         for evr in result.results:
             res = evr.result or {}
             if "observed_value" in res:
-                col = evr.expectation_config.kwargs.get("column")
                 self.metrics.set(
                     (run_id, evr.expectation_config.expectation_type,
-                     f"column={col}" if col is not None else "__"),
+                     metric_kwargs_id(evr.expectation_config.kwargs)),
                     res["observed_value"])
         if actions:
             run_actions(result, actions, run_id=run_id)

@@ -88,23 +88,34 @@ def fused_checkpoint(df: DataFrame) -> DataFrame:
     plan branches (LSH triples, shingle subtrees, token arrays): compute
     it once, let every branch read the blocks.
 
-    EAGER by design, never lazy: with ``localCheckpoint(eager=False)``
-    the first consuming job performs the materialization, and under AQE
-    that job can run on a broadcast-exchange thread concurrently with
-    the DAG scheduler's handling of a sibling stage of the SAME query —
-    the two take Spark's global RDDCheckpointData lock and the RDD
-    monitor in opposite orders and the driver deadlocks (observed live:
-    ``dag-scheduler-event-loop`` vs ``broadcast-exchange-33``, found by
-    ``jstack``'s deadlock detector). Materializing here, on the calling
-    thread and under the process-wide lock, makes every later
-    ``doCheckpoint`` a no-op so Spark's internal threads never enter
-    that critical section. The extra cost vs lazy is one scheduling
-    round, not a data pass — the materialization job IS the compute the
-    first consumer would have done.
+    Implemented as an EVICTABLE eager persist (MEMORY_AND_DISK +
+    materializing count), deliberately NOT ``localCheckpoint``:
 
-    Blocks stay pinned for the session (localCheckpoint semantics) —
-    callers that can free them afterwards should use
-    :func:`tracked_checkpoint` + :func:`unpersist_ids` instead.
+    * Checkpoint blocks are pinned for the session (truncated lineage is
+      unrecomputable, so they are eviction-exempt). Per-call operators —
+      ``minhash_lsh_candidates`` / ``signature_tables`` once per arriving
+      batch, ``run_recipe`` per corpus — would accumulate one pinned copy
+      of their working set per CALL in a long-lived ingest session until
+      unified storage starves execution memory (the exact
+      ``SparkOutOfMemoryError [UNABLE_TO_ACQUIRE_MEMORY]`` failure this
+      module's docstring describes for iterative loops). Persisted blocks
+      keep their lineage, so under pressure Spark evicts them and a later
+      branch recomputes — graceful degradation instead of OOM. Every
+      frame cut here is deterministic (md5-derived), so a recomputed
+      shard is value-identical.
+    * ``localCheckpoint`` has a driver-deadlock path: a LAZY checkpoint
+      whose first materialization lands on an AQE broadcast-exchange
+      thread takes Spark's global RDDCheckpointData lock and the RDD
+      monitor in the opposite order to the DAG scheduler (observed live
+      via ``jstack``). Persist involves neither lock; the eager count
+      just guarantees one materialization job on the calling thread.
+
+    Iterative algorithms must keep using :func:`tracked_checkpoint` +
+    :func:`unpersist_ids`: per-round lineage TRUNCATION (not just reuse)
+    is what stops their plans growing without bound.
     """
-    with _MATERIALIZE_LOCK:
-        return df.localCheckpoint(eager=True)
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df

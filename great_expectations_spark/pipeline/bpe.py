@@ -84,10 +84,21 @@ MERGES_SCHEMA = "rank INT NOT NULL, left STRING NOT NULL, right STRING NOT NULL"
 
 # Per-process piece->tokens memo, keyed by a fingerprint of the merge
 # table (see bpe_encode): survives across tasks within one python worker.
-# Bounded: a memo that outgrows the cap is cleared wholesale (the cache is
-# an optimization, never a correctness dependency).
+# Bounded two ways: only ONE model's memo is retained (a new fingerprint
+# evicts the old — a retraining/parameter-sweep session must not
+# accumulate one memo per historical model), and a memo that outgrows
+# the cap is cleared wholesale (the cache is an optimization, never a
+# correctness dependency).
 _PIECE_CACHE: dict[str, dict[str, list[str]]] = {}
 _PIECE_CACHE_MAX = 1_000_000
+
+
+def _piece_memo(model_key: str) -> dict[str, list[str]]:
+    memo = _PIECE_CACHE.get(model_key)
+    if memo is None:
+        _PIECE_CACHE.clear()
+        memo = _PIECE_CACHE[model_key] = {}
+    return memo
 
 
 def piece_counts(
@@ -330,7 +341,7 @@ def bpe_encode(
 
     @F.pandas_udf(ArrayType(StringType(), containsNull=False))
     def _apply(pieces: pd.Series) -> pd.Series:
-        memo = _PIECE_CACHE.setdefault(model_key, {})
+        memo = _piece_memo(model_key)
         out = []
         for ps in pieces:
             if ps is None:

@@ -248,18 +248,31 @@ def run_recipe(
             import inspect
 
             try:
-                # Only REQUIRED positional params decide the protocol: a fn
-                # like ``lambda s, frac=0.5: ...`` is a one-arg stage whose
-                # second slot is its own default, not a request for id_col.
-                n_params = len([
-                    p for p in
-                    inspect.signature(stage.fn).parameters.values()
-                    if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
-                    and p.default is p.empty])
+                # Two-arg protocol when the fn either (a) REQUIRES a second
+                # positional, or (b) declares a parameter literally named
+                # ``id_col`` (defaulted or not — a stale default like
+                # ``id_col="id"`` must not silently shadow the recipe's
+                # actual id column). A fn like ``lambda s, frac=0.5: ...``
+                # stays one-arg: its second slot is its own default, not a
+                # request for id_col.
+                params = inspect.signature(stage.fn).parameters
+                positional = [
+                    p for p in params.values()
+                    if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
+                required = [p for p in positional if p.default is p.empty]
+                two_positional = len(required) >= 2
+                id_kw = any(
+                    p.name == "id_col"
+                    and p.kind in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY)
+                    for p in params.values())
             except (TypeError, ValueError):
-                n_params = 1  # unintrospectable callable: classic contract
-            losers = (stage.fn(survivors, id_col) if n_params >= 2
-                      else stage.fn(survivors))
+                two_positional = id_kw = False  # unintrospectable: classic
+            if two_positional:
+                losers = stage.fn(survivors, id_col)
+            elif id_kw:
+                losers = stage.fn(survivors, id_col=id_col)
+            else:
+                losers = stage.fn(survivors)
             lcol = losers.columns[0]
             ltab = (
                 losers.select(F.col(lcol).alias("__loser_id"))

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from great_expectations_spark.pipeline._lineage import fused_checkpoint
 from great_expectations_spark.pipeline.dedup import nonempty_tokens as _nonempty_tokens  # noqa: E501
 
 __all__ = ["bm25_index", "bm25_search", "bm25_search_index"]
@@ -150,11 +151,20 @@ def bm25_search_index(
         .drop("__rk")
     )
     w2 = Window.partitionBy("query_id").orderBy(*order)
-    return (
+    result = (
         survivors.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= top_k)
         .select("query_id", F.col("__id").alias("doc_id"), "score", "rank")
     )
+    # Materialize the BOUNDED result (≤ top_k x queries rows — this job is
+    # the search itself), then drop the corpus-sized hit cache: a
+    # decontamination loop searching once per eval shard must not leave one
+    # stale hit set per call in storage. If the small result cache is later
+    # evicted, recompute walks back through the un-cached hits — correct,
+    # just one extra postings scan.
+    result = fused_checkpoint(result)
+    hits.unpersist()
+    return result
 
 
 def bm25_search(

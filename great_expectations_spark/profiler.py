@@ -202,6 +202,13 @@ def _strftime_mask_udf(candidates: list[str]):
 
     if len(candidates) > 62:
         raise ValueError("at most 62 strftime candidates per mask")
+    # The digit short-circuit is only sound when EVERY candidate contains a
+    # numeric directive (true for the default list, not necessarily for
+    # caller-supplied ones like "%B"/"%A" — those must take the slow path).
+    import re as _re
+
+    digit_directive = _re.compile(r"%[dmjyYHIMSfUW]")
+    all_numeric = all(digit_directive.search(fmt) for fmt in candidates)
 
     @F.pandas_udf(T.LongType())
     def _mask(s: pd.Series) -> pd.Series:
@@ -209,8 +216,8 @@ def _strftime_mask_udf(candidates: list[str]):
             if v is None:
                 return 0
             v = str(v)
-            if not any(ch.isdigit() for ch in v):
-                return 0  # every candidate contains a numeric directive
+            if all_numeric and not any(ch.isdigit() for ch in v):
+                return 0  # every candidate demands at least one digit
             out = 0
             for i, fmt in enumerate(candidates):
                 try:

@@ -64,10 +64,23 @@ def read_jsonl(spark: SparkSession, path: str, schema: Any = None,
     file once just to infer. Corrupt lines land in the standard
     ``_corrupt_record`` column (mode=PERMISSIVE default) instead of
     failing the job — the WET reader's length_ok philosophy: surface,
-    don't crash."""
+    don't crash.  With an explicit schema Spark only captures corrupt
+    lines if the capture column is PART of the schema, so it is appended
+    here automatically (drop it if unwanted) — otherwise a malformed
+    line would silently become an all-NULL row indistinguishable from
+    real nulls."""
     reader = spark.read.options(**reader_options)
     resolved = _resolve_schema(schema)
     if resolved is not None:
+        if isinstance(resolved, str):
+            resolved = T.StructType.fromDDL(resolved)
+        corrupt_col = reader_options.get(
+            "columnNameOfCorruptRecord",
+            spark.conf.get("spark.sql.columnNameOfCorruptRecord",
+                           "_corrupt_record"))
+        if (str(reader_options.get("mode", "PERMISSIVE")).upper() == "PERMISSIVE"
+                and corrupt_col not in resolved.fieldNames()):
+            resolved = resolved.add(corrupt_col, T.StringType())
         reader = reader.schema(resolved)
     return reader.json(path)
 

@@ -407,10 +407,30 @@ class ValidationResultStore(Store):
         return [k[1] for k in self.list_keys((suite_name,))]
 
 
+def metric_kwargs_id(kwargs: dict) -> str:
+    """Deterministic, human-readable discriminator for a metric key —
+    the reference's ``metric_kwargs_id`` concept (its ``metric_store``
+    keys carry the full kwargs identity, not just the column): sorted
+    ``k=v`` pairs of every value-bearing kwarg, so two same-type
+    expectations on the same column (e.g. two ``between`` ranges) get
+    DISTINCT keys instead of silently overwriting each other.
+    ``"__"`` for table-level metrics with no kwargs."""
+    items = []
+    for k in sorted(kwargs):
+        if k in ("result_format", "meta"):
+            continue
+        v = kwargs[k]
+        if isinstance(v, (list, dict, tuple)):
+            v = json.dumps(v, sort_keys=True, default=str)
+        items.append(f"{k}={v}")
+    return "&".join(items) if items else "__"
+
+
 class MetricStore(Store):
     """Keyed by (run_id, metric_name, metric_kwargs_id); values are JSON
-    scalars/structs (reference ``metric_store.py:18``). ``metric_kwargs_id``
-    is conventionally ``column=<c>`` or ``"__"`` for table metrics."""
+    scalars/structs (reference ``metric_store.py:18``). Build the third
+    key part with :func:`metric_kwargs_id` — it must carry the full
+    kwargs identity or same-type-same-column expectations collide."""
 
     key_length = 3
 
@@ -429,7 +449,14 @@ class EvaluationParameterStore(MetricStore):
 
     def store_suite_result(self, result: SuiteValidationResult, run_id: str) -> int:
         """Persist each EVR's observed_value under its validations URN —
-        the durable twin of ``StoreEvaluationParametersAction``."""
+        the durable twin of ``StoreEvaluationParametersAction``.
+
+        Keys here use the URN's own ``column=<c>`` identity (NOT the full
+        :func:`metric_kwargs_id`) because ``bind_params`` must reconstruct
+        resolvable URNs: the URN grammar itself cannot distinguish two
+        same-type expectations on one column, so for that (rare) suite
+        shape the LAST such EVR's observed_value wins — the same
+        ambiguity the reference's URN system has."""
         if run_id == self.LATEST_RUN:
             raise InvalidKeyError(
                 f"run_id {run_id!r} is reserved for the latest-value view")

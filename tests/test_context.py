@@ -50,7 +50,30 @@ def test_validate_persists_and_records_metrics(spark):
     stored = ctx.validations.get(("pages", "r1"))
     assert stored.to_json() == res.to_json()
     assert ctx.metrics.get(
-        ("r1", "expect_column_mean_to_be_between", "column=score")) == 4.5
+        ("r1", "expect_column_mean_to_be_between",
+         "column=score&max_value=9&min_value=0")) == 4.5
+
+
+def test_same_type_same_column_metrics_do_not_collide(spark):
+    """Two between-expectations on one column must store BOTH observed
+    values (the kwargs-id key carries the full identity, reference
+    metric_kwargs_id design) — and back-to-back default run ids must not
+    overwrite each other."""
+    ctx = get_context()
+    ctx.add_suite(
+        ExpectationSuite("p2")
+        .add("expect_column_mean_to_be_between",
+             column="score", min_value=0, max_value=9)
+        .add("expect_column_mean_to_be_between",
+             column="score", min_value=0, max_value=100))
+    ctx.validate(_pages(spark), "p2", run_id="r9")
+    keys = [k for k in ctx.metrics.list_keys(("r9",))]
+    assert len(keys) == 2 and len({k[2] for k in keys}) == 2
+    # default run ids are unique even sub-second
+    r1 = ctx.validate(_pages(spark), "p2")
+    r2 = ctx.validate(_pages(spark), "p2")
+    runs = ctx.validations.runs_for_suite("p2")
+    assert len(runs) >= 2 and len(set(runs)) == len(runs)
 
 
 def test_eval_param_chaining_across_runs(spark):

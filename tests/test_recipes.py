@@ -144,6 +144,20 @@ def test_losers_stage_two_required_params_gets_id_col(docs):
     assert seen["id_col"] == "doc_id"
 
 
+def test_losers_stage_defaulted_id_col_param_still_receives_it(docs):
+    """A param literally NAMED id_col opts in even when defaulted — its
+    stale default ("id") must never silently shadow the recipe's actual
+    id column; it is passed by keyword so keyword-only works too."""
+    seen = {}
+
+    def fn(s, *, id_col="id"):
+        seen["id_col"] = id_col
+        return s.where(F.col(id_col) % 2 == 0).select(id_col)
+
+    run_recipe(docs, [losers_stage("evens", fn)], "doc_id").annotated.collect()
+    assert seen["id_col"] == "doc_id"
+
+
 def test_duplicate_stage_names_rejected(docs):
     with pytest.raises(ValueError, match="duplicate stage names"):
         run_recipe(docs, [

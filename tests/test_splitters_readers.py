@@ -253,6 +253,18 @@ def test_read_jsonl_schema_and_corrupt_lines(spark, tmp_path):
                   if r["_corrupt_record"] is None) == [(1, "a"), (2, "b")]
     assert sum(1 for r in rows if r["_corrupt_record"] is not None) == 1
 
+    # r3 regression: a schema WITHOUT the capture column still surfaces
+    # corrupt lines (the reader appends _corrupt_record automatically;
+    # Spark would otherwise null the row silently)
+    got2 = read_jsonl(spark, str(p), schema="id long, text string")
+    assert "_corrupt_record" in got2.columns
+    rows2 = got2.collect()
+    assert sum(1 for r in rows2 if r["_corrupt_record"] is not None) == 1
+    # non-PERMISSIVE modes keep the schema untouched
+    got3 = read_jsonl(spark, str(p), schema="id long, text string",
+                      mode="DROPMALFORMED")
+    assert got3.columns == ["id", "text"] and got3.count() == 2
+
     # extension sniff incl. .jsonl.gz
     gz = tmp_path / "docs2.jsonl.gz"
     with gzip.open(gz, "wt") as f:
