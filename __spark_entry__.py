@@ -1110,6 +1110,48 @@ SELECT id_a, id_b, jaccard FROM (
 """
 
 
+def _lsh_audit_oracle() -> str:
+    p_at_t = round(1.0 - (1.0 - 0.5 ** 3) ** 4, 6)
+    return f"""
+WITH cand AS ({_minhash_oracle()}),
+d AS (SELECT doc_id, {_TOKEN_HASH_SQL} AS th
+      FROM documents WHERE text IS NOT NULL),
+sh AS (SELECT doc_id, unnest({_hashed_shingle_sql(3)}) AS s
+       FROM d WHERE len(th) >= 3),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+          FROM sh a JOIN sh b ON a.s = b.s
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+jac AS (SELECT id_a, id_b, round(n / (sa.sz + sb.sz - n), 6) AS jaccard
+        FROM inter JOIN sz sa ON sa.doc_id = id_a
+                   JOIN sz sb ON sb.doc_id = id_b),
+j AS (SELECT coalesce(jac.jaccard, 0.0) AS jaccard
+      FROM cand LEFT JOIN jac USING (id_a, id_b))
+SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(coalesce(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_true_pairs,
+       round(avg(CASE WHEN jaccard >= 0.5 THEN 1.0 ELSE 0.0 END), 6)
+         AS precision,
+       round(avg(jaccard), 6) AS mean_candidate_jaccard,
+       round(avg(CASE WHEN jaccard >= 0.5
+                 THEN round(1 - pow(1 - pow(jaccard, 3), 4), 8) END), 6)
+         AS mean_detect_prob_true_pairs,
+       CAST({p_at_t} AS DOUBLE) AS p_at_threshold
+FROM j
+"""
+
+
+@_q("pipeline_lsh_audit", _lsh_audit_oracle())
+def _p4b(spark, sf):
+    """LSH banding audit (pipeline/dedup.py lsh_audit): measured candidate
+    precision against exact shingle Jaccard plus the banding's analytic
+    S-curve detection probabilities, in one row — the tuning loop a dedup
+    operator runs before committing a (k, bands) choice at corpus scale."""
+    from great_expectations_spark.pipeline.dedup import lsh_audit
+
+    return lsh_audit(_tbl(spark, sf, "documents"), "doc_id", "text")
+
+
 @_q("pipeline_ngram_jaccard", _jaccard_oracle())
 def _p4(spark, sf):
     # exact Jaccard over the full corpus at >=0.5: the ground truth the

@@ -335,8 +335,9 @@ def minhash_lsh_candidates(
     # (the expensive part) re-runs once per branch. Materializing the small
     # (id, band, bucket) triples guarantees ONE text scan per call
     # (measured 1.3x warm-cache at sf0.1; at crawl scale it removes two
-    # full corpus reads). Like pair_jaccard's cut, the blocks stay pinned
-    # for the session (documented localCheckpoint semantics).
+    # full corpus reads). Like pair_jaccard's cut, the blocks are an
+    # evictable persist (see _lineage.fused_checkpoint) — repeated
+    # per-batch calls do not accumulate pinned storage.
     exploded = _band_buckets(df, id_col, text_col, k, bands, shingle_n)
     exploded = exploded.transform(fused_checkpoint)
     return _pairs_from_triples(exploded, max_bucket_size)
@@ -609,6 +610,74 @@ def simhash_dedup_stats(df: DataFrame, id_col: str, text_col: str, bits: int = 1
 
 
 # ------------------------------------------------------- n-gram Jaccard
+
+
+def lsh_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """ONE-row audit of an LSH banding against exact Jaccard on the same
+    corpus — the measurement loop for tuning ``(k, bands)`` before a
+    production dedup run:
+
+    * ``n_candidates`` / ``n_true_pairs`` — candidate pairs emitted by the
+      banding, and how many are REAL near-dups (exact shingle Jaccard ≥
+      ``threshold``); ``precision`` = true/candidates (NULL when no
+      candidates).  Low precision means wasted verification work: fewer
+      bands / more rows.
+    * ``mean_candidate_jaccard`` — where the candidate mass actually sits.
+    * ``mean_detect_prob_true_pairs`` — average S-curve detection
+      probability ``1-(1-s^r)^b`` over the true pairs' OBSERVED
+      similarities.  Near 1.0 = the banding finds pairs like these
+      comfortably; near the threshold's own ``p_at_threshold`` = the
+      corpus' near-dups sit at the banding's edge and recall is fragile.
+      (Computed over candidate-DISCOVERED true pairs, so it reads as an
+      upper bound on recall — pairs the banding already missed can't be
+      sampled without a quadratic scan.)
+    * ``p_at_threshold`` — the banding's analytic detection probability
+      exactly AT ``threshold`` (the ``lsh_plan`` S-curve).
+
+    Cost: one candidate generation + exact Jaccard on shingle-sharing
+    pairs (the same joins ``ngram_jaccard_pairs`` bounds) + a one-row
+    aggregate.  Run it on a deterministic document sample for a cheap
+    audit of a 10^12-doc corpus — both inputs scale down together.
+    Per-pair detect probabilities round to 8 decimals before averaging so
+    the result is engine-replayable (libm ``pow`` is not correctly
+    rounded; the rounding absorbs last-ulp divergence).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    r = _validate_banding(k, bands)
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n,
+        max_bucket_size=max_bucket_size)
+    jac = ngram_jaccard_pairs(df, id_col, text_col, n=shingle_n, threshold=0.0)
+    j = (
+        cands.join(jac, ["id_a", "id_b"], "left")
+        .select(F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"))
+    )
+    is_true = F.col("jaccard") >= threshold
+    detect = F.round(
+        F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.col("jaccard"), F.lit(float(r))),
+                           F.lit(float(bands))), 8)
+    p_at_t = round(1.0 - (1.0 - threshold ** r) ** bands, 6)
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum(is_true.cast("long")), F.lit(0)).cast("long")
+        .alias("n_true_pairs"),
+        F.round(F.avg(is_true.cast("double")), 6).alias("precision"),
+        F.round(F.avg("jaccard"), 6).alias("mean_candidate_jaccard"),
+        F.round(F.avg(F.when(is_true, detect)), 6)
+        .alias("mean_detect_prob_true_pairs"),
+        F.lit(p_at_t).alias("p_at_threshold"),
+    )
 
 
 def ngram_jaccard_pairs(

@@ -62,6 +62,60 @@ def test_minhash_matches_true_jaccard_neardups(spark, docs):
     assert len(cand) <= len(truth) + 5
 
 
+def test_lsh_audit_planted_dups(spark, docs):
+    """The one-row audit agrees with the candidate/truth sets computed
+    directly: counts, precision, and the analytic S-curve columns."""
+    from great_expectations_spark.pipeline.dedup import (
+        lsh_audit,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    row = lsh_audit(docs, "doc_id", "text").collect()[0]
+    n_cand = minhash_lsh_candidates(docs, "doc_id", "text").count()
+    truth = {(r.id_a, r.id_b) for r in
+             ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert row["n_candidates"] == n_cand
+    assert row["n_true_pairs"] == len(truth) > 0
+    assert abs(row["precision"] - len(truth) / n_cand) < 1e-6
+    assert 0.0 < row["mean_candidate_jaccard"] <= 1.0
+    # k=12, bands=4, r=3 at threshold 0.5
+    assert abs(row["p_at_threshold"] - (1 - (1 - 0.5**3) ** 4)) < 1e-6
+    # true pairs sit well above the threshold on this corpus
+    assert row["mean_detect_prob_true_pairs"] >= row["p_at_threshold"]
+
+
+def test_lsh_audit_exact_dup_detect_prob_one(spark):
+    """A planted EXACT duplicate (jaccard 1.0) has S-curve detection
+    probability exactly 1; precision 1 when it is the only pair."""
+    from great_expectations_spark.pipeline.dedup import lsh_audit
+
+    body = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, body), (2, body), (3, other)], "doc_id long, text string")
+    row = lsh_audit(df, "doc_id", "text").collect()[0]
+    assert row["n_candidates"] == row["n_true_pairs"] == 1
+    assert row["precision"] == 1.0
+    assert row["mean_detect_prob_true_pairs"] == 1.0
+
+
+def test_lsh_audit_empty_and_validation(spark):
+    from great_expectations_spark.pipeline.dedup import lsh_audit
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string")
+    row = lsh_audit(df, "doc_id", "text").collect()[0]
+    assert row["n_candidates"] == 0 and row["n_true_pairs"] == 0
+    assert row["precision"] is None  # no candidates: undefined, not 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="threshold"):
+        lsh_audit(df, "doc_id", "text", threshold=1.0)
+    with _pytest.raises(ValueError):
+        lsh_audit(df, "doc_id", "text", k=12, bands=5)  # non-divisor
+
+
 def test_simhash_is_deterministic_and_int(spark, docs):
     from great_expectations_spark.pipeline.dedup import simhash
 
