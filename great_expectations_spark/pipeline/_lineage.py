@@ -23,9 +23,38 @@ actions fail, not recompute.
 from __future__ import annotations
 
 import threading
+from contextlib import contextmanager
 
 from pyspark import SparkContext
 from pyspark.sql import DataFrame
+
+# Thread-local collection point for scoped_fused_caches (below).
+_SCOPED = threading.local()
+
+
+@contextmanager
+def scoped_fused_caches():
+    """Collect every frame :func:`fused_checkpoint` persists on THIS
+    thread inside the block, so a composite operator that fully consumes
+    its intermediates before returning (e.g. ``dedup.lsh_audit``, which
+    collects a one-row aggregate) can unpersist them instead of leaving
+    per-call caches registered for the session:
+
+        with scoped_fused_caches() as frames:
+            ... build and CONSUME the plan ...
+        for f in frames:
+            f.unpersist()
+
+    Thread-local by design — concurrent operators on other threads are
+    never swept. Nests: an inner scope shadows the outer one, so a
+    composite op only ever frees its own intermediates.
+    """
+    prev = getattr(_SCOPED, "frames", None)
+    _SCOPED.frames = []
+    try:
+        yield _SCOPED.frames
+    finally:
+        _SCOPED.frames = prev
 
 # Serializes checkpoint MATERIALIZATION (see fused_checkpoint): Spark's
 # RDD.doCheckpoint takes the JVM-global RDDCheckpointData lock and then
@@ -118,4 +147,7 @@ def fused_checkpoint(df: DataFrame) -> DataFrame:
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
+    frames = getattr(_SCOPED, "frames", None)
+    if frames is not None:
+        frames.append(df)
     return df

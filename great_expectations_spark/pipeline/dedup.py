@@ -644,40 +644,51 @@ def lsh_audit(
     * ``p_at_threshold`` — the banding's analytic detection probability
       exactly AT ``threshold`` (the ``lsh_plan`` S-curve).
 
-    Cost: one candidate generation + exact Jaccard on shingle-sharing
-    pairs (the same joins ``ngram_jaccard_pairs`` bounds) + a one-row
-    aggregate.  Run it on a deterministic document sample for a cheap
-    audit of a 10^12-doc corpus — both inputs scale down together.
-    Per-pair detect probabilities round to 8 decimals before averaging so
-    the result is engine-replayable (libm ``pow`` is not correctly
-    rounded; the rounding absorbs last-ulp divergence).
+    Cost: one candidate generation + ``cluster.pair_jaccard`` (exact
+    Jaccard for EXACTLY the candidate pairs — linear in |pairs|, never
+    the corpus-wide shared-shingle join) + a one-row aggregate.  Run it
+    on a deterministic document sample for a cheap audit of a 10^12-doc
+    corpus — both inputs scale down together.  The one-row result is
+    collected and every intermediate cache is unpersisted before
+    returning (``scoped_fused_caches``), so a (k, bands) parameter sweep
+    leaves nothing behind in storage.  Per-pair detect probabilities
+    round to 8 decimals before averaging so the result is
+    engine-replayable (libm ``pow`` is not correctly rounded; the
+    rounding absorbs last-ulp divergence).
     """
+    from great_expectations_spark.pipeline._lineage import scoped_fused_caches
+    from great_expectations_spark.pipeline.cluster import pair_jaccard
+
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold must be in (0, 1), got {threshold}")
     r = _validate_banding(k, bands)
-    cands = minhash_lsh_candidates(
-        df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n,
-        max_bucket_size=max_bucket_size)
-    jac = ngram_jaccard_pairs(df, id_col, text_col, n=shingle_n, threshold=0.0)
-    j = (
-        cands.join(jac, ["id_a", "id_b"], "left")
-        .select(F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"))
-    )
+    spark = df.sparkSession
     is_true = F.col("jaccard") >= threshold
     detect = F.round(
         F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.col("jaccard"), F.lit(float(r))),
                            F.lit(float(bands))), 8)
     p_at_t = round(1.0 - (1.0 - threshold ** r) ** bands, 6)
-    return j.agg(
-        F.count(F.lit(1)).cast("long").alias("n_candidates"),
-        F.coalesce(F.sum(is_true.cast("long")), F.lit(0)).cast("long")
-        .alias("n_true_pairs"),
-        F.round(F.avg(is_true.cast("double")), 6).alias("precision"),
-        F.round(F.avg("jaccard"), 6).alias("mean_candidate_jaccard"),
-        F.round(F.avg(F.when(is_true, detect)), 6)
-        .alias("mean_detect_prob_true_pairs"),
-        F.lit(p_at_t).alias("p_at_threshold"),
-    )
+    with scoped_fused_caches() as frames:
+        cands = minhash_lsh_candidates(
+            df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n,
+            max_bucket_size=max_bucket_size)
+        j = pair_jaccard(df, cands, id_col, text_col, shingle_n).select(
+            F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"))
+        agg = j.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.coalesce(F.sum(is_true.cast("long")), F.lit(0)).cast("long")
+            .alias("n_true_pairs"),
+            F.round(F.avg(is_true.cast("double")), 6).alias("precision"),
+            F.round(F.avg("jaccard"), 6).alias("mean_candidate_jaccard"),
+            F.round(F.avg(F.when(is_true, detect)), 6)
+            .alias("mean_detect_prob_true_pairs"),
+            F.lit(p_at_t).alias("p_at_threshold"),
+        )
+        rows = agg.collect()
+        out = spark.createDataFrame(rows, agg.schema)
+    for f in frames:
+        f.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(

@@ -161,7 +161,8 @@ def dsir_log_weights(
     stream; the weight sum is a map-combinable groupBy on the doc id.
 
     ``materialize_features=True`` cuts lineage on the feature table
-    (``localCheckpoint``) so the corpus is tokenized/hashed ONCE instead
+    (evictable ``fused_checkpoint`` persist) so the corpus is
+    tokenized/hashed ONCE instead
     of once per consuming branch — pay local block storage for the
     (id, bucket, cnt) ints to skip a second full-text scan. Measured
     crossover: at sf0.1 (5k docs) recompute wins (0.8s vs 1.3s, the

@@ -330,7 +330,8 @@ def semantic_pairs(
     above the threshold and glues the whole cluster into one component;
     numpy drops NaN comparisons; zero norms divide by zero).
 
-    The assignment is materialized (``localCheckpoint``) before pairing:
+    The assignment is materialized (evictable ``fused_checkpoint``
+    persist) before pairing:
     the E-step then runs ONCE instead of once per join side, and
     downstream iterative consumers (connected components) don't
     re-evaluate it every round.

@@ -237,7 +237,7 @@ def bigram_lm(
       gracefully instead of scoring zero.
 
     One tokenize pass: the per-doc token array is ``persist``-ed (NOT
-    localCheckpointed — the model collects to the driver, so nothing
+    checkpoint-pinned — the model collects to the driver, so nothing
     downstream reads the blocks and they are freed before returning;
     a checkpoint would pin them for the session, see ``_lineage``),
     then the unigram stream and the adjacent-pair stream both read it —

@@ -16,7 +16,8 @@ Spark-first composition instead:
   to a DataFrame of rejected ids) contribute one id-keyed left join
   each. Only ids cross the shuffle, and the fn sees exactly the docs
   that earlier stages kept — the order the published recipes require
-  (dedup after filtering). Lineage is cut (``localCheckpoint``) before
+  (dedup after filtering). The prefix is materialized (evictable
+  ``fused_checkpoint`` persist — branch reuse, NOT a lineage cut) before
   each loser stage so the prefix never re-executes per stage.
 * **suite stages** reuse the expectation engine's fused per-row
   predicates: ``suite_stage`` collapses a whole suite into ONE stage
@@ -72,9 +73,11 @@ class RecipeStage:
     ``kind="losers"``: ``fn(survivors) -> DataFrame`` whose FIRST column
     holds the ids to reject (duplicates/NULLs in the loser list are
     harmless). Runs against the docs all earlier stages kept. A loser fn
-    declaring a SECOND positional parameter also receives the recipe's
+    that REQUIRES a second positional parameter — or a required
+    (no-default) parameter named ``id_col`` — also receives the recipe's
     ``id_col`` (so prebuilt stages like ``blocklist_stage`` don't make
-    the caller repeat it).
+    the caller repeat it); a DEFAULTED or ``functools.partial``-bound
+    ``id_col`` is the caller's explicit choice and is never overridden.
     """
 
     name: str
@@ -242,27 +245,38 @@ def run_recipe(
                            F.lit(stage.name))),
             )
         elif stage.kind == "losers":
-            # cut lineage so the fn and the join don't re-run the prefix
+            # materialize the prefix (evictable persist — branch reuse,
+            # not a lineage cut) so the fn and the join read the blocks
+            # instead of re-running the accumulated chain. The logical
+            # plan still grows across loser stages; the trade accepted
+            # here is bounded driver-side analysis cost for recipes with
+            # many loser stages in exchange for NOT pinning one
+            # working-set copy per stage per call (see _lineage).
             annotated = annotated.transform(fused_checkpoint)
             survivors = annotated.where(rej.isNull())
             import inspect
 
             try:
-                # Two-arg protocol when the fn either (a) REQUIRES a second
-                # positional, or (b) declares a parameter literally named
-                # ``id_col`` (defaulted or not — a stale default like
-                # ``id_col="id"`` must not silently shadow the recipe's
-                # actual id column). A fn like ``lambda s, frac=0.5: ...``
-                # stays one-arg: its second slot is its own default, not a
-                # request for id_col.
+                # id_col is passed only where the fn REQUIRES it: (a) a
+                # second required positional, or (b) a required (no
+                # default) parameter literally named ``id_col`` — passed
+                # by keyword so keyword-only signatures work. A DEFAULTED
+                # or partial-bound id_col is an explicit caller choice and
+                # is honored, never overridden; a fn like ``lambda s,
+                # frac=0.5: ...`` stays one-arg (its second slot is its
+                # own default, not a request for id_col).
                 params = inspect.signature(stage.fn).parameters
                 positional = [
                     p for p in params.values()
                     if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
                 required = [p for p in positional if p.default is p.empty]
                 two_positional = len(required) >= 2
+                # the FIRST positional is the survivors slot, whatever its
+                # name — only a LATER required param named id_col opts in
+                first = positional[0].name if positional else None
                 id_kw = any(
-                    p.name == "id_col"
+                    p.name == "id_col" and p.name != first
+                    and p.default is p.empty
                     and p.kind in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY)
                     for p in params.values())
             except (TypeError, ValueError):

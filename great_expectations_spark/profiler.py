@@ -202,13 +202,16 @@ def _strftime_mask_udf(candidates: list[str]):
 
     if len(candidates) > 62:
         raise ValueError("at most 62 strftime candidates per mask")
-    # The digit short-circuit is only sound when EVERY candidate contains a
-    # numeric directive (true for the default list, not necessarily for
-    # caller-supplied ones like "%B"/"%A" — those must take the slow path).
+    # Digit short-circuit, PER candidate: a digit-free value can only match
+    # candidates without a numeric directive ("%B"/"%A"-style), so those
+    # still take the strptime path while the (default) numeric formats are
+    # skipped. "%%" escapes are stripped first — "%%d" matches the literal
+    # string "%d", which demands no digit.
     import re as _re
 
-    digit_directive = _re.compile(r"%[dmjyYHIMSfUW]")
-    all_numeric = all(digit_directive.search(fmt) for fmt in candidates)
+    digit_directive = _re.compile(r"%[dmjyYHIMSfUWeuwVGgTDRFs]")
+    numeric = [bool(digit_directive.search(fmt.replace("%%", "")))
+               for fmt in candidates]
 
     @F.pandas_udf(T.LongType())
     def _mask(s: pd.Series) -> pd.Series:
@@ -216,10 +219,11 @@ def _strftime_mask_udf(candidates: list[str]):
             if v is None:
                 return 0
             v = str(v)
-            if all_numeric and not any(ch.isdigit() for ch in v):
-                return 0  # every candidate demands at least one digit
+            has_digit = any(ch.isdigit() for ch in v)
             out = 0
             for i, fmt in enumerate(candidates):
+                if numeric[i] and not has_digit:
+                    continue
                 try:
                     datetime.strptime(v, fmt)
                     out |= 1 << i

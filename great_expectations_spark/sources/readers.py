@@ -74,13 +74,19 @@ def read_jsonl(spark: SparkSession, path: str, schema: Any = None,
     if resolved is not None:
         if isinstance(resolved, str):
             resolved = T.StructType.fromDDL(resolved)
-        corrupt_col = reader_options.get(
-            "columnNameOfCorruptRecord",
+        # Spark reader options are case-INsensitive — honor any casing of
+        # mode / columnNameOfCorruptRecord the caller used.
+        lower_opts = {k.lower(): v for k, v in reader_options.items()}
+        corrupt_col = lower_opts.get(
+            "columnnameofcorruptrecord",
             spark.conf.get("spark.sql.columnNameOfCorruptRecord",
                            "_corrupt_record"))
-        if (str(reader_options.get("mode", "PERMISSIVE")).upper() == "PERMISSIVE"
+        if (str(lower_opts.get("mode", "PERMISSIVE")).upper() == "PERMISSIVE"
                 and corrupt_col not in resolved.fieldNames()):
-            resolved = resolved.add(corrupt_col, T.StringType())
+            # COPY before add: StructType.add mutates in place, and the
+            # schema object belongs to the caller.
+            resolved = T.StructType(list(resolved.fields)).add(
+                corrupt_col, T.StringType())
         reader = reader.schema(resolved)
     return reader.json(path)
 

@@ -415,14 +415,21 @@ def metric_kwargs_id(kwargs: dict) -> str:
     expectations on the same column (e.g. two ``between`` ranges) get
     DISTINCT keys instead of silently overwriting each other.
     ``"__"`` for table-level metrics with no kwargs."""
+    from urllib.parse import quote
+
     items = []
     for k in sorted(kwargs):
         if k in ("result_format", "meta"):
             continue
         v = kwargs[k]
-        if isinstance(v, (list, dict, tuple)):
+        if isinstance(v, (set, frozenset)):
+            v = json.dumps(sorted(v, key=repr), default=str)
+        elif isinstance(v, (list, dict, tuple)):
             v = json.dumps(v, sort_keys=True, default=str)
-        items.append(f"{k}={v}")
+        # Percent-escape so regex/url-valued kwargs ('/', '%') can never
+        # crash a filesystem store backend's key-to-path mapping; plain
+        # identifiers and numbers pass through unchanged.
+        items.append(f"{k}={quote(str(v), safe='')}")
     return "&".join(items) if items else "__"
 
 

@@ -154,11 +154,13 @@ def test_fused_scoring_never_rereads_text(spark, docs):
         docs, "doc_id", "text", vocab_size=2, alpha=1.0)
     assert scores.count() == 4  # settle AQE so the final plan is real
     plan = scores._jdf.queryExecution().executedPlan().toString()
-    # The scoring branch reads the cached features. (A tokenize-free
-    # textual assertion is no longer possible: Spark prints the cache
-    # BUILD subtree — which legitimately holds the one explode(split) —
-    # inside the InMemoryTableScan/Relation node itself.)
+    # The scoring branch reads the cached features...
     assert "InMemoryTableScan" in plan
+    # ...and the only tokenize in the WHOLE plan text is the cache-BUILD
+    # subtree, which AQE prints twice (initial + final sections). A
+    # regression adding a second tokenize outside the cache would push
+    # the count past 2.
+    assert plan.lower().count("explode") <= 2
 
 
 def test_fused_bad_alpha_raises(spark, docs):

@@ -116,6 +116,25 @@ def test_lsh_audit_empty_and_validation(spark):
         lsh_audit(df, "doc_id", "text", k=12, bands=5)  # non-divisor
 
 
+def test_lsh_audit_leaves_no_registered_caches(spark, docs):
+    """The audit collects its one-row result and unpersists every
+    intermediate (scoped_fused_caches) — a (k, bands) parameter sweep
+    must not accumulate per-call caches. Set containment, not count
+    equality (async ContextCleaner may shrink the before-set)."""
+    from great_expectations_spark.pipeline.dedup import lsh_audit
+
+    sc = spark.sparkContext
+
+    def persistent_ids():
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = persistent_ids()
+    for bands in (4, 6):
+        assert lsh_audit(docs, "doc_id", "text", k=12,
+                         bands=bands).collect()[0]["n_candidates"] >= 0
+    assert persistent_ids() <= before
+
+
 def test_simhash_is_deterministic_and_int(spark, docs):
     from great_expectations_spark.pipeline.dedup import simhash
 

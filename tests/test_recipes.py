@@ -144,18 +144,51 @@ def test_losers_stage_two_required_params_gets_id_col(docs):
     assert seen["id_col"] == "doc_id"
 
 
-def test_losers_stage_defaulted_id_col_param_still_receives_it(docs):
-    """A param literally NAMED id_col opts in even when defaulted — its
-    stale default ("id") must never silently shadow the recipe's actual
-    id column; it is passed by keyword so keyword-only works too."""
+def test_losers_stage_required_keyword_id_col_receives_it(docs):
+    """A REQUIRED param literally named id_col opts in (passed by
+    keyword, so keyword-only signatures work)."""
     seen = {}
 
-    def fn(s, *, id_col="id"):
+    def fn(s, *, id_col):
         seen["id_col"] = id_col
         return s.where(F.col(id_col) % 2 == 0).select(id_col)
 
     run_recipe(docs, [losers_stage("evens", fn)], "doc_id").annotated.collect()
     assert seen["id_col"] == "doc_id"
+
+
+def test_losers_stage_bound_id_col_is_honored(docs):
+    """A DEFAULTED or partial-bound id_col is an explicit caller choice —
+    run_recipe must not override it (functools.partial surfaces the
+    binding as a defaulted keyword param)."""
+    import functools
+
+    seen = {}
+
+    def fn(s, *, id_col="doc_id"):
+        seen["id_col"] = id_col
+        return s.where(F.col("doc_id") % 2 == 0).select("doc_id")
+
+    run_recipe(docs, [losers_stage("evens", fn)], "doc_id").annotated.collect()
+    assert seen["id_col"] == "doc_id"  # the default, untouched
+
+    bound = functools.partial(fn, id_col="bound_choice")
+    run_recipe(docs, [losers_stage("evens", bound)], "doc_id").annotated.collect()
+    assert seen["id_col"] == "bound_choice"
+
+
+def test_losers_stage_single_param_named_id_col(docs):
+    """A one-param fn whose sole parameter happens to be named id_col is
+    the classic one-arg protocol: it receives the survivors frame, never
+    a duplicate keyword (which would raise TypeError)."""
+    seen = {}
+
+    def fn(id_col):
+        seen["got_df"] = hasattr(id_col, "columns")
+        return id_col.where(F.col("doc_id") % 2 == 0).select("doc_id")
+
+    run_recipe(docs, [losers_stage("evens", fn)], "doc_id").annotated.collect()
+    assert seen["got_df"] is True
 
 
 def test_duplicate_stage_names_rejected(docs):
