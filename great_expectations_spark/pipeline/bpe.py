@@ -122,6 +122,8 @@ def piece_counts(
     """
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if max_pieces is not None and max_pieces < 1:
+        raise ValueError(f"max_pieces must be >= 1 or None, got {max_pieces}")
     pieces = (
         df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
         .select(

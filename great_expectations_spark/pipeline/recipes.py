@@ -45,7 +45,11 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from great_expectations_spark.pipeline._lineage import fused_checkpoint
+from great_expectations_spark.pipeline._lineage import (
+    fused_checkpoint,
+    tracked_checkpoint,
+    unpersist_ids,
+)
 
 __all__ = [
     "RecipeStage",
@@ -189,10 +193,27 @@ def blocklist_stage(
 class RecipeResult:
     """``annotated`` = every input doc + nullable ``rejected_by``;
     ``clean`` = survivors (original columns); ``stage_names`` preserves
-    recipe order for ``stats()``."""
+    recipe order for ``stats()``.
+
+    ``pinned_rdd_ids`` is non-empty only when the recipe exceeded
+    ``plan_cut_after`` loser stages and switched to lineage-cutting
+    checkpoints: the LAST cut's blocks stay pinned (truncated lineage is
+    unrecomputable) and back ``annotated``'s plan. Call :meth:`release`
+    ONLY after fully consuming the result (write/collect done) — after
+    release, further actions on ``annotated``/``clean`` fail rather than
+    recompute."""
 
     annotated: DataFrame
     stage_names: list
+    pinned_rdd_ids: set = None  # set[int] | None
+
+    def release(self) -> None:
+        """Free the final lineage cut's pinned blocks (no-op when the
+        recipe stayed under ``plan_cut_after``). Only call once every
+        consumer of ``annotated``/``clean`` has run."""
+        if self.pinned_rdd_ids:
+            unpersist_ids(self.annotated, self.pinned_rdd_ids)
+            self.pinned_rdd_ids = set()
 
     @property
     def clean(self) -> DataFrame:
@@ -216,6 +237,8 @@ def run_recipe(
     df: DataFrame,
     stages: list[RecipeStage],
     id_col: str,
+    *,
+    plan_cut_after: int = 8,
 ) -> RecipeResult:
     """Run ``stages`` in order over ``df`` with first-rejecting-stage
     attribution.
@@ -223,7 +246,19 @@ def run_recipe(
     Consecutive predicate stages cost ZERO extra jobs (they fold into
     the one label expression); each loser stage costs its own fn plus
     one id-keyed left join. ``id_col`` must be unique for loser-stage
-    attribution to be well-defined (it is the join key)."""
+    attribution to be well-defined (it is the join key).
+
+    The first ``plan_cut_after`` loser stages materialize their prefix
+    with an evictable persist (branch reuse, NOT a lineage cut — nothing
+    stays pinned, but the logical plan keeps growing, so driver-side
+    analysis cost rises roughly quadratically with loser-stage count).
+    Beyond the threshold the recipe switches to lineage-CUTTING
+    checkpoints, freeing every earlier cut of this run once the new one
+    is materialized: plan size and pinned storage both stay bounded at
+    one working-set copy regardless of stage count. The final cut's
+    blocks remain pinned (they back the returned frames) —
+    ``RecipeResult.release()`` frees them after consumption.
+    ``plan_cut_after=0`` forces cut-mode from the first loser stage."""
     names = [s.name for s in stages]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate stage names: {names}")
@@ -233,6 +268,9 @@ def run_recipe(
             "running a recipe (it is the recipe's lineage output column)")
     annotated = df.withColumn(_REJECT_COL, F.lit(None).cast("string"))
     rej = F.col(_REJECT_COL)
+    loser_seen = 0
+    my_fused: list[DataFrame] = []
+    prev_tracked: set[int] = set()
     for stage in stages:
         if stage.kind == "predicate":
             keep = stage.fn(annotated)
@@ -245,14 +283,24 @@ def run_recipe(
                            F.lit(stage.name))),
             )
         elif stage.kind == "losers":
-            # materialize the prefix (evictable persist — branch reuse,
-            # not a lineage cut) so the fn and the join read the blocks
-            # instead of re-running the accumulated chain. The logical
-            # plan still grows across loser stages; the trade accepted
-            # here is bounded driver-side analysis cost for recipes with
-            # many loser stages in exchange for NOT pinning one
-            # working-set copy per stage per call (see _lineage).
-            annotated = annotated.transform(fused_checkpoint)
+            # materialize the prefix so the fn and the join read blocks
+            # instead of re-running the accumulated chain. Under the
+            # threshold: evictable persist (branch reuse, nothing pinned,
+            # plan keeps growing). Over it: lineage cut + free every
+            # earlier cut of THIS run (the new eager cut makes them
+            # unreachable from the plan), bounding both plan size and
+            # pinned storage for many-loser-stage recipes.
+            loser_seen += 1
+            if loser_seen <= plan_cut_after:
+                annotated = annotated.transform(fused_checkpoint)
+                my_fused.append(annotated)
+            else:
+                annotated, new_ids = tracked_checkpoint(annotated, eager=True)
+                unpersist_ids(annotated, prev_tracked)
+                for f in my_fused:
+                    f.unpersist()
+                my_fused = []
+                prev_tracked = new_ids
             survivors = annotated.where(rej.isNull())
             import inspect
 
@@ -310,4 +358,5 @@ def run_recipe(
             )
         else:
             raise ValueError(f"unknown stage kind {stage.kind!r}")
-    return RecipeResult(annotated=annotated, stage_names=names)
+    return RecipeResult(
+        annotated=annotated, stage_names=names, pinned_rdd_ids=prev_tracked)

@@ -72,6 +72,7 @@ def bm25_search_index(
     top_k: int = 10,
     round_decimals: int = 6,
     salt_buckets: int = 16,
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-``top_k`` corpus docs per query over a ``bm25_index`` table.
 
@@ -87,6 +88,17 @@ def bm25_search_index(
     corpus-sized stays hits-only. Corpus size and avgdl come from one
     bounded 1-row aggregate (collected — the same k-row-collect budget as
     the compiler's eager aggregates).
+
+    With ``materialize=True`` (default) the BOUNDED result is cached
+    (evictable persist) so the corpus-sized hit cache can be dropped
+    before returning — that result cache stays registered for the
+    session unless released. Sweep-style callers (one search per eval
+    shard in a decontamination loop) have two release paths: wrap the
+    call in ``_lineage.scoped_fused_caches()`` and unpersist the
+    collected frames after consuming, or pass ``materialize=False`` to
+    get the lazy plan and own caching entirely (each action then
+    re-scans the postings once — fine when the result is consumed
+    exactly once, e.g. written straight to parquet).
     """
     from pyspark.sql.window import Window
 
@@ -161,9 +173,21 @@ def bm25_search_index(
     # decontamination loop searching once per eval shard must not leave one
     # stale hit set per call in storage. If the small result cache is later
     # evicted, recompute walks back through the un-cached hits — correct,
-    # just one extra postings scan.
-    result = fused_checkpoint(result)
-    hits.unpersist()
+    # just one extra postings scan. materialize=False returns the lazy
+    # plan instead (caller owns caching; see docstring), in which case the
+    # hit cache must stay up — it backs the plan the caller will execute —
+    # but remains evictable (plain persist, lineage intact).
+    if materialize:
+        result = fused_checkpoint(result)
+        hits.unpersist()
+    else:
+        # hand the hit cache to an active scoped_fused_caches() scope so
+        # sweep callers can still free it after consuming the lazy result
+        from great_expectations_spark.pipeline import _lineage
+
+        frames = getattr(_lineage._SCOPED, "frames", None)
+        if frames is not None:
+            frames.append(hits)
     return result
 
 

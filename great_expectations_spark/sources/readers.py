@@ -55,6 +55,7 @@ def read_tsv(spark: SparkSession, path: str, **kwargs: Any) -> DataFrame:
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: Any = None,
+               corrupt_record: bool = True,
                **reader_options: Any) -> DataFrame:
     """JSON-Lines reader (one object per line — the Dolma/web-corpus
     delivery format; ``.jsonl.gz`` parts read transparently, uncompressed
@@ -66,9 +67,11 @@ def read_jsonl(spark: SparkSession, path: str, schema: Any = None,
     failing the job — the WET reader's length_ok philosophy: surface,
     don't crash.  With an explicit schema Spark only captures corrupt
     lines if the capture column is PART of the schema, so it is appended
-    here automatically (drop it if unwanted) — otherwise a malformed
-    line would silently become an all-NULL row indistinguishable from
-    real nulls."""
+    here by default — otherwise a malformed line would silently become an
+    all-NULL row indistinguishable from real nulls. Pass
+    ``corrupt_record=False`` to keep the caller's schema verbatim
+    (strict-schema consumers: schema-equality checks, fixed-schema sinks,
+    ``select *`` contracts)."""
     reader = spark.read.options(**reader_options)
     resolved = _resolve_schema(schema)
     if resolved is not None:
@@ -81,7 +84,8 @@ def read_jsonl(spark: SparkSession, path: str, schema: Any = None,
             "columnnameofcorruptrecord",
             spark.conf.get("spark.sql.columnNameOfCorruptRecord",
                            "_corrupt_record"))
-        if (str(lower_opts.get("mode", "PERMISSIVE")).upper() == "PERMISSIVE"
+        if (corrupt_record
+                and str(lower_opts.get("mode", "PERMISSIVE")).upper() == "PERMISSIVE"
                 and corrupt_col not in resolved.fieldNames()):
             # COPY before add: StructType.add mutates in place, and the
             # schema object belongs to the caller.
