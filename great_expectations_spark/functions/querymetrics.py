@@ -25,22 +25,30 @@ def run_query(df: DataFrame, query: str, tables: dict[str, DataFrame] | None = N
     ``str.format``) so literal braces in user SQL — map literals,
     ``json_extract`` paths, regex quantifiers — pass through untouched.
 
-    NOTE on view lifetime: each call registers uniquely-named temp views
-    for the batch and every ``tables`` entry, and deliberately leaves them
-    registered for the Spark session. Dropping them eagerly would break the
-    returned (lazy) DataFrame; re-runs never collide because every name
-    embeds a fresh uuid.
+    View lifetime: the uniquely-named temp views exist only for the
+    duration of this call. ``spark.sql`` analyzes eagerly — the returned
+    DataFrame's plan has already resolved the views into the underlying
+    frames — so dropping them immediately is safe (verified: collect
+    after drop succeeds) and keeps the session catalog clean across
+    sweep-style callers. Names embed a fresh uuid so concurrent calls
+    never collide.
     """
     spark = df.sparkSession
     view = f"ges_batch_{uuid.uuid4().hex[:12]}"
     df.createOrReplaceTempView(view)
     bindings = {"active_batch": view}
+    registered = [view]
     for name, frame in (tables or {}).items():
         v = f"ges_{name}_{uuid.uuid4().hex[:8]}"
         frame.createOrReplaceTempView(v)
         bindings[name] = v
+        registered.append(v)
     bindings.update(format_kwargs)
     sql = query
     for name, value in bindings.items():
         sql = sql.replace("{" + name + "}", str(value))
-    return spark.sql(sql)
+    try:
+        return spark.sql(sql)
+    finally:
+        for v in registered:
+            spark.catalog.dropTempView(v)

@@ -60,13 +60,16 @@ def _required_columns(config: ExpectationConfiguration) -> list[str]:
 
 # value types whose to_json rendering round-trips losslessly back to the
 # exact Python values the per-expectation path produces after _py().
-# Timestamps and float32 are NOT json-safe as-is (to_json truncates
-# timestamps to milliseconds; float32's shortest repr decodes to a
-# different double than the float32-widened collect()) but become
-# fused-eligible through the typed encodings below: timestamp →
-# unix_micros int64, float32 → exact cast("double") widening. Still NOT
-# safe (fall back to per-expectation violation jobs): binary (base64),
-# decimal (float), timestamp_ntz (fromInternal semantics differ).
+# Timestamps, float32, binary, and decimal are NOT json-safe as-is
+# (to_json truncates timestamps to milliseconds; float32's shortest repr
+# decodes to a different double than the float32-widened collect();
+# json.loads turns a bare decimal number into a lossy float; bytes have
+# no JSON form) but become fused-eligible through the typed encodings
+# below: timestamp → unix_micros int64, float32 → exact cast("double")
+# widening, binary → base64 string, decimal → exact string cast (decoded
+# back to decimal.Decimal). Still NOT safe (falls back to bounded
+# per-expectation violation jobs): timestamp_ntz (fromInternal semantics
+# differ).
 _JSON_SAFE_ATOMS = (
     T.StringType, T.BooleanType, T.DateType,
     T.ByteType, T.ShortType, T.IntegerType,
@@ -74,7 +77,7 @@ _JSON_SAFE_ATOMS = (
 )
 
 # atoms that need a typed re-encoding before to_json to round-trip exactly
-_ENCODED_ATOMS = (T.TimestampType, T.FloatType)
+_ENCODED_ATOMS = (T.TimestampType, T.FloatType, T.BinaryType, T.DecimalType)
 
 
 def _json_safe(dt: T.DataType) -> bool:
@@ -105,14 +108,22 @@ def _fuse_encode(col: Column, dt: T.DataType) -> Column:
     TimestampType.fromInternal, the same conversion collect() applies),
     float32 → cast(double) (the identical exact widening the JVM performs
     on collect, after which to_json's double repr is round-trip — the
-    already-proven DoubleType path). Containers encode recursively;
-    anything else passes through untouched."""
+    already-proven DoubleType path), binary → base64 (byte-exact), and
+    decimal → string cast (BigDecimal.toString: every digit at the
+    declared scale, decoded back with decimal.Decimal — numerically
+    identical to the java→python Decimal conversion collect() applies).
+    Containers encode recursively; anything else passes through
+    untouched."""
     if not _needs_encode(dt):
         return col
     if isinstance(dt, T.TimestampType):
         return F.unix_micros(col)
     if isinstance(dt, T.FloatType):
         return col.cast("double")
+    if isinstance(dt, T.BinaryType):
+        return F.base64(col)
+    if isinstance(dt, T.DecimalType):
+        return col.cast("string")
     if isinstance(dt, T.ArrayType):
         return F.transform(col, lambda x: _fuse_encode(x, dt.elementType))
     if isinstance(dt, T.StructType):
@@ -140,6 +151,15 @@ def _from_json_value(v: Any, dt: T.DataType) -> Any:
         # naive datetime with exact microseconds) followed by _py's
         # isoformat rendering
         return T.TimestampType().fromInternal(int(v)).isoformat()
+    if isinstance(dt, T.BinaryType):
+        # collect() yields bytes (PySpark 4); _py passes them through
+        import base64 as _b64
+
+        return _b64.b64decode(v)
+    if isinstance(dt, T.DecimalType):
+        import decimal as _dec
+
+        return _dec.Decimal(v)
     if isinstance(dt, T.DateType):
         return str(v)
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):

@@ -296,6 +296,104 @@ def test_fused_float32_exact(spark, monkeypatch):
     assert all(abs(v - 9.899999618530273) < 1e-9 for v in f_list)
 
 
+def test_fused_binary_exact(spark, monkeypatch):
+    """binary IS fused-eligible via the base64 typed encoding (round 4):
+    byte-exact values (incl. non-UTF8 bytes) through the fused plan —
+    per-expectation fallback forbidden."""
+    _forbid_solo_fallback(monkeypatch)
+    rows = [
+        (1, bytearray(b"\x00\xff\xfe magic")),
+        (2, bytearray(b"plain")),
+        (3, bytearray(b"")),
+        (300, None),
+    ]
+    df = spark.createDataFrame(rows, "i int, b binary")
+    suite = (
+        ExpectationSuite("bin")
+        .add("expect_column_value_lengths_to_be_between", column="b",
+             min_value=100, mostly=0.1)
+        .add("expect_column_values_to_be_between", column="i", max_value=2,
+             mostly=0.1)
+    )
+    fused = validate(df, suite, result_format="SUMMARY",
+                     options=Options(fuse_violations=True))
+    solo = validate(df, suite, result_format="SUMMARY",
+                    options=Options(fuse_violations=False))
+    f_len = fused.results[0].result
+    s_len = solo.results[0].result
+    assert f_len["unexpected_count"] == s_len["unexpected_count"] == 3
+    assert sorted(f_len["partial_unexpected_list"]) == \
+        sorted(s_len["partial_unexpected_list"])
+    assert bytearray(b"\x00\xff\xfe magic") in f_len["partial_unexpected_list"]
+    assert f_len["partial_unexpected_counts"] == s_len["partial_unexpected_counts"]
+
+
+def test_fused_decimal_exact(spark, monkeypatch):
+    """decimal IS fused-eligible via the exact string-cast encoding
+    (round 4): values come back as decimal.Decimal at the declared scale,
+    identical to collect() — incl. a 38-digit value no double can hold —
+    through the fused plan (fallback forbidden)."""
+    import decimal
+
+    _forbid_solo_fallback(monkeypatch)
+    big = decimal.Decimal("12345678901234567890123456.789012345678")
+    rows = [
+        (1, decimal.Decimal("1.500000000000")),
+        (2, big),
+        (3, decimal.Decimal("-7.250000000000")),
+        (300, decimal.Decimal("0.000000000001")),
+    ]
+    df = spark.createDataFrame(rows, "i int, d decimal(38,12)")
+    suite = (
+        ExpectationSuite("dec")
+        .add("expect_column_values_to_be_between", column="d",
+             max_value=0, mostly=0.1)
+        .add("expect_column_values_to_be_between", column="i", max_value=2,
+             mostly=0.1)
+    )
+    fused = validate(df, suite, result_format="COMPLETE",
+                     options=Options(fuse_violations=True))
+    solo = validate(df, suite, result_format="COMPLETE",
+                    options=Options(fuse_violations=False))
+    f_list = fused.results[0].result["unexpected_list"]
+    s_list = solo.results[0].result["unexpected_list"]
+    assert sorted(f_list) == sorted(s_list)
+    assert all(isinstance(v, decimal.Decimal) for v in f_list)
+    assert big in f_list  # full 38-digit precision survived the round trip
+
+
+def test_fused_binary_decimal_rows_and_index(spark, monkeypatch):
+    """binary/decimal in INDEX columns and unexpected_rows round-trip
+    through the fused scan identically to solo."""
+    import decimal
+
+    _forbid_solo_fallback(monkeypatch)
+    rows = [
+        (1, bytearray(b"\x01\x02"), decimal.Decimal("3.14")),
+        (2, None, decimal.Decimal("-0.01")),
+        (3, bytearray(b"\xffz"), None),
+    ]
+    df = spark.createDataFrame(rows, "i int, b binary, d decimal(10,2)")
+    suite = ExpectationSuite("bd").add(
+        "expect_column_values_to_be_between", column="i", max_value=0,
+        mostly=0.1)
+    rf = {"result_format": "COMPLETE",
+          "unexpected_index_column_names": ["b", "d"],
+          "include_unexpected_rows": True}
+    fused = validate(df, suite, result_format=rf,
+                     options=Options(fuse_violations=True))
+    solo = validate(df, suite, result_format=rf,
+                    options=Options(fuse_violations=False))
+    fr, sr = fused.results[0].result, solo.results[0].result
+    key = lambda d: json.dumps(d, sort_keys=True, default=str)
+    assert sorted(map(key, fr["unexpected_index_list"])) == \
+        sorted(map(key, sr["unexpected_index_list"]))
+    assert sorted(map(key, fr["unexpected_rows"])) == \
+        sorted(map(key, sr["unexpected_rows"]))
+    got = {key(d) for d in fr["unexpected_index_list"]}
+    assert key({"b": b"\x01\x02", "d": decimal.Decimal("3.14")}) in got
+
+
 def test_fused_string_tie_order_matches_native(spark):
     """>50 count-tied string violations incl. JSON-escaping-sensitive ones
     ('\"a...' sorts first natively but after 'm' when escaped): the fused

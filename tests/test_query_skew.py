@@ -33,6 +33,27 @@ def test_run_query_multi_table(spark, docs):
     assert out.a == docs.count() and out.b == 10
 
 
+def test_run_query_leaves_catalog_unchanged(spark, docs):
+    """Views are dropped before return (spark.sql analyzes eagerly, so
+    the returned frame survives the drop); the session catalog must be
+    byte-identical after a call — including the multi-table variant."""
+    from great_expectations_spark.functions.querymetrics import run_query
+
+    def temp_views():
+        return sorted(t.name for t in spark.catalog.listTables()
+                      if t.isTemporary)
+
+    before = temp_views()
+    out = run_query(
+        docs,
+        "SELECT (SELECT count(*) FROM {active_batch}) AS a, "
+        "(SELECT count(*) FROM {other}) AS b",
+        tables={"other": docs.limit(3)},
+    )
+    assert temp_views() == before
+    assert out.first().b == 3  # still collectable after the drop
+
+
 def test_salted_counts_match_plain_groupby(spark, docs):
     from great_expectations_spark.functions.skew import skew_safe_value_counts
 
