@@ -1066,6 +1066,79 @@ def _p2e(spark, sf):
                                       "doc_id", "text")
 
 
+_COMPACT_NEW_BATCH_SQL = """(
+ SELECT doc_id, text FROM documents WHERE doc_id >= 250
+ UNION ALL SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id < 50
+ UNION ALL SELECT doc_id + 21000 AS doc_id, text FROM documents WHERE doc_id BETWEEN 100 AND 149
+ UNION ALL SELECT doc_id + 22000 AS doc_id, text FROM documents WHERE doc_id BETWEEN 200 AND 249)"""
+
+
+@_q("pipeline_state_compaction", f"""
+WITH state AS (
+  SELECT doc_id AS id, 1 AS batch_ts, md5(text) AS digest
+  FROM documents WHERE doc_id < 250 AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 2, md5(text || ' [recrawl]')
+  FROM documents WHERE doc_id < 100 AND text IS NOT NULL
+),
+mx AS (SELECT id, max(batch_ts) AS m FROM state GROUP BY id),
+compacted AS (
+  SELECT DISTINCT s.id, s.digest
+  FROM state s JOIN mx ON s.id = mx.id AND s.batch_ts = mx.m
+  WHERE s.id NOT BETWEEN 200 AND 249
+),
+newb AS (SELECT * FROM {_COMPACT_NEW_BATCH_SQL} t),
+d AS (SELECT doc_id, md5(text) AS h FROM newb WHERE text IS NOT NULL),
+firsts AS (SELECT h, min(doc_id) AS keep FROM d GROUP BY h)
+SELECT d.doc_id FROM d
+JOIN firsts ON d.h = firsts.h AND d.doc_id = firsts.keep
+WHERE d.h NOT IN (SELECT digest FROM compacted)
+UNION ALL SELECT doc_id FROM newb WHERE text IS NULL
+""")
+def _p2f(spark, sf):
+    """Incremental-dedup state lifecycle: the digest state table after TWO
+    ingests (batch 1 = docs < 250; batch 2 = a re-crawl of docs < 100 with
+    CHANGED content) plus tombstones for docs 200-249 is COMPACTED
+    (supersede by latest batch_ts, distinct, tombstone anti-join), then a
+    new batch deduplicates against the compacted state:
+
+    * planted copies of the ORIGINAL docs<50 content (ids 20000+) survive —
+      their batch-1 digests were superseded by the re-crawl (stale rows a
+      forever-growing state would have kept, falsely rejecting them);
+    * planted copies of docs 100-149 (ids 21000+) are rejected — that
+      content is still current in the corpus;
+    * planted copies of tombstoned docs 200-249 (ids 22000+) survive —
+      deletion removed their state rows, so the content may re-enter."""
+    from great_expectations_spark.pipeline.dedup import (
+        compact_state_table,
+        exact_digest_table,
+        incremental_exact_dedup,
+    )
+
+    docs = _tbl(spark, sf, "documents")
+    b1 = exact_digest_table(
+        docs.where(F.col("doc_id") < 250), "doc_id", "text"
+    ).withColumn("batch_ts", F.lit(1))
+    recrawl = docs.where(F.col("doc_id") < 100).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" [recrawl]")).alias("text"))
+    b2 = exact_digest_table(recrawl, "doc_id", "text").withColumn(
+        "batch_ts", F.lit(2))
+    tomb = docs.where(F.col("doc_id").between(200, 249)).select("doc_id")
+    compacted = compact_state_table(
+        b1.unionByName(b2), order_col="batch_ts", tombstones=tomb)
+    newb = (
+        docs.where(F.col("doc_id") >= 250).select("doc_id", "text")
+        .unionByName(docs.where(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 20000).alias("doc_id"), "text"))
+        .unionByName(docs.where(F.col("doc_id").between(100, 149)).select(
+            (F.col("doc_id") + 21000).alias("doc_id"), "text"))
+        .unionByName(docs.where(F.col("doc_id").between(200, 249)).select(
+            (F.col("doc_id") + 22000).alias("doc_id"), "text"))
+    )
+    return incremental_exact_dedup(newb, compacted,
+                                   "doc_id", "text").select("doc_id")
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     def vote(j: int) -> str:
         return (

@@ -493,6 +493,66 @@ def signature_tables(
     )
 
 
+def compact_state_table(
+    state: DataFrame,
+    id_col: str = "id",
+    order_col: str | None = None,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """Compact an incremental-dedup state table (``exact_digest_table`` /
+    ``lsh_bucket_table`` unions, one slice per ingested batch) so state
+    row count stays bounded under re-ingestion instead of growing
+    forever.
+
+    Three stale-row classes, in order:
+
+    * **supersede** (needs ``order_col`` — a batch timestamp/sequence the
+      caller stamps on each slice, e.g. ``withColumn("batch_ts",
+      lit(...))``): a re-crawled doc id keeps only its LATEST batch's
+      rows; the old crawl's digest/bucket rows — content no longer in the
+      corpus — are dropped, so a future doc matching the SUPERSEDED
+      content is no longer falsely rejected. Rows whose ``order_col`` is
+      NULL count as oldest (dropped when any ordered row exists for the
+      id); ids with only NULL orders keep their rows. NULL-id rows have
+      no identity to supersede and pass through.
+    * **exact re-ingests**: ``distinct()`` collapses byte-identical rows
+      from repeated ingestion of the same content — the invariant the
+      bounded-state test pins: re-ingesting the same corpus N times
+      compacts back to one slice's row count.
+    * **tombstones** (optional DataFrame, first column = deleted doc
+      ids): every state row of a deleted doc is dropped (left_anti), so
+      its content can re-enter the corpus later.
+
+    Plan shape at 10^12 docs: one hash-partitioned window max per id
+    (per-id row count is tiny — bands × batches — so no skew), one
+    distinct (map-side combinable), one anti-join on the id. All
+    shuffles carry state rows (16-byte digests / bucket triples + ids),
+    never corpus text. The output schema equals the input schema, so a
+    compacted table IS a valid state table for future batches and future
+    compactions — run it periodically as the state-table twin of Iceberg
+    snapshot expiration.
+
+    Oracle: pipeline_state_compaction (planted re-crawls + tombstones).
+    """
+    out = state
+    if order_col is not None:
+        with_id = out.where(F.col(id_col).isNotNull())
+        null_id = out.where(F.col(id_col).isNull())
+        w = Window.partitionBy(id_col)
+        kept = (
+            with_id.withColumn("__mx", F.max(order_col).over(w))
+            .where(F.col(order_col).eqNullSafe(F.col("__mx")))
+            .drop("__mx")
+        )
+        out = kept.unionByName(null_id)
+    out = out.distinct()
+    if tombstones is not None:
+        tomb = (tombstones.select(
+            F.col(tombstones.columns[0]).alias(id_col)).distinct())
+        out = out.join(tomb, id_col, "left_anti")
+    return out
+
+
 def incremental_exact_dedup(
     new: DataFrame,
     seen_digests: DataFrame,

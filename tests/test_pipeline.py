@@ -475,6 +475,86 @@ def test_incremental_lsh_bucket_cap_drops_hot_history_bucket(spark):
     assert capped.count() == 0
 
 
+def test_compact_state_bounded_under_reingestion(spark):
+    """Re-ingesting the SAME corpus N times must compact back to one
+    slice's row count — for both state tables — and compacted-state
+    dedup must equal full-history dedup (identical-content re-crawls
+    leave semantics unchanged)."""
+    from great_expectations_spark.pipeline.dedup import (
+        compact_state_table,
+        exact_digest_table,
+        incremental_exact_dedup,
+        incremental_lsh_candidates,
+        lsh_bucket_table,
+    )
+
+    seen, new = _ingest_frames(spark)
+    one_d = exact_digest_table(seen, "doc_id", "text")
+    one_b = lsh_bucket_table(seen, "doc_id", "text")
+    stacked_d = one_d.unionByName(one_d).unionByName(one_d)
+    stacked_b = one_b.unionByName(one_b).unionByName(one_b)
+    comp_d = compact_state_table(stacked_d)
+    comp_b = compact_state_table(stacked_b)
+    assert comp_d.count() == one_d.count()
+    assert comp_b.count() == one_b.count()
+
+    full = incremental_exact_dedup(new, stacked_d, "doc_id", "text")
+    comp = incremental_exact_dedup(new, comp_d, "doc_id", "text")
+    key = lambda df: sorted((r["doc_id"], r["text"]) for r in df.collect())
+    assert key(comp) == key(full)
+    pairs = lambda df: sorted((r["id_new"], r["id_seen"]) for r in df.collect())
+    assert pairs(incremental_lsh_candidates(new, comp_b, "doc_id", "text")) == \
+        pairs(incremental_lsh_candidates(new, one_b, "doc_id", "text"))
+
+
+def test_compact_state_supersede_and_tombstones(spark):
+    """A re-crawl with CHANGED content supersedes the old digest (its
+    content may re-enter); tombstoned ids drop out entirely; NULL-id rows
+    pass through; NULL order_col counts as oldest."""
+    from great_expectations_spark.pipeline.dedup import (
+        compact_state_table,
+        exact_digest_table,
+        incremental_exact_dedup,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "old content v1"), (2, "steady content"), (3, "deleted doc"),
+         (None, "null id row")],
+        "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(1, "new content v2")], "doc_id long, text string")
+    s1 = exact_digest_table(b1, "doc_id", "text").withColumn(
+        "batch_ts", F.lit(1))
+    # NULL batch_ts on a fresh id: kept (no ordered rows to lose to)
+    s1 = s1.withColumn(
+        "batch_ts",
+        F.when(F.col("id").isNotNull(), F.col("batch_ts")))
+    s2 = exact_digest_table(b2, "doc_id", "text").withColumn(
+        "batch_ts", F.lit(2))
+    tomb = spark.createDataFrame([(3,)], "doc_id long")
+    comp = compact_state_table(
+        s1.unionByName(s2), order_col="batch_ts", tombstones=tomb)
+    rows = comp.collect()
+    # id 1 keeps ONLY the batch-2 digest; id 3 gone; NULL-id row kept
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    assert len(by_id.get(1, [])) == 1 and by_id[1][0]["batch_ts"] == 2
+    assert 3 not in by_id
+    assert None in by_id and 2 in by_id
+    assert len(rows) == 3
+
+    new = spark.createDataFrame(
+        [(10, "old content v1"),   # superseded -> re-enters
+         (11, "new content v2"),   # current -> rejected
+         (12, "deleted doc"),      # tombstoned -> re-enters
+         (13, "steady content")],  # current -> rejected
+        "doc_id long, text string")
+    out = sorted(r["doc_id"] for r in
+                 incremental_exact_dedup(new, comp, "doc_id", "text").collect())
+    assert out == [10, 12]
+
+
 # ------------------------------------------------------------- GEMM top-k
 
 
