@@ -9,10 +9,31 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.utils import AnalysisException
 
 from great_expectations_spark.checkpoint import RESULTS_SCHEMA, results_rows
 from great_expectations_spark.core.suite import ExpectationSuite
 from great_expectations_spark.validator import validate
+
+
+def _batch_already_written(spark, results_path: str, run_id: str,
+                           chunk_id: str) -> bool:
+    """Idempotence gate mirroring ``checkpoint.run_checkpoint`` resume:
+    a replayed micro-batch (foreachBatch is at-least-once — a crash after
+    the results append but before the offset commit re-runs the batch id)
+    must not append duplicate (run_id, chunk_id) rows. Only a MISSING
+    results table means first write; any other read failure propagates —
+    treating a transient error as first-run would re-append rows that
+    ``rollup`` then double-counts."""
+    try:
+        existing = spark.read.parquet(results_path)
+    except AnalysisException as e:
+        if any(m in str(e) for m in ("PATH_NOT_FOUND", "Path does not exist")):
+            return False
+        raise
+    return bool(
+        existing.where((F.col("run_id") == run_id)
+                       & (F.col("chunk_id") == chunk_id)).limit(1).count())
 
 
 def validate_stream(
@@ -35,9 +56,11 @@ def validate_stream(
     the per-batch sketch cost or tune any other engine knob.
 
     Exactly-once notes: Spark's streaming checkpoint (``checkpoint_location``)
-    guarantees each batch id is processed at least once; replays overwrite
-    nothing (append with batch id in chunk_id lets downstream dedup on
-    (run_id, chunk_id, expectation_index) — same contract as batch resume).
+    guarantees each batch id is processed at least once; a batch REPLAYED
+    after a failure (or by a restarted stream whose batch ids start over)
+    is skipped when its (run_id, chunk_id) rows are already in the results
+    table — the same skip-if-present gate as ``run_checkpoint`` resume, so
+    ``rollup`` over the stream's results never double-counts a batch.
     """
     spark = stream_df.sparkSession
     if options is None:
@@ -46,10 +69,13 @@ def validate_stream(
         options = Options(chunk_monoids=True)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        chunk_id = f"batch-{batch_id}"
+        if _batch_already_written(spark, results_path, run_id, chunk_id):
+            return
         t0 = time.time()
         result = validate(batch_df, suite, result_format=result_format,
                           options=options)
-        rows = results_rows(result, run_id, f"batch-{batch_id}",
+        rows = results_rows(result, run_id, chunk_id,
                             "streaming-micro-batch", time.time() - t0)
         spark.createDataFrame(rows, RESULTS_SCHEMA).coalesce(1).write.mode("append").parquet(
             results_path
@@ -82,16 +108,20 @@ def validate_stream_by(
     per-key quality monitor (per-lang / per-domain verdict rows every
     trigger). One groupBy-agg per batch regardless of group count; the
     results table stays a plain DataFrame for downstream joins/alerts.
-    Same at-least-once replay contract as ``validate_stream``."""
+    Same replayed-batch skip-if-present contract as ``validate_stream``."""
     from great_expectations_spark.grouped import validate_by
 
     keys = [group_by] if isinstance(group_by, str) else list(group_by)
+    spark = stream_df.sparkSession
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        chunk_id = f"batch-{batch_id}"
+        if _batch_already_written(spark, results_path, run_id, chunk_id):
+            return
         out = validate_by(batch_df, suite, keys, options=options,
                           on_unsupported=on_unsupported)
         (out.withColumn("run_id", F.lit(run_id))
-            .withColumn("chunk_id", F.lit(f"batch-{batch_id}"))
+            .withColumn("chunk_id", F.lit(chunk_id))
             .withColumn("finished_at", F.lit(float(time.time())))
             .coalesce(1).write.mode("append").parquet(results_path))
 

@@ -122,6 +122,76 @@ def test_validate_stream_microbatches(spark, docs, tmp_path):
     assert out.where(F.col("expectation_index") == 0).first().element_count == 100
 
 
+def test_validate_stream_replayed_batch_idempotent(spark, docs, tmp_path):
+    """A batch replayed after a failure mid-run (simulated: restart the
+    stream with a FRESH streaming checkpoint so batch-0 re-fires over the
+    same source, same run_id, same results table) must append NO duplicate
+    (run_id, chunk_id) rows — rollup over the results stays exact."""
+    from great_expectations_spark import ExpectationSuite
+    from great_expectations_spark.streaming import validate_stream
+
+    src = str(tmp_path / "src")
+    docs.limit(50).coalesce(1).write.parquet(src)
+    stream = lambda: spark.readStream.schema(docs.schema).parquet(src)
+    suite = ExpectationSuite(name="replay").add(
+        "expect_column_values_to_not_be_null", column="doc_id")
+    results = str(tmp_path / "results")
+
+    q = validate_stream(stream(), suite, results, str(tmp_path / "ckpt1"),
+                        run_id="run-x")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = spark.read.parquet(results).collect()
+    assert len(first) == 1 and first[0].chunk_id == "batch-0"
+
+    # fresh checkpoint => Spark replays the source from scratch as batch-0
+    q2 = validate_stream(stream(), suite, results, str(tmp_path / "ckpt2"),
+                         run_id="run-x")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    again = spark.read.parquet(results).collect()
+    assert len(again) == 1  # skip-if-present: no duplicate rows
+
+    # a DIFFERENT run_id is a new logical run and appends normally
+    q3 = validate_stream(stream(), suite, results, str(tmp_path / "ckpt3"),
+                         run_id="run-y")
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    out = spark.read.parquet(results)
+    assert out.count() == 2
+    assert {(r.run_id, r.chunk_id) for r in out.collect()} == {
+        ("run-x", "batch-0"), ("run-y", "batch-0")}
+
+
+def test_validate_stream_by_replayed_batch_idempotent(spark, docs, tmp_path):
+    from great_expectations_spark import ExpectationSuite
+    from great_expectations_spark.streaming import validate_stream_by
+
+    src = str(tmp_path / "src")
+    docs.limit(40).coalesce(1).write.parquet(src)
+    stream = lambda: spark.readStream.schema(docs.schema).parquet(src)
+    suite = ExpectationSuite(name="g").add(
+        "expect_column_values_to_not_be_null", column="text", mostly=0.5)
+    results = str(tmp_path / "results_by")
+
+    for ckpt in ("c1", "c2"):  # second run replays batch-0 via fresh ckpt
+        q = validate_stream_by(stream(), suite, ["lang"], results,
+                               str(tmp_path / ckpt), run_id="run-x")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    out = spark.read.parquet(results)
+    keys = out.select("run_id", "chunk_id", "lang").collect()
+    assert len(keys) == len({(r.run_id, r.chunk_id, r.lang) for r in keys})
+
+
 def test_windowed_condition_rates_batch_semantics(spark, tmp_path):
     """The windowed aggregation is valid for batch frames too — verify the
     arithmetic there (streaming execution covered by validate_stream)."""
