@@ -173,6 +173,193 @@ def _fmt(v: Any) -> str:
     return _html.escape(json.dumps(v, default=str))
 
 
+def _j(v: Any) -> str:
+    return json.dumps(v, default=str)
+
+
+def _set_words(values: Any, cap: int = 10) -> str:
+    vals = list(values) if values is not None else []
+    shown = ", ".join(_j(v) for v in vals[:cap])
+    return shown + (f", … ({len(vals)} values)" if len(vals) > cap else "")
+
+
+def _between_words(k: dict, lo: str = "min_value", hi: str = "max_value") -> str:
+    mn, mx = k.get(lo), k.get(hi)
+    ge = "greater than" if k.get("strict_min") else "greater than or equal to"
+    le = "less than" if k.get("strict_max") else "less than or equal to"
+    if mn is not None and mx is not None:
+        return f"{ge} {_j(mn)} and {le} {_j(mx)}"
+    if mn is not None:
+        return f"{ge} {_j(mn)}"
+    if mx is not None:
+        return f"{le} {_j(mx)}"
+    return "any value"
+
+
+# core verb phrase per expectation type; {col}/{colA}/{colB}/{cols} are
+# filled by expectation_prose. Everything not listed falls back to a
+# humanized type name, so new expectations degrade gracefully.
+_PROSE: dict[str, Any] = {
+    "expect_column_values_to_not_be_null": lambda k: "{col} values must never be null",
+    "expect_column_values_to_be_null": lambda k: "{col} values must always be null",
+    "expect_column_values_to_be_unique": lambda k: "{col} values must be unique",
+    "expect_column_values_to_be_between":
+        lambda k: "{col} values must be " + _between_words(k),
+    "expect_column_values_to_be_in_set":
+        lambda k: "{col} values must belong to the set [" + _set_words(k.get("value_set")) + "]",
+    "expect_column_values_to_not_be_in_set":
+        lambda k: "{col} values must not belong to the set [" + _set_words(k.get("value_set")) + "]",
+    "expect_column_values_to_match_regex":
+        lambda k: "{col} values must match the regular expression " + _j(k.get("regex")),
+    "expect_column_values_to_not_match_regex":
+        lambda k: "{col} values must not match the regular expression " + _j(k.get("regex")),
+    "expect_column_values_to_match_regex_list":
+        lambda k: "{col} values must match "
+        + ("all" if str(k.get("match_on", "any")) == "all" else "any")
+        + " of the regular expressions [" + _set_words(k.get("regex_list")) + "]",
+    "expect_column_values_to_not_match_regex_list":
+        lambda k: "{col} values must not match any of the regular expressions ["
+        + _set_words(k.get("regex_list")) + "]",
+    "expect_column_values_to_match_like_pattern":
+        lambda k: "{col} values must match the LIKE pattern " + _j(k.get("like_pattern")),
+    "expect_column_values_to_not_match_like_pattern":
+        lambda k: "{col} values must not match the LIKE pattern " + _j(k.get("like_pattern")),
+    "expect_column_values_to_match_like_pattern_list":
+        lambda k: "{col} values must match "
+        + ("all" if str(k.get("match_on", "any")) == "all" else "any")
+        + " of the LIKE patterns [" + _set_words(k.get("like_pattern_list")) + "]",
+    "expect_column_values_to_not_match_like_pattern_list":
+        lambda k: "{col} values must not match any of the LIKE patterns ["
+        + _set_words(k.get("like_pattern_list")) + "]",
+    "expect_column_value_lengths_to_be_between":
+        lambda k: "{col} value lengths must be " + _between_words(k),
+    "expect_column_value_lengths_to_equal":
+        lambda k: "{col} value lengths must equal " + _j(k.get("value")),
+    "expect_column_values_to_match_strftime_format":
+        lambda k: "{col} values must match the strftime format " + _j(k.get("strftime_format")),
+    "expect_column_values_to_be_dateutil_parseable":
+        lambda k: "{col} values must be parseable as dates",
+    "expect_column_values_to_be_json_parseable":
+        lambda k: "{col} values must be parseable as JSON",
+    "expect_column_values_to_match_json_schema":
+        lambda k: "{col} values must conform to the given JSON schema",
+    "expect_column_values_to_be_of_type":
+        lambda k: "{col} values must be of type " + _j(k.get("type_")),
+    "expect_column_values_to_be_in_type_list":
+        lambda k: "{col} values must be of one of the types [" + _set_words(k.get("type_list")) + "]",
+    "expect_column_values_to_be_increasing":
+        lambda k: "{col} values must be " + ("strictly " if k.get("strictly") else "") + "increasing",
+    "expect_column_values_to_be_decreasing":
+        lambda k: "{col} values must be " + ("strictly " if k.get("strictly") else "") + "decreasing",
+    "expect_column_value_z_scores_to_be_less_than":
+        lambda k: "{col} value z-scores must be less than " + _j(k.get("threshold"))
+        + (" in absolute value" if k.get("double_sided") else ""),
+    # aggregates -----------------------------------------------------------
+    "expect_column_mean_to_be_between":
+        lambda k: "{col} mean must be " + _between_words(k),
+    "expect_column_median_to_be_between":
+        lambda k: "{col} median must be " + _between_words(k),
+    "expect_column_min_to_be_between":
+        lambda k: "{col} minimum must be " + _between_words(k),
+    "expect_column_max_to_be_between":
+        lambda k: "{col} maximum must be " + _between_words(k),
+    "expect_column_sum_to_be_between":
+        lambda k: "{col} sum must be " + _between_words(k),
+    "expect_column_stdev_to_be_between":
+        lambda k: "{col} standard deviation must be " + _between_words(k),
+    "expect_column_quantile_values_to_be_between":
+        lambda k: "{col} quantiles "
+        + _set_words((k.get("quantile_ranges") or {}).get("quantiles", []))
+        + " must fall within their value ranges",
+    "expect_column_unique_value_count_to_be_between":
+        lambda k: "{col} distinct-value count must be " + _between_words(k),
+    "expect_column_proportion_of_unique_values_to_be_between":
+        lambda k: "{col} proportion of unique values must be " + _between_words(k),
+    "expect_column_distinct_values_to_be_in_set":
+        lambda k: "{col} distinct values must belong to the set ["
+        + _set_words(k.get("value_set")) + "]",
+    "expect_column_distinct_values_to_contain_set":
+        lambda k: "{col} distinct values must contain the set ["
+        + _set_words(k.get("value_set")) + "]",
+    "expect_column_distinct_values_to_equal_set":
+        lambda k: "{col} distinct values must equal the set ["
+        + _set_words(k.get("value_set")) + "]",
+    "expect_column_most_common_value_to_be_in_set":
+        lambda k: "{col} most common value must belong to the set ["
+        + _set_words(k.get("value_set")) + "]",
+    "expect_column_kl_divergence_to_be_less_than":
+        lambda k: "{col} Kullback-Leibler divergence from the expected "
+        "distribution must be less than " + _j(k.get("threshold")),
+    # table ----------------------------------------------------------------
+    "expect_table_row_count_to_be_between":
+        lambda k: "table row count must be " + _between_words(k),
+    "expect_table_row_count_to_equal":
+        lambda k: "table row count must equal " + _j(k.get("value")),
+    "expect_table_row_count_to_equal_other_table":
+        lambda k: "table row count must equal that of table " + _j(k.get("other_table_name")),
+    "expect_table_column_count_to_be_between":
+        lambda k: "table column count must be " + _between_words(k),
+    "expect_table_column_count_to_equal":
+        lambda k: "table column count must equal " + _j(k.get("value")),
+    "expect_table_columns_to_match_set":
+        lambda k: "table columns must match the set [" + _set_words(k.get("column_set")) + "]",
+    "expect_table_columns_to_match_ordered_list":
+        lambda k: "table columns must match the ordered list ["
+        + _set_words(k.get("column_list")) + "]",
+    "expect_column_to_exist": lambda k: "column {col} must exist",
+    # pairs / multicolumn --------------------------------------------------
+    "expect_column_pair_values_a_to_be_greater_than_b":
+        lambda k: "{colA} values must be greater than "
+        + ("or equal to " if k.get("or_equal") else "") + "{colB} values",
+    "expect_column_pair_values_to_be_equal":
+        lambda k: "{colA} values must equal {colB} values",
+    "expect_column_pair_values_to_be_in_set":
+        lambda k: "({colA}, {colB}) value pairs must belong to the given set",
+    "expect_compound_columns_to_be_unique":
+        lambda k: "the column combination ({cols}) must be unique",
+    "expect_multicolumn_sum_to_equal":
+        lambda k: "the sum across ({cols}) must equal " + _j(k.get("sum_total")),
+    "expect_select_column_values_to_be_unique_within_record":
+        lambda k: "values across ({cols}) must be distinct within each row",
+    "expect_column_values_to_not_be_in_other_table":
+        lambda k: "{col} values must not appear in the other table",
+}
+
+
+def expectation_prose(config: Any) -> str:
+    """One-sentence English description of an expectation configuration —
+    the engine-sized subset of the reference's per-expectation content
+    blocks (render/renderer/content_block/expectation_string.py
+    ExpectationStringRenderer + the per-type _prescriptive_renderer
+    templates): the rendered page names the expectation's column(s) and
+    bounds instead of showing raw kwargs JSON. ``mostly`` and
+    ``row_condition`` append as qualifier clauses, mirroring the
+    reference's "at least X % of the time" suffix. Unknown types fall
+    back to the humanized type name plus the column, so plugin
+    expectations degrade gracefully instead of rendering nothing."""
+    k = config.kwargs
+    t = config.expectation_type
+    build = _PROSE.get(t)
+    if build is not None:
+        core = build(k)
+    else:
+        words = t.removeprefix("expect_").replace("_", " ")
+        core = ("{col} " + words) if "column" in k else words
+    core = core.replace("{col}", str(k.get("column", "?")))
+    core = core.replace("{colA}", str(k.get("column_A", "?")))
+    core = core.replace("{colB}", str(k.get("column_B", "?")))
+    core = core.replace("{cols}", ", ".join(str(c) for c in k.get("column_list", [])))
+    quals = []
+    mostly = k.get("mostly")
+    if mostly is not None and mostly != 1:
+        quals.append(f"at least {round(float(mostly) * 100, 2):g}% of the time")
+    if k.get("row_condition"):
+        quals.append(f"for rows where {k['row_condition']}")
+    if k.get("ignore_row_if") and k["ignore_row_if"] != "neither":
+        quals.append(f"ignoring rows if {str(k['ignore_row_if']).replace('_', ' ')}")
+    return core + ("" if not quals else ", " + ", ".join(quals)) + "."
+
+
 def render_validation_docs(
     result: SuiteValidationResult,
     docs_dir: str,
@@ -209,6 +396,7 @@ def render_validation_docs(
         body = [
             f"<h2><span class='badge {status.lower()}'>{status}</span>"
             f"{i + 1}. {_html.escape(cfg.expectation_type)}</h2>",
+            f"<p class='prose'>{_html.escape(expectation_prose(cfg))}</p>",
             f"<table>{kw_rows}</table>" if kw_rows else "",
         ]
         count_keys = [

@@ -114,6 +114,15 @@ def test_render_validation_docs_sections(spark, tmp_path):
     # per-expectation sections with status badges
     assert html.count("<section>") == 4
     assert ">PASS<" in html and ">FAIL<" in html and ">EXC<" in html
+    # per-expectation content blocks: kwargs rendered as prose naming the
+    # column and bounds (r4), not only raw JSON
+    assert ("lang values must never be null, at least 50% of the time."
+            in html)
+    assert ("lang values must belong to the set [&quot;en&quot;, "
+            "&quot;de&quot;]." in html)
+    assert ("id mean must be greater than or equal to 0 and less than or "
+            "equal to 10." in html)
+    assert "nope values must be unique." in html
     # count summary + most-common-unexpected table for the in-set failure
     assert "unexpected %" in html
     assert "most common unexpected values" in html and "&quot;xx&quot;" in html
@@ -125,6 +134,41 @@ def test_render_validation_docs_sections(spark, tmp_path):
     assert "not found" in html
     # everything HTML-escaped: no raw angle brackets from values
     assert "<script" not in html
+
+
+def test_expectation_prose_families(spark):
+    """Prose templates across the expectation families + qualifier
+    clauses + the humanized fallback for unknown (plugin) types."""
+    from great_expectations_spark.actions import expectation_prose
+    from great_expectations_spark.core.suite import ExpectationConfiguration
+
+    def p(t, **kw):
+        return expectation_prose(
+            ExpectationConfiguration(expectation_type=t, kwargs=kw))
+
+    assert p("expect_column_values_to_be_between", column="x",
+             min_value=0, strict_min=True) == \
+        "x values must be greater than 0."
+    assert p("expect_column_values_to_match_regex", column="t",
+             regex="^a", row_condition="lang = 'en'") == \
+        "t values must match the regular expression \"^a\", " \
+        "for rows where lang = 'en'."
+    assert p("expect_column_pair_values_a_to_be_greater_than_b",
+             column_A="a", column_B="b", or_equal=True,
+             ignore_row_if="either_value_is_missing") == \
+        "a values must be greater than or equal to b values, " \
+        "ignoring rows if either value is missing."
+    assert p("expect_compound_columns_to_be_unique",
+             column_list=["a", "b"]) == \
+        "the column combination (a, b) must be unique."
+    assert p("expect_table_row_count_to_equal", value=7) == \
+        "table row count must equal 7."
+    assert p("expect_column_values_to_be_in_set", column="s",
+             value_set=list(range(15)), mostly=0.95).endswith(
+        "… (15 values)], at least 95% of the time.")
+    # unknown type: humanized fallback, never a crash
+    assert p("expect_column_values_to_be_excellent", column="q") == \
+        "q column values to be excellent."
 
 
 def test_render_validation_docs_golden(spark, tmp_path):
