@@ -1139,6 +1139,99 @@ def _p2f(spark, sf):
                                    "doc_id", "text").select("doc_id")
 
 
+@_q("rule_profiler_events", """
+WITH chunks AS (
+  SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS c,
+         avg(value) AS m
+  FROM events GROUP BY 1
+),
+arr AS (SELECT list(m ORDER BY m) AS a FROM chunks)
+SELECT 'ranges' AS rule, 'value' AS "column", 'mean_range' AS parameter,
+       round(a[1], 6) AS lo, round(a[4], 6) AS hi,
+       NULL::VARCHAR[] AS value_set
+FROM arr
+UNION ALL
+SELECT 'ranges', 'value', 'q_range',
+       round(a[1] + 0.3 * (a[2] - a[1]), 6),
+       round(a[3] + 0.7 * (a[4] - a[3]), 6),
+       NULL::VARCHAR[]
+FROM arr
+UNION ALL
+SELECT 'cats', 'lang', 'vs', NULL::DOUBLE, NULL::DOUBLE,
+       list(DISTINCT lang ORDER BY lang)
+FROM documents WHERE lang IS NOT NULL
+UNION ALL
+SELECT 'cats', 'source', 'vs', NULL::DOUBLE, NULL::DOUBLE,
+       list(DISTINCT source ORDER BY source)
+FROM documents WHERE source IS NOT NULL
+""")
+def _rbp1(spark, sf):
+    """Declarative RuleBasedProfiler runner (reference
+    rule_based_profiler/rule_based_profiler.py:93): two reference-shaped
+    configs — a NumericMetricRangeMultiBatch rule (exact + quantiles
+    estimators over engine-portable md5 pseudo-chunks) on events, and a
+    CategoricalColumnDomainBuilder + ValueSetMultiBatch rule on documents
+    — with the resolved parameter values replayed digit-exactly in
+    DuckDB (type-7 quantile interpolation written out over the 4 sorted
+    chunk means)."""
+    from great_expectations_spark.pipeline.similarity import round_half_up
+    from great_expectations_spark.rule_profiler import run_rule_based_profiler
+
+    r1 = run_rule_based_profiler(_tbl(spark, sf, "events"), {
+        "name": "ranges", "config_version": 1.0,
+        "variables": {"fpr": 0.2},
+        "rules": {"ranges": {
+            "domain_builder": {"class_name": "ColumnDomainBuilder",
+                               "include_column_names": ["value"]},
+            "parameter_builders": [
+                {"name": "mean_range",
+                 "class_name": "NumericMetricRangeMultiBatchParameterBuilder",
+                 "metric_name": "column.mean",
+                 "metric_domain_kwargs": "$domain.domain_kwargs",
+                 "estimator": "exact", "n_chunks": 4, "chunk_by": "event_id"},
+                {"name": "q_range",
+                 "class_name": "NumericMetricRangeMultiBatchParameterBuilder",
+                 "metric_name": "column.mean",
+                 "metric_domain_kwargs": "$domain.domain_kwargs",
+                 "estimator": "quantiles",
+                 "false_positive_rate": "$variables.fpr",
+                 "n_chunks": 4, "chunk_by": "event_id"}],
+            "expectation_configuration_builders": [
+                {"expectation_type": "expect_column_mean_to_be_between",
+                 "column": "$domain.domain_kwargs.column",
+                 "min_value": "$parameter.mean_range.value[0]",
+                 "max_value": "$parameter.mean_range.value[1]"}]}}})
+    r2 = run_rule_based_profiler(_tbl(spark, sf, "documents"), {
+        "name": "cats", "config_version": 1.0,
+        "rules": {"cats": {
+            "domain_builder": {
+                "class_name": "CategoricalColumnDomainBuilder",
+                "cardinality_limit_mode": "FEW",
+                "exclude_column_names": ["doc_id", "text", "n_chars"]},
+            "parameter_builders": [
+                {"name": "vs",
+                 "class_name": "ValueSetMultiBatchParameterBuilder",
+                 "metric_domain_kwargs": "$domain.domain_kwargs"}],
+            "expectation_configuration_builders": [
+                {"expectation_type": "expect_column_values_to_be_in_set",
+                 "column": "$domain.domain_kwargs.column",
+                 "value_set": "$parameter.vs.value"}]}}})
+
+    def r6(x):
+        return float(round_half_up(float(x), 6))
+
+    rows = []
+    for pname in ("mean_range", "q_range"):
+        lo, hi = r1.parameters["ranges"]["value"][pname]["value"]
+        rows.append(("ranges", "value", pname, r6(lo), r6(hi), None))
+    for col in ("lang", "source"):
+        vs = r2.parameters["cats"][col]["vs"]["value"]
+        rows.append(("cats", col, "vs", None, None, [str(v) for v in vs]))
+    return spark.createDataFrame(
+        rows, "rule string, column string, parameter string, "
+              "lo double, hi double, value_set array<string>")
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     def vote(j: int) -> str:
         return (

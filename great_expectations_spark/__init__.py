@@ -28,6 +28,10 @@ from great_expectations_spark.interactive import (
     get_metrics,
 )
 from great_expectations_spark.assistant import chunk_metrics, onboarding_suite
+from great_expectations_spark.rule_profiler import (
+    RuleBasedProfilerResult,
+    run_rule_based_profiler,
+)
 from great_expectations_spark.grouped import validate_by, violations_by
 from great_expectations_spark.validator import SparkValidator, validate
 from great_expectations_spark.context import DataContext, get_context
@@ -60,6 +64,8 @@ __all__ = [
     "validate_by",
     "chunk_metrics",
     "onboarding_suite",
+    "run_rule_based_profiler",
+    "RuleBasedProfilerResult",
     "violations_by",
     "register_regex_expectation",
     "register_set_expectation",

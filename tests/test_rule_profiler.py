@@ -1,0 +1,320 @@
+"""Declarative RuleBasedProfiler config runner (VERDICT r3 task 2):
+reference-shaped configs (domain builders → parameter builders →
+expectation configuration builders with $variables / $domain /
+$parameter refs and conditions) produce suites over one DataFrame."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from great_expectations_spark import validate
+from great_expectations_spark.rule_profiler import run_rule_based_profiler
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def _by_type(result, etype):
+    return [c for c in result.suite.expectations
+            if c.expectation_type == etype]
+
+
+def test_alice_style_config_end_to_end(spark, events):
+    """A config with the alice fixture's shape (verbose class_name /
+    module_name keys left in, $variables, MetricSingleBatch min/max,
+    conditions, date-format inference) runs unchanged."""
+    config = {
+        "name": "alice-ish",
+        "class_name": "RuleBasedProfiler",
+        "config_version": 1.0,
+        "variables": {
+            "very_small_id": -1,
+            "very_large_id": 10_000_000_000,
+            "min_ts": "2020-01-01 00:00:00",
+        },
+        "rules": {
+            "user_id_rule": {
+                "domain_builder": {
+                    "class_name": "ColumnDomainBuilder",
+                    "module_name": "great_expectations.rule_based_profiler.domain_builder",
+                    "include_column_name_suffixes": ["_id"],
+                    "exclude_column_names": ["event_id"],
+                },
+                "parameter_builders": [
+                    {"name": "my_min", "class_name": "MetricSingleBatchParameterBuilder",
+                     "metric_name": "column.min",
+                     "metric_domain_kwargs": "$domain.domain_kwargs"},
+                    {"name": "my_max", "class_name": "MetricSingleBatchParameterBuilder",
+                     "metric_name": "column.max",
+                     "metric_domain_kwargs": "$domain.domain_kwargs"},
+                ],
+                "expectation_configuration_builders": [
+                    {"expectation_type": "expect_column_values_to_not_be_null",
+                     "class_name": "DefaultExpectationConfigurationBuilder",
+                     "column": "$domain.domain_kwargs.column"},
+                    {"expectation_type": "expect_column_values_to_be_between",
+                     "class_name": "DefaultExpectationConfigurationBuilder",
+                     "column": "$domain.domain_kwargs.column",
+                     "min_value": "$variables.very_small_id",
+                     "max_value": "$parameter.my_max.value",
+                     "condition": "$parameter.my_max.value < $variables.very_large_id"
+                                  " & $parameter.my_min.value >= $variables.very_small_id"},
+                ],
+            },
+        },
+    }
+    res = run_rule_based_profiler(events, config)
+    # domain: user_id only (suffix filter + exclusion)
+    assert res.domains["user_id_rule"] == [{"column": "user_id"}]
+    p = res.parameters["user_id_rule"]["user_id"]
+    real_min = events.agg(F.min("user_id")).first()[0]
+    real_max = events.agg(F.max("user_id")).first()[0]
+    assert p["my_min"]["value"] == real_min
+    assert p["my_max"]["value"] == real_max
+    types = [c.expectation_type for c in res.suite.expectations]
+    assert types == ["expect_column_values_to_not_be_null",
+                     "expect_column_values_to_be_between"]
+    between = res.suite.expectations[1]
+    assert between.kwargs["max_value"] == real_max
+    assert between.kwargs["min_value"] == -1
+    # the suite actually validates
+    out = validate(events, res.suite)
+    assert all(r.success for r in out.results)
+
+
+def test_condition_false_skips_expectation(spark, events):
+    config = {
+        "name": "c", "config_version": 1.0,
+        "rules": {"r": {
+            "domain_builder": {"class_name": "ColumnDomainBuilder",
+                               "include_column_names": ["value"]},
+            "parameter_builders": [
+                {"name": "mx", "class_name": "MetricSingleBatchParameterBuilder",
+                 "metric_name": "column.max",
+                 "metric_domain_kwargs": "$domain.domain_kwargs"}],
+            "expectation_configuration_builders": [
+                {"expectation_type": "expect_column_max_to_be_between",
+                 "column": "$domain.domain_kwargs.column",
+                 "max_value": "$parameter.mx.value",
+                 "condition": "$parameter.mx.value < -999999"},
+                {"expectation_type": "expect_column_values_to_not_be_null",
+                 "column": "$domain.domain_kwargs.column",
+                 "condition": "($parameter.mx.value > -999999) | (1 > 2)"},
+            ]}}}
+    res = run_rule_based_profiler(events, config)
+    assert [c.expectation_type for c in res.suite.expectations] == [
+        "expect_column_values_to_not_be_null"]
+
+
+def test_categorical_domain_and_value_set(spark, docs):
+    """CategoricalColumnDomainBuilder picks low-cardinality string
+    columns via ONE fused agg; ValueSetMultiBatch emits their sorted
+    distinct values."""
+    config = {
+        "name": "cats", "config_version": 1.0,
+        "rules": {"cat": {
+            "domain_builder": {
+                "class_name": "CategoricalColumnDomainBuilder",
+                "cardinality_limit_mode": "FEW",
+                "exclude_column_names": ["doc_id", "text", "n_chars"]},
+            "parameter_builders": [
+                {"name": "vs", "class_name": "ValueSetMultiBatchParameterBuilder",
+                 "metric_domain_kwargs": "$domain.domain_kwargs"}],
+            "expectation_configuration_builders": [
+                {"expectation_type": "expect_column_values_to_be_in_set",
+                 "column": "$domain.domain_kwargs.column",
+                 "value_set": "$parameter.vs.value"}]}}}
+    res = run_rule_based_profiler(docs, config)
+    cols = {d["column"] for d in res.domains["cat"]}
+    # lang and source are the low-cardinality string columns
+    assert cols == {"lang", "source"}
+    for cfg in res.suite.expectations:
+        c = cfg.kwargs["column"]
+        truth = sorted(
+            r[0] for r in docs.select(c).distinct().collect()
+            if r[0] is not None)
+        assert cfg.kwargs["value_set"] == truth
+    out = validate(docs, res.suite)
+    assert all(r.success for r in out.results)
+
+
+def test_numeric_range_and_indexing(spark, events):
+    """NumericMetricRangeMultiBatch (pseudo-chunks, exact + quantiles
+    estimators) + $parameter.x.value[0]/[1] indexing (the bobby config's
+    form)."""
+    config = {
+        "name": "ranges", "config_version": 1.0,
+        "variables": {"fpr": 0.2},
+        "rules": {"r": {
+            "domain_builder": {"class_name": "ColumnDomainBuilder",
+                               "include_column_names": ["value"]},
+            "parameter_builders": [
+                {"name": "mean_range",
+                 "class_name": "NumericMetricRangeMultiBatchParameterBuilder",
+                 "metric_name": "column.mean",
+                 "metric_domain_kwargs": "$domain.domain_kwargs",
+                 "estimator": "exact", "n_chunks": 4, "chunk_by": "event_id",
+                 "round_decimals": 6},
+                {"name": "q_range",
+                 "class_name": "NumericMetricRangeMultiBatchParameterBuilder",
+                 "metric_name": "column.mean",
+                 "metric_domain_kwargs": "$domain.domain_kwargs",
+                 "estimator": "quantiles",
+                 "false_positive_rate": "$variables.fpr",
+                 "n_chunks": 4, "chunk_by": "event_id"}],
+            "expectation_configuration_builders": [
+                {"expectation_type": "expect_column_mean_to_be_between",
+                 "column": "$domain.domain_kwargs.column",
+                 "min_value": "$parameter.mean_range.value[0]",
+                 "max_value": "$parameter.mean_range.value[1]",
+                 "meta": {"profiler_details": "$parameter.mean_range.details"}}]}}}
+    res = run_rule_based_profiler(events, config)
+    p = res.parameters["r"]["value"]
+    lo, hi = p["mean_range"]["value"]
+    # exact estimator == min/max of the per-chunk means
+    from great_expectations_spark.pipeline.dedup import _md5_int
+
+    chunks = (events.groupBy(
+        F.pmod(_md5_int(F.col("event_id").cast("string")), F.lit(4))
+        .alias("c")).agg(F.avg("value").alias("m")).collect())
+    means = [r["m"] for r in chunks]
+    assert lo == round(min(means), 6) and hi == round(max(means), 6)
+    qlo, qhi = p["q_range"]["value"]
+    assert min(means) <= qlo <= qhi <= max(means)
+    cfg = res.suite.expectations[0]
+    assert cfg.kwargs["min_value"] == lo and cfg.kwargs["max_value"] == hi
+    assert cfg.meta["profiler_details"]["estimator"] == "exact"
+    assert validate(events, res.suite).results[0].success
+
+
+def test_date_format_builder(spark):
+    df = spark.createDataFrame(
+        [(i, f"2024-0{1 + i % 9}-1{i % 10}") for i in range(40)],
+        "i int, day string")
+    config = {
+        "name": "dates", "config_version": 1.0,
+        "rules": {"d": {
+            "domain_builder": {"class_name": "ColumnDomainBuilder",
+                               "include_column_names": ["day"]},
+            "parameter_builders": [
+                {"name": "fmt",
+                 "class_name": "SimpleDateFormatStringParameterBuilder",
+                 "metric_domain_kwargs": "$domain.domain_kwargs"}],
+            "expectation_configuration_builders": [
+                {"expectation_type": "expect_column_values_to_match_strftime_format",
+                 "column": "$domain.domain_kwargs.column",
+                 "strftime_format": "$parameter.fmt.value",
+                 "meta": {"profiler_details": "$parameter.fmt.details"}}]}}}
+    res = run_rule_based_profiler(df, config)
+    cfg = res.suite.expectations[0]
+    assert cfg.kwargs["strftime_format"] == "%Y-%m-%d"
+    assert cfg.meta["profiler_details"]["success_ratio"] == 1.0
+    assert validate(df, res.suite).results[0].success
+
+
+def test_map_metric_domain_and_table_builder(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None), (3, None, None)],
+        "i int, mostly_full string, all_null string")
+    config = {
+        "name": "mm", "config_version": 1.0,
+        "rules": {
+            "nonnull_cols": {
+                "domain_builder": {
+                    "class_name": "MapMetricColumnDomainBuilder",
+                    "map_metric_name": "column_values.nonnull",
+                    "max_unexpected_ratio": 0.5},
+                "expectation_configuration_builders": [
+                    {"expectation_type": "expect_column_values_to_not_be_null",
+                     "column": "$domain.domain_kwargs.column",
+                     "mostly": 0.5}]},
+            "table": {
+                "domain_builder": {"class_name": "TableDomainBuilder"},
+                "parameter_builders": [
+                    {"name": "n", "class_name": "MetricSingleBatchParameterBuilder",
+                     "metric_name": "table.row_count",
+                     "metric_domain_kwargs": {}}],
+                "expectation_configuration_builders": [
+                    {"expectation_type": "expect_table_row_count_to_equal",
+                     "value": "$parameter.n.value"}]},
+        }}
+    res = run_rule_based_profiler(df, config)
+    nn_cols = {d["column"] for d in res.domains["nonnull_cols"]}
+    assert nn_cols == {"i", "mostly_full"}  # all_null: ratio 1.0 > 0.5
+    table_cfg = _by_type(res, "expect_table_row_count_to_equal")[0]
+    assert table_cfg.kwargs["value"] == 3
+    assert all(r.success for r in validate(df, res.suite).results)
+
+
+def test_unknown_classes_raise(spark, events):
+    with pytest.raises(ValueError, match="domain_builder"):
+        run_rule_based_profiler(events, {
+            "name": "x", "config_version": 1.0,
+            "rules": {"r": {"domain_builder":
+                            {"class_name": "MyCustomDomainBuilder"}}}})
+    with pytest.raises(ValueError, match="parameter_builder"):
+        run_rule_based_profiler(events, {
+            "name": "x", "config_version": 1.0,
+            "rules": {"r": {
+                "domain_builder": {"class_name": "TableDomainBuilder"},
+                "parameter_builders": [
+                    {"name": "p", "class_name": "MyCustomParameterBuilder"}]}}})
+
+
+def test_variables_override_and_multi_metric_fusion(spark, events,
+                                                   monkeypatch):
+    """run(variables=...) overrides config variables; ALL single-batch
+    metric requests across rules and domains ride ONE df.agg job."""
+    import great_expectations_spark.interactive as imod
+
+    agg_calls = []
+    orig = imod.get_metrics
+
+    def spy(df, requests, options=None):
+        agg_calls.append(len(requests))
+        return orig(df, requests, options)
+
+    # _resolve_parameters does `from ...interactive import get_metrics` at
+    # call time, so patching the module attribute intercepts it
+    monkeypatch.setattr(imod, "get_metrics", spy)
+
+    config = {
+        "name": "v", "config_version": 1.0,
+        "variables": {"lo": 0},
+        "rules": {
+            "a": {"domain_builder": {"class_name": "ColumnDomainBuilder",
+                                     "include_column_names": ["value"]},
+                  "parameter_builders": [
+                      {"name": "mn", "class_name": "MetricSingleBatchParameterBuilder",
+                       "metric_name": "column.min",
+                       "metric_domain_kwargs": "$domain.domain_kwargs"}],
+                  "expectation_configuration_builders": [
+                      {"expectation_type": "expect_column_min_to_be_between",
+                       "column": "$domain.domain_kwargs.column",
+                       "min_value": "$variables.lo"}]},
+            "b": {"domain_builder": {"class_name": "ColumnDomainBuilder",
+                                     "include_column_names": ["user_id", "event_id"]},
+                  "parameter_builders": [
+                      {"name": "mx", "class_name": "MetricSingleBatchParameterBuilder",
+                       "metric_name": "column.max",
+                       "metric_domain_kwargs": "$domain.domain_kwargs"}],
+                  "expectation_configuration_builders": [
+                      {"expectation_type": "expect_column_max_to_be_between",
+                       "max_value": "$parameter.mx.value",
+                       "column": "$domain.domain_kwargs.column"}]},
+        }}
+    res = run_rule_based_profiler(events, config, variables={"lo": -123})
+    assert agg_calls == [3]  # one get_metrics call carrying all 3 requests
+    assert res.suite.expectations[0].kwargs["min_value"] == -123
