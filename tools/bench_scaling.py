@@ -96,9 +96,13 @@ def _session(label: str):
     # not the 32 host vCPUs — otherwise 8 executors spawn ~200 service
     # threads and the 4N cluster loses to the N cluster on this one box
     exec_opts = f"-XX:ActiveProcessorCount={MASTERS['N'][0].split(',')[1]}"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     return get_spark(cores=master, app=f"scaling-{label}",
                      shuffle_partitions=cores * 2,
                      extra_conf={"spark.executor.extraJavaOptions": exec_opts,
+                                 # executor python workers must import the
+                                 # package (Arrow UDF memo in bpe_encode)
+                                 "spark.executorEnv.PYTHONPATH": repo,
                                  # local-cluster's [n,cores,mem] only sizes
                                  # the worker SLOT; the executor JVM heap is
                                  # spark.executor.memory (default 1g) and
@@ -356,6 +360,173 @@ def _recipe_run(label: str) -> dict:
             "rows_per_sec": round(n_in / best, 2)}
 
 
+BM25_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_BM25_ROWS", 1_500_000))
+
+
+def _bm25_run(label: str) -> dict:
+    """BM25 retrieval scaling (round-4: never previously through the
+    harness): index (tokenize + explode + map-combinable groupBy) and
+    search (broadcast query-vocab semi-join, hits-only shuffles, salted
+    two-phase top-k) over a deterministic webpage sample. The postings
+    groupBy and the hits shuffle are what must track executor count.
+    16 queries drawn from the synthetic w<id> vocabulary hit ~1%-of-docs
+    tokens each, so the candidate sets are corpus-fraction-sized (the
+    salted top-k's reason to exist). Rows/s is docs/s. Caches are scope-
+    swept per rep so reps don't compound storage."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.pipeline._lineage import scoped_fused_caches
+    from great_expectations_spark.pipeline.retrieval import bm25_search
+
+    spark, cores = _session(label)
+    k = max(1, N_ROWS // BM25_ROWS)
+    docs = (spark.read.parquet(DATA_DIR)
+            .where(F.pmod(F.xxhash64("url"), F.lit(k)) == 0)
+            .select(F.xxhash64("url", "warc_ts").alias("id"), "text"))
+    n_in = docs.count()  # warms page cache
+    queries = spark.createDataFrame(
+        [(q, " ".join(f"w{(q * 977 + j * 131) % 5000}" for j in range(4)))
+         for q in range(16)],
+        "query_id int, text string")
+
+    best = float("inf")
+    for _ in range(2):
+        with scoped_fused_caches() as frames:
+            t0 = time.time()
+            n = bm25_search(docs, queries, "id", "text", top_k=10).count()
+            best = min(best, time.time() - t0)
+        for f in frames:
+            f.unpersist()
+        assert n > 0
+    spark.stop()
+    return {"label": label, "master": MASTERS[label][0], "cores": cores,
+            "rows": n_in, "best_sec": round(best, 4),
+            "rows_per_sec": round(n_in / best, 2)}
+
+
+PR_EDGES = int(os.environ.get("SPARK_GRAFT_SCALING_PR_EDGES", 30_000_000))
+PR_HOSTS = int(os.environ.get("SPARK_GRAFT_SCALING_PR_HOSTS", 100_000))
+PR_DATA_DIR = f"/tmp/ges_scaling_pr_{PR_EDGES}"
+
+
+def _pr_gen() -> None:
+    """Materialize a power-law host graph ONCE: src uniform over hosts,
+    dst log-uniform (Zipf-1-ish in-degree — host 0 is the hub), the
+    in-degree skew real crawl host graphs have."""
+    if os.path.exists(os.path.join(PR_DATA_DIR, "_SUCCESS")):
+        return
+    from great_expectations_spark.sources.session import get_spark
+    from pyspark.sql import functions as F
+    import math
+
+    spark = get_spark(cores=32, app="scaling-pr-gen")
+    h = lambda s: F.abs(F.xxhash64("id", F.lit(s)))
+    ln_h = math.log(PR_HOSTS)
+    (
+        spark.range(0, PR_EDGES, 1, 256)
+        .select(
+            (h(1) % PR_HOSTS).alias("src"),
+            F.floor(F.exp((h(2) % 1_000_000) / 1_000_000.0 * ln_h))
+            .cast("long").alias("dst"))
+        .write.mode("overwrite").parquet(PR_DATA_DIR)
+    )
+    spark.stop()
+
+
+def _pagerank_run(label: str) -> dict:
+    """PageRank scaling (round-4): 3 iterations over the power-law host
+    graph. The degree-annotated edge list persists once; the
+    per-iteration exchange is the rank side plus one map-combinable
+    contribution groupBy — in-degree skew (hub host 0) is absorbed by
+    partial aggregation, which is what must keep this tracking executor
+    count. Rows/s is edges/s (edges × iterations is the real work)."""
+    from great_expectations_spark.pipeline.graph import pagerank
+
+    spark, cores = _session(label)
+    edges = spark.read.parquet(PR_DATA_DIR)
+    n_edges = edges.count()  # warms page cache
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        s = pagerank(edges, "src", "dst", iterations=3).agg(
+            {"rank": "sum"}).first()[0]
+        best = min(best, time.time() - t0)
+        assert abs(s - 1.0) < 1e-6  # ranks sum to 1
+    spark.stop()
+    return {"label": label, "master": MASTERS[label][0], "cores": cores,
+            "rows": n_edges, "best_sec": round(best, 4),
+            "rows_per_sec": round(n_edges / best, 2)}
+
+
+BPE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_BPE_ROWS", 1_000_000))
+BPE_MERGES = int(os.environ.get("SPARK_GRAFT_SCALING_BPE_MERGES", 256))
+
+
+def _bpe_run(label: str) -> dict:
+    """BPE scaling (round-4): full train + encode — ONE piece-dict scan
+    (regexp pre-tokenize + explode + groupBy), the driver-bound heap
+    trainer over the bounded dict, then the Arrow rank-order encode of
+    every document (row-local, zero exchanges). The piece scan and the
+    encode pass are the distributed work that must track executor count;
+    the driver merge loop is a fixed cost that amortizes with corpus
+    size. Rows/s is docs/s."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.pipeline.bpe import bpe_encode, train_bpe
+
+    spark, cores = _session(label)
+    k = max(1, N_ROWS // BPE_ROWS)
+    docs = (spark.read.parquet(DATA_DIR)
+            .where(F.pmod(F.xxhash64("url"), F.lit(k)) == 0)
+            .select(F.xxhash64("url", "warc_ts").alias("id"), "text"))
+    n_in = docs.count()  # warms page cache
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        merges = train_bpe(docs, "id", "text", num_merges=BPE_MERGES,
+                           max_pieces=50_000)
+        n = bpe_encode(docs, merges, "id", "text").where(
+            "n_bpe IS NOT NULL").count()
+        best = min(best, time.time() - t0)
+        assert n > 0
+    spark.stop()
+    return {"label": label, "master": MASTERS[label][0], "cores": cores,
+            "rows": n_in, "best_sec": round(best, 4),
+            "rows_per_sec": round(n_in / best, 2)}
+
+
+SUBSTR_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_SUBSTR_ROWS", 200_000))
+
+
+def _substring_run(label: str) -> dict:
+    """ExactSubstr token-span dedup scaling (round-4; sf1 evidence for
+    throughput lives in bench_results/sf1_stress_r3.json — this measures
+    how the plan SCALES): the ONE linear (window-key, id, idx) shuffle +
+    min-struct keeper election + HOF span removal over a webpage sample.
+    The window-key exchange volume (tokens × ~window rows per doc) is
+    what must track executor count. Rows/s is docs/s."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.pipeline.substring import dedup_substrings
+
+    spark, cores = _session(label)
+    k = max(1, N_ROWS // SUBSTR_ROWS)
+    docs = (spark.read.parquet(DATA_DIR)
+            .where(F.pmod(F.xxhash64("url"), F.lit(k)) == 0)
+            .select(F.xxhash64("url", "warc_ts").alias("id"), "text"))
+    n_in = docs.count()  # warms page cache
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        n = dedup_substrings(docs, "id", "text", window=8).count()
+        best = min(best, time.time() - t0)
+        assert n == n_in  # rows pass through, spans are cut in place
+    spark.stop()
+    return {"label": label, "master": MASTERS[label][0], "cores": cores,
+            "rows": n_in, "best_sec": round(best, 4),
+            "rows_per_sec": round(n_in / best, 2)}
+
+
 def _calib_run(label: str) -> dict:
     """Host scaling ceiling: embarrassingly-parallel codegen aggregation."""
     from pyspark.sql import functions as F
@@ -439,6 +610,21 @@ def main() -> None:
         kinds += ("recipe",)
     if os.environ.get("SPARK_GRAFT_SCALING_SHUFFLE"):
         kinds += ("shuffle",)
+    if os.environ.get("SPARK_GRAFT_SCALING_BM25"):
+        kinds += ("bm25",)
+    if os.environ.get("SPARK_GRAFT_SCALING_PAGERANK"):
+        _pr_gen()
+        kinds += ("pagerank",)
+    if os.environ.get("SPARK_GRAFT_SCALING_BPE"):
+        kinds += ("bpe",)
+    if os.environ.get("SPARK_GRAFT_SCALING_SUBSTR"):
+        kinds += ("substring",)
+    # the operator samples slice DATA_DIR, so it must exist even with the
+    # engine suite itself skipped
+    if skip_engine and any(k in kinds for k in ("bm25", "bpe", "substring",
+                                                "mono", "grouped", "para",
+                                                "recipe")):
+        _gen_data()
     best: dict = {}
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", 3))
     for _round in range(rounds):  # alternating rounds damp host noise
@@ -506,6 +692,13 @@ def main() -> None:
         report["shuffle_ceiling_4N"] = s_4n
         report["shuffle_ceiling_efficiency"] = round(
             s_4n["rows_per_sec"] / (4 * s_n["rows_per_sec"]), 4)
+    for kind in ("bm25", "pagerank", "bpe", "substring"):
+        if (kind, "N") in best:
+            k_n, k_4n = best[(kind, "N")], best[(kind, "4N")]
+            report[f"{kind}_N"] = k_n
+            report[f"{kind}_4N"] = k_4n
+            report[f"{kind}_scaling_efficiency"] = round(
+                k_4n["rows_per_sec"] / (4 * k_n["rows_per_sec"]), 4)
     print(json.dumps(report, indent=2))
 
 
@@ -514,7 +707,9 @@ if __name__ == "__main__":
         fn = {"engine": _engine_run, "mono": _mono_run,
               "grouped": _grouped_run, "cc": _cc_run, "para": _para_run,
               "recipe": _recipe_run, "calib": _calib_run,
-              "shuffle": _shufcalib_run}[sys.argv[3]]
+              "shuffle": _shufcalib_run, "bm25": _bm25_run,
+              "pagerank": _pagerank_run, "bpe": _bpe_run,
+              "substring": _substring_run}[sys.argv[3]]
         print(json.dumps(fn(sys.argv[2])))
     else:
         main()
