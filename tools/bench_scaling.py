@@ -360,7 +360,31 @@ def _recipe_run(label: str) -> dict:
             "rows_per_sec": round(n_in / best, 2)}
 
 
-BM25_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_BM25_ROWS", 1_500_000))
+def _doc_sample_dir(rows: int) -> str:
+    return f"/tmp/ges_scaling_docsample_{N_ROWS}_{rows}"
+
+
+def _doc_sample_gen(rows: int) -> None:
+    """Materialize a deterministic (id, text) sample of DATA_DIR ONCE per
+    size: the operator workloads must time the OPERATOR, not a re-scan of
+    the 192M-row source per rep (the pmod filter reads every row)."""
+    out = _doc_sample_dir(rows)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return
+    from great_expectations_spark.sources.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(cores=32, app="scaling-docsample-gen")
+    k = max(1, N_ROWS // rows)
+    (spark.read.parquet(DATA_DIR)
+     .where(F.pmod(F.xxhash64("url"), F.lit(k)) == 0)
+     .select(F.xxhash64("url", "warc_ts").alias("id"), "text")
+     .repartition(64)
+     .write.mode("overwrite").parquet(out))
+    spark.stop()
+
+
+BM25_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_BM25_ROWS", 1_200_000))
 
 
 def _bm25_run(label: str) -> dict:
@@ -379,10 +403,7 @@ def _bm25_run(label: str) -> dict:
     from great_expectations_spark.pipeline.retrieval import bm25_search
 
     spark, cores = _session(label)
-    k = max(1, N_ROWS // BM25_ROWS)
-    docs = (spark.read.parquet(DATA_DIR)
-            .where(F.pmod(F.xxhash64("url"), F.lit(k)) == 0)
-            .select(F.xxhash64("url", "warc_ts").alias("id"), "text"))
+    docs = spark.read.parquet(_doc_sample_dir(BM25_ROWS))
     n_in = docs.count()  # warms page cache
     queries = spark.createDataFrame(
         [(q, " ".join(f"w{(q * 977 + j * 131) % 5000}" for j in range(4)))
@@ -404,7 +425,7 @@ def _bm25_run(label: str) -> dict:
             "rows_per_sec": round(n_in / best, 2)}
 
 
-PR_EDGES = int(os.environ.get("SPARK_GRAFT_SCALING_PR_EDGES", 30_000_000))
+PR_EDGES = int(os.environ.get("SPARK_GRAFT_SCALING_PR_EDGES", 12_000_000))
 PR_HOSTS = int(os.environ.get("SPARK_GRAFT_SCALING_PR_HOSTS", 100_000))
 PR_DATA_DIR = f"/tmp/ges_scaling_pr_{PR_EDGES}"
 
@@ -458,7 +479,7 @@ def _pagerank_run(label: str) -> dict:
             "rows_per_sec": round(n_edges / best, 2)}
 
 
-BPE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_BPE_ROWS", 1_000_000))
+BPE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_BPE_ROWS", 2_000_000))
 BPE_MERGES = int(os.environ.get("SPARK_GRAFT_SCALING_BPE_MERGES", 256))
 
 
@@ -475,10 +496,7 @@ def _bpe_run(label: str) -> dict:
     from great_expectations_spark.pipeline.bpe import bpe_encode, train_bpe
 
     spark, cores = _session(label)
-    k = max(1, N_ROWS // BPE_ROWS)
-    docs = (spark.read.parquet(DATA_DIR)
-            .where(F.pmod(F.xxhash64("url"), F.lit(k)) == 0)
-            .select(F.xxhash64("url", "warc_ts").alias("id"), "text"))
+    docs = spark.read.parquet(_doc_sample_dir(BPE_ROWS))
     n_in = docs.count()  # warms page cache
     best = float("inf")
     for _ in range(2):
@@ -495,7 +513,7 @@ def _bpe_run(label: str) -> dict:
             "rows_per_sec": round(n_in / best, 2)}
 
 
-SUBSTR_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_SUBSTR_ROWS", 200_000))
+SUBSTR_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_SUBSTR_ROWS", 400_000))
 
 
 def _substring_run(label: str) -> dict:
@@ -510,10 +528,7 @@ def _substring_run(label: str) -> dict:
     from great_expectations_spark.pipeline.substring import dedup_substrings
 
     spark, cores = _session(label)
-    k = max(1, N_ROWS // SUBSTR_ROWS)
-    docs = (spark.read.parquet(DATA_DIR)
-            .where(F.pmod(F.xxhash64("url"), F.lit(k)) == 0)
-            .select(F.xxhash64("url", "warc_ts").alias("id"), "text"))
+    docs = spark.read.parquet(_doc_sample_dir(SUBSTR_ROWS))
     n_in = docs.count()  # warms page cache
     best = float("inf")
     for _ in range(2):
@@ -611,13 +626,16 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALING_SHUFFLE"):
         kinds += ("shuffle",)
     if os.environ.get("SPARK_GRAFT_SCALING_BM25"):
+        _doc_sample_gen(BM25_ROWS)
         kinds += ("bm25",)
     if os.environ.get("SPARK_GRAFT_SCALING_PAGERANK"):
         _pr_gen()
         kinds += ("pagerank",)
     if os.environ.get("SPARK_GRAFT_SCALING_BPE"):
+        _doc_sample_gen(BPE_ROWS)
         kinds += ("bpe",)
     if os.environ.get("SPARK_GRAFT_SCALING_SUBSTR"):
+        _doc_sample_gen(SUBSTR_ROWS)
         kinds += ("substring",)
     # the operator samples slice DATA_DIR, so it must exist even with the
     # engine suite itself skipped
