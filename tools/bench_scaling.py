@@ -384,7 +384,7 @@ def _doc_sample_gen(rows: int) -> None:
     spark.stop()
 
 
-BM25_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_BM25_ROWS", 1_200_000))
+BM25_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_BM25_ROWS", 4_800_000))
 
 
 def _bm25_run(label: str) -> dict:
@@ -425,7 +425,7 @@ def _bm25_run(label: str) -> dict:
             "rows_per_sec": round(n_in / best, 2)}
 
 
-PR_EDGES = int(os.environ.get("SPARK_GRAFT_SCALING_PR_EDGES", 12_000_000))
+PR_EDGES = int(os.environ.get("SPARK_GRAFT_SCALING_PR_EDGES", 48_000_000))
 PR_HOSTS = int(os.environ.get("SPARK_GRAFT_SCALING_PR_HOSTS", 100_000))
 PR_DATA_DIR = f"/tmp/ges_scaling_pr_{PR_EDGES}"
 
