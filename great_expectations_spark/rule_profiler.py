@@ -212,7 +212,10 @@ def _resolve_domains(
                     d = row[f"__d__{c}"] or 0
                     ok = (d <= limit) if kind == "abs" else (
                         n > 0 and d / n <= limit)
-                    if ok and d > 0:
+                    # d == 0 (all-null column) only qualifies under a
+                    # zero limit (mode ZERO / REL_0) — any other mode
+                    # would emit degenerate empty-value-set expectations
+                    if ok and (d > 0 or limit == 0):
                         keep.append(c)
                 return keep
 
@@ -505,18 +508,23 @@ def _resolve_parameters(
     fmt_plans: dict[tuple[str, tuple], set[str]] = {}
     fmt_sinks: list[tuple[tuple[str, _Domain], str, str, tuple, str, float]] = []
 
-    def domain_kwargs_for(pb: dict, domain: _Domain) -> dict:
+    def domain_kwargs_for(pb: dict, domain: _Domain,
+                          rule_vars: dict) -> dict:
         mk = pb.get("metric_domain_kwargs", "$domain.domain_kwargs")
-        resolved = _substitute(mk, variables, domain, {}) if mk else {}
+        resolved = _substitute(mk, rule_vars, domain, {}) if mk else {}
         if not isinstance(resolved, dict):
             raise ValueError(
                 f"metric_domain_kwargs must resolve to a dict, got {resolved!r}")
         return resolved
 
     for rname, rule in rules.items():
+        # rule-level variables shadow config-level ones for THIS rule's
+        # parameter builders, matching the expectation-building phase
+        # (reference Rule(variables=...))
+        rule_vars = {**variables, **(rule.get("variables") or {})}
         for domain in domains.get(rname, []):
             for pb in rule.get("parameter_builders", []) or []:
-                pb = {k: _substitute(v, variables, domain, {})
+                pb = {k: _substitute(v, rule_vars, domain, {})
                       if isinstance(v, str) and v.startswith("$variables")
                       else v for k, v in pb.items()}
                 name = pb.get("name")
@@ -527,14 +535,14 @@ def _resolve_parameters(
                 key = (rname, domain)
                 if cls in ("MetricSingleBatchParameterBuilder",
                            "MetricMultiBatchParameterBuilder"):
-                    dk = domain_kwargs_for(pb, domain)
+                    dk = domain_kwargs_for(pb, domain, rule_vars)
                     vk = pb.get("metric_value_kwargs") or {}
                     metric = pb["metric_name"]
                     alias = f"m{len(metric_requests)}"
                     metric_requests[alias] = (metric, {**dk, **vk})
                     metric_sinks.append((key, name, alias, cls))
                 elif cls == "NumericMetricRangeMultiBatchParameterBuilder":
-                    dk = domain_kwargs_for(pb, domain)
+                    dk = domain_kwargs_for(pb, domain, rule_vars)
                     metric = pb["metric_name"]
                     n_chunks = int(pb.get("n_chunks", 8))
                     chunk_by = pb.get("chunk_by") or dk.get("column") \
@@ -555,7 +563,7 @@ def _resolve_parameters(
                         "chunk_by": chunk_by,
                     }))
                 elif cls == "SimpleDateFormatStringParameterBuilder":
-                    dk = domain_kwargs_for(pb, domain)
+                    dk = domain_kwargs_for(pb, domain, rule_vars)
                     cands = tuple(pb.get("candidate_strings")
                                   or CANDIDATE_STRFTIME)
                     thr = float(pb.get("threshold", 1.0))
@@ -564,7 +572,7 @@ def _resolve_parameters(
                     fmt_sinks.append(
                         (key, name, "strftime", cands, dk["column"], thr))
                 elif cls == "RegexPatternStringParameterBuilder":
-                    dk = domain_kwargs_for(pb, domain)
+                    dk = domain_kwargs_for(pb, domain, rule_vars)
                     cands = tuple(pb.get("candidate_regexes")
                                   or CANDIDATE_REGEXES)
                     thr = float(pb.get("threshold", 1.0))
@@ -573,19 +581,19 @@ def _resolve_parameters(
                     fmt_sinks.append(
                         (key, name, "regex", cands, dk["column"], thr))
                 elif cls == "ValueSetMultiBatchParameterBuilder":
-                    dk = domain_kwargs_for(pb, domain)
+                    dk = domain_kwargs_for(pb, domain, rule_vars)
                     alias = f"m{len(metric_requests)}"
                     metric_requests[alias] = (
                         "column.distinct_values", {"column": dk["column"]})
                     metric_sinks.append((key, name, alias, cls))
                 elif cls == "ValueCountsSingleBatchParameterBuilder":
-                    dk = domain_kwargs_for(pb, domain)
+                    dk = domain_kwargs_for(pb, domain, rule_vars)
                     alias = f"m{len(metric_requests)}"
                     metric_requests[alias] = (
                         "column.value_counts", {"column": dk["column"]})
                     metric_sinks.append((key, name, alias, cls))
                 elif cls == "HistogramSingleBatchParameterBuilder":
-                    dk = domain_kwargs_for(pb, domain)
+                    dk = domain_kwargs_for(pb, domain, rule_vars)
                     vk = pb.get("metric_value_kwargs") or {}
                     if "bins" in pb:
                         vk.setdefault("bins", pb["bins"])
@@ -756,6 +764,14 @@ def run_rule_based_profiler(
                 if cls != "DefaultExpectationConfigurationBuilder":
                     raise ValueError(
                         f"unknown expectation_configuration_builder {cls!r}")
+                if ecb.get("validation_parameter_builder_configs"):
+                    # nested per-builder parameter configs would silently
+                    # leak into expectation kwargs — refuse loudly; hoist
+                    # them into the rule's parameter_builders instead
+                    raise ValueError(
+                        "validation_parameter_builder_configs are not "
+                        "supported — declare the builder under the rule's "
+                        "parameter_builders and reference it by $parameter")
                 etype = ecb["expectation_type"]
                 cond = ecb.get("condition")
                 if cond is not None and not _eval_condition(

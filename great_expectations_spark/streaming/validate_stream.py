@@ -28,7 +28,11 @@ def _batch_already_written(spark, results_path: str, run_id: str,
     try:
         existing = spark.read.parquet(results_path)
     except AnalysisException as e:
-        if any(m in str(e) for m in ("PATH_NOT_FOUND", "Path does not exist")):
+        # UNABLE_TO_INFER_SCHEMA = the directory exists but holds no
+        # committed parquet footer (a write died before its commit):
+        # no rows are visible, so writing IS the first write
+        if any(m in str(e) for m in ("PATH_NOT_FOUND", "Path does not exist",
+                                     "UNABLE_TO_INFER_SCHEMA")):
             return False
         raise
     return bool(

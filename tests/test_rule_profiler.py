@@ -273,6 +273,72 @@ def test_unknown_classes_raise(spark, events):
                     {"name": "p", "class_name": "MyCustomParameterBuilder"}]}}})
 
 
+def test_rule_level_variables_reach_parameter_builders(spark, events):
+    """Per-rule variables shadow config-level ones for that rule's
+    parameter builders too (reference Rule(variables=...)), not just the
+    expectation phase."""
+    config = {
+        "name": "rv", "config_version": 1.0,
+        "variables": {"fpr": 0.5},
+        "rules": {"r": {
+            "variables": {"fpr": 0.2},
+            "domain_builder": {"class_name": "ColumnDomainBuilder",
+                               "include_column_names": ["value"]},
+            "parameter_builders": [
+                {"name": "q", "class_name":
+                     "NumericMetricRangeMultiBatchParameterBuilder",
+                 "metric_name": "column.mean",
+                 "metric_domain_kwargs": "$domain.domain_kwargs",
+                 "estimator": "quantiles",
+                 "false_positive_rate": "$variables.fpr",
+                 "n_chunks": 4, "chunk_by": "event_id"}],
+            "expectation_configuration_builders": []}}}
+    res = run_rule_based_profiler(events, config)
+    lo, hi = res.parameters["r"]["value"]["q"]["value"]
+    # fpr 0.2 => quantiles at 0.1/0.9 over 4 chunk means — compare against
+    # a config-level fpr 0.2 run (no rule override) for identity
+    config2 = {**config, "variables": {"fpr": 0.2},
+               "rules": {"r": {**config["rules"]["r"], "variables": None}}}
+    res2 = run_rule_based_profiler(events, config2)
+    assert (lo, hi) == tuple(res2.parameters["r"]["value"]["q"]["value"])
+    # and it differs from what config-level fpr 0.5 would give
+    config3 = {**config, "rules": {"r": {**config["rules"]["r"],
+                                         "variables": None}}}
+    res3 = run_rule_based_profiler(events, config3)
+    assert (lo, hi) != tuple(res3.parameters["r"]["value"]["q"]["value"])
+
+
+def test_cardinality_zero_mode_matches_all_null_columns(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "i int, empty string")
+    config = {
+        "name": "z", "config_version": 1.0,
+        "rules": {"z": {
+            "domain_builder": {
+                "class_name": "CategoricalColumnDomainBuilder",
+                "cardinality_limit_mode": "ZERO",
+                "include_column_names": ["empty", "i"]},
+            "expectation_configuration_builders": [
+                {"expectation_type": "expect_column_values_to_be_null",
+                 "column": "$domain.domain_kwargs.column"}]}}}
+    res = run_rule_based_profiler(df, config)
+    assert [d["column"] for d in res.domains["z"]] == ["empty"]
+    assert validate(df, res.suite).results[0].success
+
+
+def test_nested_builder_configs_rejected(spark, events):
+    config = {
+        "name": "n", "config_version": 1.0,
+        "rules": {"r": {
+            "domain_builder": {"class_name": "TableDomainBuilder"},
+            "expectation_configuration_builders": [
+                {"expectation_type": "expect_table_row_count_to_be_between",
+                 "min_value": 1,
+                 "validation_parameter_builder_configs": [{"name": "x"}]}]}}}
+    with pytest.raises(ValueError, match="validation_parameter_builder"):
+        run_rule_based_profiler(events, config)
+
+
 def test_variables_override_and_multi_metric_fusion(spark, events,
                                                    monkeypatch):
     """run(variables=...) overrides config variables; ALL single-batch
