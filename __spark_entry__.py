@@ -1148,21 +1148,21 @@ WITH chunks AS (
 arr AS (SELECT list(m ORDER BY m) AS a FROM chunks)
 SELECT 'ranges' AS rule, 'value' AS "column", 'mean_range' AS parameter,
        round(a[1], 6) AS lo, round(a[4], 6) AS hi,
-       NULL::VARCHAR[] AS value_set
+       NULL::VARCHAR AS value_set
 FROM arr
 UNION ALL
 SELECT 'ranges', 'value', 'q_range',
        round(a[1] + 0.3 * (a[2] - a[1]), 6),
        round(a[3] + 0.7 * (a[4] - a[3]), 6),
-       NULL::VARCHAR[]
+       NULL::VARCHAR
 FROM arr
 UNION ALL
 SELECT 'cats', 'lang', 'vs', NULL::DOUBLE, NULL::DOUBLE,
-       list(DISTINCT lang ORDER BY lang)
+       array_to_string(list(DISTINCT lang ORDER BY lang), '|')
 FROM documents WHERE lang IS NOT NULL
 UNION ALL
 SELECT 'cats', 'source', 'vs', NULL::DOUBLE, NULL::DOUBLE,
-       list(DISTINCT source ORDER BY source)
+       array_to_string(list(DISTINCT source ORDER BY source), '|')
 FROM documents WHERE source IS NOT NULL
 """)
 def _rbp1(spark, sf):
@@ -1226,10 +1226,11 @@ def _rbp1(spark, sf):
         rows.append(("ranges", "value", pname, r6(lo), r6(hi), None))
     for col in ("lang", "source"):
         vs = r2.parameters["cats"][col]["vs"]["value"]
-        rows.append(("cats", col, "vs", None, None, [str(v) for v in vs]))
+        rows.append(("cats", col, "vs", None, None,
+                     "|".join(str(v) for v in vs)))
     return spark.createDataFrame(
         rows, "rule string, column string, parameter string, "
-              "lo double, hi double, value_set array<string>")
+              "lo double, hi double, value_set string")
 
 
 def _simhash_oracle(bits: int = 16) -> str:

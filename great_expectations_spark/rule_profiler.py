@@ -203,15 +203,22 @@ def _resolve_domains(
             for c in cand:
                 fused_aggs.setdefault(
                     f"__d__{c}", F.count_distinct(F.col(c)).alias(f"__d__{c}"))
+                # relative modes divide by the NON-NULL count — the
+                # reference's RelativeCardinalityLimit compares
+                # column.unique_proportion = distinct / nonnull
+                # (column_proportion_of_unique_values.py), not distinct /
+                # total rows; a 90%-null all-distinct column must read 1.0
+                fused_aggs.setdefault(
+                    f"__nn__{c}", F.count(F.col(c)).alias(f"__nn__{c}"))
 
             def decide_cat(row, cand=cand, mode=mode):
                 kind, limit = _CARDINALITY_MODES[mode]
-                n = row["__n__"] or 0
                 keep = []
                 for c in cand:
                     d = row[f"__d__{c}"] or 0
+                    nn = row[f"__nn__{c}"] or 0
                     ok = (d <= limit) if kind == "abs" else (
-                        n > 0 and d / n <= limit)
+                        (d / nn if nn > 0 else 0.0) <= limit)
                     # d == 0 (all-null column) only qualifies under a
                     # zero limit (mode ZERO / REL_0) — any other mode
                     # would emit degenerate empty-value-set expectations
@@ -350,8 +357,10 @@ def _eval_condition(cond: str, variables: dict, domain: _Domain,
     """The DefaultExpectationConfigurationBuilder ``condition`` grammar
     (default_expectation_configuration_builder.py:42-86, pyparsing there):
     comparisons over $refs and literals, joined by ``&`` / ``|`` with
-    parentheses; precedence ``&`` over ``|``. NULL operands make the
-    comparison False (SQL-like), never an exception."""
+    parentheses. The reference's infixNotation puts ``&`` and ``|`` in ONE
+    left-associative level, so ``a | b & c`` parses as ``(a | b) & c`` —
+    mirrored here exactly (NOT conventional and-over-or precedence). NULL
+    operands make the comparison False (SQL-like), never an exception."""
     tokens: list[str] = []
     pos = 0
     while pos < len(cond):
@@ -383,7 +392,7 @@ def _eval_condition(cond: str, variables: dict, domain: _Domain,
         nonlocal i
         if tokens[i] == "(":
             i += 1
-            v = or_expr()
+            v = bool_expr()
             if i >= len(tokens) or tokens[i] != ")":
                 raise ValueError(f"unbalanced parens in condition {cond!r}")
             i += 1
@@ -410,23 +419,20 @@ def _eval_condition(cond: str, variables: dict, domain: _Domain,
                 raise
         return bool(left)
 
-    def and_expr() -> bool:
+    def bool_expr() -> bool:
+        # ONE left-assoc level for '&' and '|' (the reference's single
+        # infixNotation tier); both sides always evaluate so bad $refs
+        # fail loudly regardless of short-circuit truth values
         nonlocal i
         v = cmp_expr()
-        while i < len(tokens) and tokens[i] == "&":
+        while i < len(tokens) and tokens[i] in ("&", "|"):
+            op = tokens[i]
             i += 1
-            v = cmp_expr() and v  # evaluate both: refs must resolve
+            rhs = cmp_expr()
+            v = (rhs and v) if op == "&" else (rhs or v)
         return v
 
-    def or_expr() -> bool:
-        nonlocal i
-        v = and_expr()
-        while i < len(tokens) and tokens[i] == "|":
-            i += 1
-            v = and_expr() or v
-        return v
-
-    result = or_expr()
+    result = bool_expr()
     if i != len(tokens):
         raise ValueError(f"trailing tokens in condition {cond!r}")
     return bool(result)
@@ -468,6 +474,22 @@ def _portable_chunk_key(chunk_by: str, n_chunks: int) -> Column:
     from great_expectations_spark.pipeline.dedup import _md5_int
 
     return F.pmod(_md5_int(F.col(chunk_by).cast("string")), F.lit(n_chunks))
+
+
+def _sub_variables(obj: Any, rule_vars: dict, domain: _Domain) -> Any:
+    """Resolve ``$variables.*`` references at ANY nesting depth (the
+    reference substitutes the whole builder config, so patterns like
+    ``metric_value_kwargs: {quantiles: $variables.quantiles}`` work).
+    ``$domain``/``$parameter`` refs are left untouched — they resolve
+    later with the proper context (domain_kwargs_for / builder sinks)."""
+    if isinstance(obj, str) and obj.startswith("$variables"):
+        return _resolve_ref(obj, rule_vars, domain, {})
+    if isinstance(obj, dict):
+        return {k: _sub_variables(v, rule_vars, domain)
+                for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_sub_variables(v, rule_vars, domain) for v in obj]
+    return obj
 
 
 def _sorted_value_set(vals: list[Any]) -> list[Any]:
@@ -524,9 +546,9 @@ def _resolve_parameters(
         rule_vars = {**variables, **(rule.get("variables") or {})}
         for domain in domains.get(rname, []):
             for pb in rule.get("parameter_builders", []) or []:
-                pb = {k: _substitute(v, rule_vars, domain, {})
-                      if isinstance(v, str) and v.startswith("$variables")
-                      else v for k, v in pb.items()}
+                pb = {k: v if k in ("name", "class_name")
+                      else _sub_variables(v, rule_vars, domain)
+                      for k, v in pb.items()}
                 name = pb.get("name")
                 cls = pb.get("class_name")
                 if not name or not cls:
@@ -642,6 +664,18 @@ def _resolve_parameters(
     for key, name, plan_key, alias, spec in chunk_sinks:
         values = [r[alias] for r in chunk_rows[plan_key]
                   if r[alias] is not None]
+        if not values:
+            # all-null column / empty df: annotate and keep profiling the
+            # other parameters instead of letting estimate_range raise
+            out[key][name] = {"value": [None, None], "details": {
+                "estimator": spec["estimator"],
+                "metric_configuration": {
+                    "metric_name": spec["metric_name"]},
+                "num_batches": spec["n_chunks"],
+                "chunk_by": spec["chunk_by"],
+                "note": "no non-null chunk aggregates; range undefined",
+            }}
+            continue
         lo, hi = estimate_range(
             values, estimator=spec["estimator"],
             false_positive_rate=spec["false_positive_rate"],

@@ -16,28 +16,56 @@ from great_expectations_spark.core.suite import ExpectationSuite
 from great_expectations_spark.validator import validate
 
 
-def _batch_already_written(spark, results_path: str, run_id: str,
-                           chunk_id: str) -> bool:
+class _SeenChunks:
     """Idempotence gate mirroring ``checkpoint.run_checkpoint`` resume:
     a replayed micro-batch (foreachBatch is at-least-once — a crash after
     the results append but before the offset commit re-runs the batch id)
-    must not append duplicate (run_id, chunk_id) rows. Only a MISSING
-    results table means first write; any other read failure propagates —
-    treating a transient error as first-run would re-append rows that
-    ``rollup`` then double-counts."""
-    try:
-        existing = spark.read.parquet(results_path)
-    except AnalysisException as e:
-        # UNABLE_TO_INFER_SCHEMA = the directory exists but holds no
-        # committed parquet footer (a write died before its commit):
-        # no rows are visible, so writing IS the first write
-        if any(m in str(e) for m in ("PATH_NOT_FOUND", "Path does not exist",
-                                     "UNABLE_TO_INFER_SCHEMA")):
-            return False
-        raise
-    return bool(
-        existing.where((F.col("run_id") == run_id)
-                       & (F.col("chunk_id") == chunk_id)).limit(1).count())
+    must not append duplicate (run_id, chunk_id) rows.
+
+    The results table is read ONCE, lazily at the first batch after
+    (re)start, to seed a driver-side set of this run's chunk_ids; every
+    later trigger is an in-memory lookup. The earlier per-trigger
+    full-table filter+count cost O(accumulated history) per batch —
+    unbounded for a long-lived stream. A crash loses only the in-memory
+    set; the restarted stream re-seeds from the table, so replayed batch
+    ids are still skipped. (The gate guards replays of THIS stream; two
+    concurrent writers sharing a (results_path, run_id) were never
+    supported — same contract as ``run_checkpoint`` resume.)
+
+    Only a MISSING results table means first write; any other read
+    failure propagates — treating a transient error as first-run would
+    re-append rows that ``rollup`` then double-counts."""
+
+    def __init__(self, spark, results_path: str, run_id: str) -> None:
+        self._spark = spark
+        self._path = results_path
+        self._run_id = run_id
+        self._seen: set[str] | None = None
+
+    def _seed(self) -> set[str]:
+        try:
+            existing = self._spark.read.parquet(self._path)
+        except AnalysisException as e:
+            # UNABLE_TO_INFER_SCHEMA = the directory exists but holds no
+            # committed parquet footer (a write died before its commit):
+            # no rows are visible, so writing IS the first write
+            if any(m in str(e) for m in
+                   ("PATH_NOT_FOUND", "Path does not exist",
+                    "UNABLE_TO_INFER_SCHEMA")):
+                return set()
+            raise
+        rows = (existing.where(F.col("run_id") == self._run_id)
+                .select("chunk_id").distinct().collect())
+        return {r["chunk_id"] for r in rows}
+
+    def already_written(self, chunk_id: str) -> bool:
+        if self._seen is None:
+            self._seen = self._seed()
+        return chunk_id in self._seen
+
+    def mark(self, chunk_id: str) -> None:
+        assert self._seen is not None
+        self._seen.add(chunk_id)
 
 
 def validate_stream(
@@ -72,9 +100,11 @@ def validate_stream(
 
         options = Options(chunk_monoids=True)
 
+    seen = _SeenChunks(spark, results_path, run_id)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         chunk_id = f"batch-{batch_id}"
-        if _batch_already_written(spark, results_path, run_id, chunk_id):
+        if seen.already_written(chunk_id):
             return
         t0 = time.time()
         result = validate(batch_df, suite, result_format=result_format,
@@ -84,6 +114,7 @@ def validate_stream(
         spark.createDataFrame(rows, RESULTS_SCHEMA).coalesce(1).write.mode("append").parquet(
             results_path
         )
+        seen.mark(chunk_id)
 
     writer = (
         stream_df.writeStream.outputMode("update")
@@ -118,9 +149,11 @@ def validate_stream_by(
     keys = [group_by] if isinstance(group_by, str) else list(group_by)
     spark = stream_df.sparkSession
 
+    seen = _SeenChunks(spark, results_path, run_id)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         chunk_id = f"batch-{batch_id}"
-        if _batch_already_written(spark, results_path, run_id, chunk_id):
+        if seen.already_written(chunk_id):
             return
         out = validate_by(batch_df, suite, keys, options=options,
                           on_unsupported=on_unsupported)
@@ -128,6 +161,7 @@ def validate_stream_by(
             .withColumn("chunk_id", F.lit(chunk_id))
             .withColumn("finished_at", F.lit(float(time.time())))
             .coalesce(1).write.mode("append").parquet(results_path))
+        seen.mark(chunk_id)
 
     writer = (
         stream_df.writeStream.outputMode("update")

@@ -481,3 +481,36 @@ def test_infer_formats_single_row_full_match(spark):
     inf = infer_formats(df, threshold=1.0)
     assert inf["d"]["strftime"]["best"] == "%Y-%m-%d"
     assert inf["d"]["strftime"]["ratio"] == 1.0
+
+
+def test_seen_chunks_seeds_once_then_memory(spark, docs, tmp_path):
+    """ADVICE r4: the idempotence gate reads the results table ONCE at
+    stream (re)start to seed a driver-side chunk_id set; every later
+    trigger is an in-memory lookup, so per-trigger cost no longer grows
+    with accumulated results history."""
+    from great_expectations_spark.streaming.validate_stream import _SeenChunks
+
+    results = str(tmp_path / "results")
+    docs.limit(3).selectExpr(
+        "'run-x' AS run_id", "'batch-0' AS chunk_id").write.parquet(results)
+
+    gate = _SeenChunks(spark, results, "run-x")
+    calls = {"n": 0}
+    orig = gate._seed
+
+    def counting_seed():
+        calls["n"] += 1
+        return orig()
+
+    gate._seed = counting_seed
+    assert gate.already_written("batch-0") is True   # seeded from table
+    assert gate.already_written("batch-1") is False
+    gate.mark("batch-1")
+    assert gate.already_written("batch-1") is True   # in-memory, no reread
+    assert calls["n"] == 1
+
+    # missing table = first write; other run_id's rows don't leak in
+    gate2 = _SeenChunks(spark, str(tmp_path / "nope"), "run-x")
+    assert gate2.already_written("batch-0") is False
+    gate3 = _SeenChunks(spark, results, "run-OTHER")
+    assert gate3.already_written("batch-0") is False

@@ -384,3 +384,114 @@ def test_variables_override_and_multi_metric_fusion(spark, events,
     res = run_rule_based_profiler(events, config, variables={"lo": -123})
     assert agg_calls == [3]  # one get_metrics call carrying all 3 requests
     assert res.suite.expectations[0].kwargs["min_value"] == -123
+
+
+# ---------------------------------------------------- round-5 advice fixes
+
+
+def test_relative_cardinality_uses_nonnull_denominator(spark):
+    """ADVICE r4 (medium): relative modes compare distinct / NON-NULL
+    count (reference column.unique_proportion,
+    column_proportion_of_unique_values.py), not distinct / total rows.
+    A 80%-null column with 10 distinct among 20 non-null rows reads
+    ratio 0.5 — over REL_10's 0.10 — so it must NOT become a
+    categorical domain (the old total-rows denominator said 0.1 and
+    wrongly kept it)."""
+    rows = [(i, f"v{i % 10}" if i < 20 else None) for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, mostly_null string")
+    cfg = {
+        "name": "card", "config_version": 1.0,
+        "rules": {"cats": {
+            "domain_builder": {
+                "class_name": "CategoricalColumnDomainBuilder",
+                "cardinality_limit_mode": "REL_10",
+                "include_column_names": ["mostly_null"]},
+            "parameter_builders": [],
+            "expectation_configuration_builders": []}}}
+    res = run_rule_based_profiler(df, cfg)
+    assert res.domains["cats"] == []
+
+    # sanity: a truly-low-proportion column still qualifies (5 distinct
+    # over 100 non-null rows = 0.05 <= 0.10)
+    df2 = spark.createDataFrame(
+        [(i, f"k{i % 5}") for i in range(100)], "id bigint, lowcard string")
+    cfg["rules"]["cats"]["domain_builder"]["include_column_names"] = ["lowcard"]
+    res2 = run_rule_based_profiler(df2, cfg)
+    assert res2.domains["cats"] == [{"column": "lowcard"}]
+
+
+def test_condition_single_precedence_level(spark, events):
+    """ADVICE r4: '&' and '|' share ONE left-assoc precedence level like
+    the reference's infixNotation, so 'a | b & c' is ((a|b) & c).
+    With a=T, b=F, c=F that is False; and-over-or precedence would say
+    True — so no expectation must be emitted."""
+    cfg = {
+        "name": "prec", "config_version": 1.0,
+        "variables": {"a": 1, "b": 0, "c": 0},
+        "rules": {"r": {
+            "domain_builder": {"class_name": "ColumnDomainBuilder",
+                               "include_column_names": ["value"]},
+            "parameter_builders": [],
+            "expectation_configuration_builders": [
+                {"expectation_type": "expect_column_values_to_not_be_null",
+                 "column": "$domain.domain_kwargs.column",
+                 "condition": "$variables.a == 1 | $variables.b == 1"
+                              " & $variables.c == 1"}]}}}
+    res = run_rule_based_profiler(events, cfg)
+    assert len(res.suite.expectations) == 0
+    # parenthesized override still honored: a | (b & c) = True
+    cfg["rules"]["r"]["expectation_configuration_builders"][0]["condition"] = (
+        "$variables.a == 1 | ($variables.b == 1 & $variables.c == 1)")
+    res2 = run_rule_based_profiler(events, cfg)
+    assert len(res2.suite.expectations) == 1
+
+
+def test_nested_variables_in_metric_value_kwargs(spark, events):
+    """ADVICE r4: $variables refs nested inside builder dicts (the
+    reference's common 'quantiles: $variables.quantiles' pattern) must
+    substitute, not pass the literal string into get_metrics."""
+    cfg = {
+        "name": "nested", "config_version": 1.0,
+        "variables": {"qs": [0.25, 0.75]},
+        "rules": {"r": {
+            "domain_builder": {"class_name": "ColumnDomainBuilder",
+                               "include_column_names": ["value"]},
+            "parameter_builders": [
+                {"name": "q", "class_name": "MetricSingleBatchParameterBuilder",
+                 "metric_name": "column.quantile_values",
+                 "metric_domain_kwargs": "$domain.domain_kwargs",
+                 "metric_value_kwargs": {"quantiles": "$variables.qs"}}],
+            "expectation_configuration_builders": []}}}
+    res = run_rule_based_profiler(events, cfg)
+    q = res.parameters["r"]["value"]["q"]["value"]
+    assert isinstance(q, list) and len(q) == 2 and q[0] <= q[1]
+
+
+def test_numeric_range_all_null_column_annotates_not_raises(spark):
+    """ADVICE r4: an all-null column's NumericMetricRange builder emits
+    [None, None] with a details note instead of aborting the whole run."""
+    df = spark.createDataFrame(
+        [(i, None) for i in range(50)], "id bigint, v double")
+    cfg = {
+        "name": "nulls", "config_version": 1.0,
+        "rules": {"r": {
+            "domain_builder": {"class_name": "ColumnDomainBuilder",
+                               "include_column_names": ["v"]},
+            "parameter_builders": [
+                {"name": "rng",
+                 "class_name": "NumericMetricRangeMultiBatchParameterBuilder",
+                 "metric_name": "column.mean",
+                 "metric_domain_kwargs": "$domain.domain_kwargs",
+                 "estimator": "exact", "n_chunks": 4, "chunk_by": "id"}],
+            "expectation_configuration_builders": [
+                {"expectation_type": "expect_column_mean_to_be_between",
+                 "column": "$domain.domain_kwargs.column",
+                 "min_value": "$parameter.rng.value[0]",
+                 "max_value": "$parameter.rng.value[1]"}]}}}
+    res = run_rule_based_profiler(df, cfg)
+    p = res.parameters["r"]["v"]["rng"]
+    assert p["value"] == [None, None]
+    assert "note" in p["details"]
+    # the emitted expectation carries unbounded (None) limits
+    (exp,) = res.suite.expectations
+    assert exp.kwargs["min_value"] is None and exp.kwargs["max_value"] is None
