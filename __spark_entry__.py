@@ -1233,6 +1233,79 @@ def _rbp1(spark, sf):
               "lo double, hi double, value_set string")
 
 
+@_q("rule_profiler_real_batches", """
+WITH days AS (
+  SELECT day(ts) AS d, avg(value) AS m,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1
+)
+SELECT 'mean_range_exact' AS parameter,
+       round(min(m), 6) AS lo, round(max(m), 6) AS hi,
+       CAST(count(*) AS BIGINT) AS n_batches
+FROM days
+UNION ALL
+SELECT 'mean_range_quantiles',
+       round(quantile_cont(m, 0.1), 6), round(quantile_cont(m, 0.9), 6),
+       CAST(count(*) AS BIGINT)
+FROM days
+UNION ALL
+SELECT 'daily_row_count',
+       round(min(n), 6), round(max(n), 6), CAST(count(*) AS BIGINT)
+FROM days
+""")
+def _rbp2(spark, sf):
+    """Real-batch MultiBatch profiler semantics (VERDICT r4 task 2;
+    reference rule_based_profiler/rule_based_profiler.py:244 run() over a
+    genuine batch list, numeric_metric_range_multi_batch_parameter_builder
+    .py:159 "for every Batch"): a date_part(day) batch_spec carves events
+    into ~30 REAL per-day batches resolved by ONE groupBy(day(ts));
+    DuckDB replays the per-day means exactly (exact = min/max envelope,
+    quantiles = type-7 interpolated 10th/90th percentile across batch
+    means, MetricMultiBatch daily row counts = per-day COUNT(*))."""
+    from great_expectations_spark.pipeline.similarity import round_half_up
+    from great_expectations_spark.rule_profiler import run_rule_based_profiler
+
+    res = run_rule_based_profiler(_tbl(spark, sf, "events"), {
+        "name": "real-batches", "config_version": 1.0,
+        "batch_spec": {"splitter": "date_part", "column": "ts",
+                       "part": "day"},
+        "rules": {"r": {
+            "domain_builder": {"class_name": "ColumnDomainBuilder",
+                               "include_column_names": ["value"]},
+            "parameter_builders": [
+                {"name": "exact_rng",
+                 "class_name": "NumericMetricRangeMultiBatchParameterBuilder",
+                 "metric_name": "column.mean",
+                 "metric_domain_kwargs": "$domain.domain_kwargs",
+                 "estimator": "exact"},
+                {"name": "q_rng",
+                 "class_name": "NumericMetricRangeMultiBatchParameterBuilder",
+                 "metric_name": "column.mean",
+                 "metric_domain_kwargs": "$domain.domain_kwargs",
+                 "estimator": "quantiles", "false_positive_rate": 0.2},
+                {"name": "daily_n",
+                 "class_name": "MetricMultiBatchParameterBuilder",
+                 "metric_name": "table.row_count",
+                 "metric_domain_kwargs": "$domain.domain_kwargs"}],
+            "expectation_configuration_builders": []}}})
+    p = res.parameters["r"]["value"]
+
+    def r6(x):
+        return float(round_half_up(float(x), 6))
+
+    rows = []
+    for pname, out_name in (("exact_rng", "mean_range_exact"),
+                            ("q_rng", "mean_range_quantiles")):
+        lo, hi = p[pname]["value"]
+        rows.append((out_name, r6(lo), r6(hi),
+                     p[pname]["details"]["num_batches"]))
+    counts = p["daily_n"]["value"]
+    rows.append(("daily_row_count", r6(min(counts)), r6(max(counts)),
+                 len(counts)))
+    return spark.createDataFrame(
+        rows, "parameter string, lo double, hi double, n_batches bigint")
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     def vote(j: int) -> str:
         return (

@@ -41,17 +41,23 @@ parameter as its own metric-resolution wave):
   pass 3  expectation building: pure driver-side substitution +
           condition evaluation, zero jobs
 
-Multi-batch emulation (DELIBERATE DEVIATION, documented): the reference's
-``*MultiBatch`` builders iterate a batch list; this engine validates one
-DataFrame, so "batches" are deterministic pseudo-chunks — an
-engine-portable md5 hash of ``chunk_by`` modulo ``n_chunks`` (the
-``assistant.chunk_metrics`` convention). At 10^12 rows pass the real
-ingest-date/batch-id column as ``chunk_by`` and the emulation becomes the
-reference's semantics exactly, one groupBy instead of N batch jobs.
+Multi-batch semantics: the reference's ``*MultiBatch`` builders iterate a
+genuine batch list (rule_based_profiler.py:244 ``run()`` over batch
+requests). Pass a ``batch_spec`` (a checkpoint-splitter spec — date_part /
+column_value / mod_integer / ..., see ``batch_key_expr``) and every
+``NumericMetricRangeMultiBatch`` / ``MetricMultiBatch`` builder resolves
+its metric per REAL batch slice, all batches riding ONE
+``groupBy(batch_key)`` instead of the reference's N per-batch jobs — the
+exchange count is independent of the batch count (pinned by
+tests/test_plan_shapes.py). Without a ``batch_spec`` the builders fall
+back to deterministic pseudo-chunks — an engine-portable md5 hash of
+``chunk_by`` modulo ``n_chunks`` (the ``assistant.chunk_metrics``
+convention) — which is the same one-groupBy shape with synthetic keys.
 """
 
 from __future__ import annotations
 
+import json
 import re
 from dataclasses import dataclass, field
 from typing import Any
@@ -65,7 +71,8 @@ from great_expectations_spark.core.suite import (
     ExpectationSuite,
 )
 
-__all__ = ["run_rule_based_profiler", "RuleBasedProfilerResult"]
+__all__ = ["run_rule_based_profiler", "RuleBasedProfilerResult",
+           "batch_key_expr"]
 
 
 # --------------------------------------------------------------- cardinality
@@ -476,6 +483,75 @@ def _portable_chunk_key(chunk_by: str, n_chunks: int) -> Column:
     return F.pmod(_md5_int(F.col(chunk_by).cast("string")), F.lit(n_chunks))
 
 
+_DATE_PART_FNS = {"year": F.year, "month": F.month, "day": F.dayofmonth,
+                  "hour": F.hour}
+
+
+def batch_key_expr(df: DataFrame, spec: dict[str, Any]) -> tuple[Column, str]:
+    """A ``batch_spec`` (the checkpoint ``Splitter`` family re-expressed
+    as ONE key Column, reference sparkdf_data_splitter.py) → (key, label).
+
+    The reference's ``*MultiBatch`` parameter builders iterate a genuine
+    batch list (rule_based_profiler.py:244 ``run()`` over batch requests);
+    here every batch of the run rides a single ``groupBy(batch_key)`` —
+    one exchange no matter how many batches the splitter resolves, which
+    is what keeps a 10^12-row date-partitioned profile run tractable.
+
+    Specs: ``{"splitter": <name>, ...}`` with
+      column_value(column) · date_part(column, part|parts) ·
+      hashed_column(column, n) · mod_integer(column, mod) ·
+      divided_integer(column, divisor) ·
+      converted_datetime(column, date_format) ·
+      multi_column_values(columns)
+    """
+    s = dict(spec)
+    kind = s.get("splitter")
+    c = s.get("column")
+    if kind == "column_value":
+        return F.col(c), f"column_value({c})"
+    if kind == "date_part":
+        parts = _listify(s.get("parts") or s.get("part"))
+        if not parts or any(p not in _DATE_PART_FNS for p in parts):
+            raise ValueError(
+                f"date_part needs part(s) among {sorted(_DATE_PART_FNS)}")
+        if len(parts) == 1:
+            return _DATE_PART_FNS[parts[0]](F.col(c)), f"{parts[0]}({c})"
+        key = F.concat_ws(
+            "-", *[F.lpad(_DATE_PART_FNS[p](F.col(c)).cast("string"), 4, "0")
+                   for p in parts])
+        return key, f"{'_'.join(parts)}({c})"
+    if kind == "hashed_column":
+        n = int(s["n"])
+        return (F.pmod(F.xxhash64(F.col(c)), F.lit(n)),
+                f"hashed_column({c},{n})")
+    if kind == "mod_integer":
+        mod = int(s["mod"])
+        return (F.pmod(F.col(c), F.lit(mod)).cast("int"),
+                f"mod_integer({c},{mod})")
+    if kind == "divided_integer":
+        d = int(s["divisor"])
+        return (F.col(c) / d).cast("int"), f"divided_integer({c},{d})"
+    if kind == "converted_datetime":
+        fmt = s.get("date_format", "yyyy-MM-dd")
+        dt = dict(df.dtypes).get(c, "")
+        conv = (F.date_format(F.col(c), fmt)
+                if dt in ("timestamp", "date") or dt.startswith("timestamp")
+                else F.from_unixtime(F.col(c), fmt))
+        return conv, f"converted_datetime({c},{fmt})"
+    if kind == "multi_column_values":
+        cols = _listify(s.get("columns"))
+        if not cols:
+            raise ValueError("multi_column_values needs columns")
+        key = F.concat_ws("|", *[
+            F.coalesce(F.col(x).cast("string"), F.lit("__null__"))
+            for x in cols])
+        return key, f"multi_column_values({','.join(cols)})"
+    raise ValueError(
+        f"unknown batch_spec splitter {kind!r} (supported: column_value, "
+        "date_part, hashed_column, mod_integer, divided_integer, "
+        "converted_datetime, multi_column_values)")
+
+
 def _sub_variables(obj: Any, rule_vars: dict, domain: _Domain) -> Any:
     """Resolve ``$variables.*`` references at ANY nesting depth (the
     reference substitutes the whole builder config, so patterns like
@@ -492,6 +568,17 @@ def _sub_variables(obj: Any, rule_vars: dict, domain: _Domain) -> Any:
     return obj
 
 
+def chunk_aggregate_frame(df: DataFrame, key: Column,
+                          aggs: list[Column]) -> DataFrame:
+    """The multi-batch resolution plan: ONE partial-aggregated groupBy on
+    the batch key carrying every builder's aggregate — its exchange count
+    is 1 regardless of how many batches the splitter resolves (plan shape
+    pinned by tests/test_plan_shapes.py)."""
+    return (df.groupBy(key.alias("__chunk"))
+            .agg(*aggs)
+            .orderBy(F.col("__chunk").asc_nulls_first()))
+
+
 def _sorted_value_set(vals: list[Any]) -> list[Any]:
     try:
         return sorted(vals)
@@ -505,10 +592,12 @@ def _resolve_parameters(
     domains: dict[str, list[_Domain]],
     variables: dict,
     options: Any,
+    batch_specs: dict[str, dict | None] | None = None,
 ) -> dict[tuple[str, _Domain], dict[str, dict]]:
     """Every (rule × domain × parameter_builder), with all single-batch
     metrics fused into ONE get_metrics call, all numeric-range chunk aggs
-    into ONE groupBy per (n_chunks, chunk_by), and all format builders
+    into ONE groupBy per distinct batching (real splitter spec or
+    (n_chunks, chunk_by) pseudo-chunk fallback), and all format builders
     into ONE infer_formats per candidate list."""
     from great_expectations_spark.assistant import estimate_range
     from great_expectations_spark.interactive import get_metrics
@@ -521,11 +610,15 @@ def _resolve_parameters(
     out: dict[tuple[str, _Domain], dict[str, dict]] = {
         (r, d): {} for r in rules for d in domains.get(r, [])}
 
+    batch_specs = batch_specs or {}
     metric_requests: dict[str, tuple[str, dict]] = {}
     metric_sinks: list[tuple[tuple[str, _Domain], str, str, str]] = []
-    # (n_chunks, chunk_by) -> {alias: (agg_col)}; sinks map aliases back
-    chunk_plans: dict[tuple[int, str], dict[str, Column]] = {}
-    chunk_sinks: list[tuple[tuple[str, _Domain], str, tuple[int, str], str, dict]] = []
+    # plan_key -> {"key": batch-key Column, "aggs": {alias: agg Column}};
+    # plan_key is ("real", json-sig) for a genuine splitter batching or
+    # ("pseudo", n_chunks, chunk_by) for the md5 fallback — ONE groupBy
+    # per distinct batching regardless of builder or batch count
+    chunk_plans: dict[tuple, dict[str, Any]] = {}
+    chunk_sinks: list[tuple[tuple[str, _Domain], str, tuple, str, dict]] = []
     # candidate-list signature -> (kind, columns, candidates, threshold-per-sink)
     fmt_plans: dict[tuple[str, tuple], set[str]] = {}
     fmt_sinks: list[tuple[tuple[str, _Domain], str, str, tuple, str, float]] = []
@@ -555,8 +648,46 @@ def _resolve_parameters(
                     raise ValueError(
                         f"parameter_builder needs name and class_name: {pb}")
                 key = (rname, domain)
-                if cls in ("MetricSingleBatchParameterBuilder",
-                           "MetricMultiBatchParameterBuilder"):
+                rule_spec = batch_specs.get(rname)
+
+                def plan_for(spec_or_none, n_chunks, chunk_by):
+                    """plan_key for this builder's batching: the rule's
+                    real splitter spec unless the builder explicitly pins
+                    pseudo-chunks via chunk_by."""
+                    if spec_or_none is not None:
+                        pk = ("real", json.dumps(spec_or_none,
+                                                 sort_keys=True))
+                        if pk not in chunk_plans:
+                            kcol, label = batch_key_expr(df, spec_or_none)
+                            chunk_plans[pk] = {"key": kcol, "aggs": {},
+                                               "label": label}
+                        return pk
+                    pk = ("pseudo", n_chunks, chunk_by)
+                    if pk not in chunk_plans:
+                        chunk_plans[pk] = {
+                            "key": _portable_chunk_key(chunk_by, n_chunks),
+                            "aggs": {},
+                            "label": f"md5({chunk_by})%{n_chunks}"}
+                    return pk
+
+                if cls == "MetricMultiBatchParameterBuilder" and \
+                        rule_spec is not None:
+                    # real batches: one per-batch value per resolved batch
+                    # (reference metric_multi_batch_parameter_builder.py
+                    # resolves the metric for every Batch), riding the
+                    # shared groupBy(batch_key)
+                    dk = domain_kwargs_for(pb, domain, rule_vars)
+                    metric = pb["metric_name"]
+                    plan_key = plan_for(rule_spec, 0, "")
+                    plan = chunk_plans[plan_key]
+                    alias = f"c{len(plan['aggs'])}"
+                    plan["aggs"][alias] = _chunk_agg(metric, dk).alias(alias)
+                    chunk_sinks.append((key, name, plan_key, alias, {
+                        "mode": "multibatch_values",
+                        "metric_name": metric,
+                    }))
+                elif cls in ("MetricSingleBatchParameterBuilder",
+                             "MetricMultiBatchParameterBuilder"):
                     dk = domain_kwargs_for(pb, domain, rule_vars)
                     vk = pb.get("metric_value_kwargs") or {}
                     metric = pb["metric_name"]
@@ -569,11 +700,15 @@ def _resolve_parameters(
                     n_chunks = int(pb.get("n_chunks", 8))
                     chunk_by = pb.get("chunk_by") or dk.get("column") \
                         or df.columns[0]
-                    plan_key = (n_chunks, chunk_by)
-                    plan = chunk_plans.setdefault(plan_key, {})
-                    alias = f"c{len(plan)}"
-                    plan[alias] = _chunk_agg(metric, dk).alias(alias)
+                    # an explicit builder-level chunk_by opts out of the
+                    # rule's real batching for THIS parameter
+                    spec = None if "chunk_by" in pb else rule_spec
+                    plan_key = plan_for(spec, n_chunks, chunk_by)
+                    plan = chunk_plans[plan_key]
+                    alias = f"c{len(plan['aggs'])}"
+                    plan["aggs"][alias] = _chunk_agg(metric, dk).alias(alias)
                     chunk_sinks.append((key, name, plan_key, alias, {
+                        "mode": "range",
                         "estimator": pb.get("estimator", "bootstrap"),
                         "false_positive_rate": float(
                             pb.get("false_positive_rate", 0.05)),
@@ -651,28 +786,42 @@ def _resolve_parameters(
                                          "domain_kwargs": dk}}}
         out[key][name] = entry
 
-    # pass 2b: one groupBy per distinct (n_chunks, chunk_by)
-    chunk_rows: dict[tuple[int, str], list] = {}
-    for plan_key, aggs in chunk_plans.items():
-        n_chunks, chunk_by = plan_key
-        chunk_rows[plan_key] = (
-            df.groupBy(_portable_chunk_key(chunk_by, n_chunks)
-                       .alias("__chunk"))
-            .agg(*aggs.values())
-            .orderBy("__chunk")
-            .collect())
+    # pass 2b: one groupBy per distinct batching (real or pseudo) — the
+    # driver holds one row per batch, never per input row
+    chunk_rows: dict[tuple, list] = {}
+    for plan_key, plan in chunk_plans.items():
+        chunk_rows[plan_key] = chunk_aggregate_frame(
+            df, plan["key"], list(plan["aggs"].values())).collect()
     for key, name, plan_key, alias, spec in chunk_sinks:
-        values = [r[alias] for r in chunk_rows[plan_key]
-                  if r[alias] is not None]
+        rows = chunk_rows[plan_key]
+        real = plan_key[0] == "real"
+        if spec["mode"] == "multibatch_values":
+            out[key][name] = {
+                "value": [r[alias] for r in rows],
+                "details": {
+                    "metric_configuration": {
+                        "metric_name": spec["metric_name"]},
+                    "num_batches": len(rows),
+                    "batch_identifiers": [str(r["__chunk"]) for r in rows],
+                    "batching": chunk_plans[plan_key]["label"],
+                }}
+            continue
+        values = [r[alias] for r in rows if r[alias] is not None]
+        details = {
+            "estimator": spec["estimator"],
+            "metric_configuration": {"metric_name": spec["metric_name"]},
+            "num_batches": len(rows) if real else spec["n_chunks"],
+            "batching": chunk_plans[plan_key]["label"],
+        }
+        if real:
+            details["batch_identifiers"] = [str(r["__chunk"]) for r in rows]
+        else:
+            details["chunk_by"] = spec["chunk_by"]
         if not values:
             # all-null column / empty df: annotate and keep profiling the
             # other parameters instead of letting estimate_range raise
             out[key][name] = {"value": [None, None], "details": {
-                "estimator": spec["estimator"],
-                "metric_configuration": {
-                    "metric_name": spec["metric_name"]},
-                "num_batches": spec["n_chunks"],
-                "chunk_by": spec["chunk_by"],
+                **details,
                 "note": "no non-null chunk aggregates; range undefined",
             }}
             continue
@@ -690,12 +839,7 @@ def _resolve_parameters(
             lo, hi = round(lo, int(rd)), round(hi, int(rd))
             if rd == 0:
                 lo, hi = int(lo), int(hi)
-        out[key][name] = {"value": [lo, hi], "details": {
-            "estimator": spec["estimator"],
-            "metric_configuration": {"metric_name": spec["metric_name"]},
-            "num_batches": spec["n_chunks"],
-            "chunk_by": spec["chunk_by"],
-        }}
+        out[key][name] = {"value": [lo, hi], "details": details}
 
     # pass 2c: one infer_formats per distinct candidate list
     fmt_results: dict[tuple[str, tuple], dict] = {}
@@ -750,6 +894,7 @@ def run_rule_based_profiler(
     config: dict | str,
     variables: dict | None = None,
     options: Any = None,
+    batch_spec: dict | None = None,
 ) -> RuleBasedProfilerResult:
     """Run a reference RuleBasedProfiler config against ``df``.
 
@@ -760,8 +905,19 @@ def run_rule_based_profiler(
     ``variables`` overrides merge over the config's (reference run(...)
     variables argument, rule_based_profiler.py:206).
 
-    Oracle: rule_profiler_events (ranges + categorical value sets
-    replayed in DuckDB at the digit level).
+    ``batch_spec``: a splitter spec (see ``batch_key_expr``) carving the
+    DataFrame into GENUINE batches for every ``*MultiBatch`` builder —
+    the engine's equivalent of the reference's batch-request list
+    (rule_based_profiler.py:244 ``run()`` iterates real Batches; here
+    all batches ride one ``groupBy(batch_key)``). May also appear at
+    config level (``config["batch_spec"]``) or per rule
+    (``rule["batch_spec"]``, most specific wins). Without one,
+    ``NumericMetricRange*`` builders fall back to md5 pseudo-chunks and
+    ``MetricMultiBatch`` degrades to the single-batch value, as before.
+
+    Oracles: rule_profiler_events (ranges + categorical value sets
+    replayed in DuckDB at the digit level), rule_profiler_real_batches
+    (date-part splitter batches replayed as per-day GROUP BY).
     """
     if isinstance(config, str):
         try:
@@ -780,8 +936,13 @@ def run_rule_based_profiler(
 
     options = options or Options()
 
+    run_spec = batch_spec or config.get("batch_spec")
+    batch_specs = {rname: rule.get("batch_spec") or run_spec
+                   for rname, rule in rules.items()}
+
     domains = _resolve_domains(df, rules)
-    params = _resolve_parameters(df, rules, domains, merged_vars, options)
+    params = _resolve_parameters(df, rules, domains, merged_vars, options,
+                                 batch_specs)
 
     suite = ExpectationSuite(str(config.get("name", "rule_based_profiler")))
     parameters: dict[str, dict[str, dict[str, dict]]] = {}

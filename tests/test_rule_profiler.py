@@ -495,3 +495,134 @@ def test_numeric_range_all_null_column_annotates_not_raises(spark):
     # the emitted expectation carries unbounded (None) limits
     (exp,) = res.suite.expectations
     assert exp.kwargs["min_value"] is None and exp.kwargs["max_value"] is None
+
+
+# ------------------------------------------------ round-5 real batches
+
+
+def _day_means(events):
+    rows = (events.groupBy(F.dayofmonth("ts").alias("d"))
+            .agg(F.avg("value").alias("m")).orderBy("d").collect())
+    return [r["m"] for r in rows]
+
+
+def test_real_batch_numeric_range_date_part(spark, events):
+    """VERDICT r4 task 2: with a date_part batch_spec the
+    NumericMetricRange builder iterates GENUINE per-day batches (one
+    groupBy(day(ts)), not md5 pseudo-chunks): exact estimator = [min,
+    max] of the real per-day means, details carry the real batch ids."""
+    cfg = {
+        "name": "real", "config_version": 1.0,
+        "batch_spec": {"splitter": "date_part", "column": "ts",
+                       "part": "day"},
+        "rules": {"r": {
+            "domain_builder": {"class_name": "ColumnDomainBuilder",
+                               "include_column_names": ["value"]},
+            "parameter_builders": [
+                {"name": "rng",
+                 "class_name": "NumericMetricRangeMultiBatchParameterBuilder",
+                 "metric_name": "column.mean",
+                 "metric_domain_kwargs": "$domain.domain_kwargs",
+                 "estimator": "exact"}],
+            "expectation_configuration_builders": [
+                {"expectation_type": "expect_column_mean_to_be_between",
+                 "column": "$domain.domain_kwargs.column",
+                 "min_value": "$parameter.rng.value[0]",
+                 "max_value": "$parameter.rng.value[1]"}]}}}
+    res = run_rule_based_profiler(events, cfg)
+    means = _day_means(events)
+    p = res.parameters["r"]["value"]["rng"]
+    assert p["value"] == [pytest.approx(min(means)), pytest.approx(max(means))]
+    assert p["details"]["num_batches"] == len(means)
+    assert p["details"]["batching"] == "day(ts)"
+    assert len(p["details"]["batch_identifiers"]) == len(means)
+    # whole-table mean lies inside the per-day-mean envelope
+    (exp,) = res.suite.expectations
+    whole = events.agg(F.avg("value")).first()[0]
+    assert exp.kwargs["min_value"] <= whole <= exp.kwargs["max_value"]
+
+
+def test_real_batch_metric_multibatch_per_batch_values(spark, events):
+    """MetricMultiBatch + batch_spec returns ONE value per real batch
+    (reference metric_multi_batch_parameter_builder.py resolves per
+    Batch), key-ordered and aligned with batch_identifiers."""
+    cfg = {
+        "name": "mb", "config_version": 1.0,
+        "rules": {"r": {
+            "batch_spec": {"splitter": "date_part", "column": "ts",
+                           "part": "day"},
+            "domain_builder": {"class_name": "ColumnDomainBuilder",
+                               "include_column_names": ["value"]},
+            "parameter_builders": [
+                {"name": "daily_mean",
+                 "class_name": "MetricMultiBatchParameterBuilder",
+                 "metric_name": "column.mean",
+                 "metric_domain_kwargs": "$domain.domain_kwargs"},
+                {"name": "daily_rows",
+                 "class_name": "MetricMultiBatchParameterBuilder",
+                 "metric_name": "table.row_count",
+                 "metric_domain_kwargs": "$domain.domain_kwargs"}],
+            "expectation_configuration_builders": []}}}
+    res = run_rule_based_profiler(events, cfg)
+    means = _day_means(events)
+    p = res.parameters["r"]["value"]["daily_mean"]
+    assert p["value"] == [pytest.approx(m) for m in means]
+    assert p["details"]["batch_identifiers"] == [
+        str(d) for d in sorted(
+            r["d"] for r in events.select(
+                F.dayofmonth("ts").alias("d")).distinct().collect())]
+    n = res.parameters["r"]["value"]["daily_rows"]
+    assert sum(n["value"]) == events.count()
+
+
+def test_builder_level_chunk_by_opts_out_of_real_batches(spark, events):
+    """An explicit builder-level chunk_by keeps the md5 pseudo-chunk path
+    even under a rule batch_spec — same values as a spec-less run."""
+    base = {
+        "domain_builder": {"class_name": "ColumnDomainBuilder",
+                           "include_column_names": ["value"]},
+        "parameter_builders": [
+            {"name": "rng",
+             "class_name": "NumericMetricRangeMultiBatchParameterBuilder",
+             "metric_name": "column.mean",
+             "metric_domain_kwargs": "$domain.domain_kwargs",
+             "estimator": "exact", "n_chunks": 4, "chunk_by": "event_id"}],
+        "expectation_configuration_builders": []}
+    cfg_plain = {"name": "a", "config_version": 1.0, "rules": {"r": dict(base)}}
+    cfg_spec = {"name": "b", "config_version": 1.0,
+                "batch_spec": {"splitter": "date_part", "column": "ts",
+                               "part": "day"},
+                "rules": {"r": dict(base)}}
+    v1 = run_rule_based_profiler(events, cfg_plain).parameters["r"]["value"]["rng"]
+    v2 = run_rule_based_profiler(events, cfg_spec).parameters["r"]["value"]["rng"]
+    assert v1["value"] == v2["value"]
+    assert v2["details"]["num_batches"] == 4
+
+
+def test_batch_key_expr_splitter_family(spark, events):
+    """Every splitter kind resolves to a key column whose distinct count
+    matches the checkpoint splitter's chunk count semantics."""
+    from great_expectations_spark.rule_profiler import batch_key_expr
+
+    cases = [
+        ({"splitter": "column_value", "column": "event_type"}, None),
+        ({"splitter": "date_part", "column": "ts", "part": "day"}, 30),
+        ({"splitter": "date_part", "column": "ts",
+          "parts": ["year", "month"]}, 1),
+        ({"splitter": "hashed_column", "column": "event_id", "n": 8}, 8),
+        ({"splitter": "mod_integer", "column": "event_id", "mod": 5}, 5),
+        ({"splitter": "divided_integer", "column": "event_id",
+          "divisor": 250}, None),
+        ({"splitter": "converted_datetime", "column": "ts",
+          "date_format": "yyyy-MM-dd"}, 30),
+        ({"splitter": "multi_column_values",
+          "columns": ["event_type"]}, None),
+    ]
+    for spec, expect_n in cases:
+        key, label = batch_key_expr(events, spec)
+        n = events.select(key.alias("k")).distinct().count()
+        assert n > 0 and isinstance(label, str)
+        if expect_n is not None:
+            assert n == expect_n, (spec, n)
+    with pytest.raises(ValueError):
+        batch_key_expr(events, {"splitter": "nope", "column": "ts"})
