@@ -1306,6 +1306,129 @@ def _rbp2(spark, sf):
         rows, "parameter string, lo double, hi double, n_batches bigint")
 
 
+def _onboarding_oracle() -> str:
+    """DuckDB replay of every SQL-replayable expectation the
+    OnboardingDataAssistant emits for documents — emission decisions
+    derived from the DATA (scalar-subquery predicates), resolved values
+    recomputed: exact numeric envelopes over md5(col)%8 pseudo-chunks,
+    uniqueness/nullity/nonnullity map-metric domains, FEW categorical
+    value sets, text length bounds. Format-inference rows (regex /
+    strftime) are covered by tests + the profiler_format_inference
+    oracle, not replayed here."""
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    numeric = ["doc_id", "n_chars"]
+    text = ["text", "lang", "source"]
+    parts = [
+        # table rule
+        """SELECT 'expect_table_row_count_to_be_between' AS etype, '' AS col,
+              CAST(count(*) AS DOUBLE) AS lo, CAST(count(*) AS DOUBLE) AS hi,
+              NULL::VARCHAR AS vs FROM documents""",
+        """SELECT 'expect_table_columns_to_match_set', '', NULL, NULL,
+              'doc_id|lang|n_chars|source|text'""",
+    ]
+    for c in cols:
+        parts.append(f"""
+SELECT 'expect_column_values_to_be_unique', '{c}', NULL, NULL, NULL
+FROM documents
+HAVING count(DISTINCT {c}) = count({c}) AND count({c}) > 0""")
+        parts.append(f"""
+SELECT 'expect_column_values_to_not_be_null', '{c}',
+       CASE WHEN count(*) = count({c}) THEN NULL ELSE 0.95 END, NULL, NULL
+FROM documents
+HAVING CAST(count(*) - count({c}) AS DOUBLE) / count(*) <= 0.05""")
+        parts.append(f"""
+SELECT 'expect_column_values_to_be_null', '{c}', 0.95, NULL, NULL
+FROM documents
+HAVING CAST(count({c}) AS DOUBLE) / count(*) <= 0.05""")
+        parts.append(f"""
+SELECT 'expect_column_values_to_be_in_set', '{c}', NULL, NULL,
+       array_to_string(list(DISTINCT {c} ORDER BY {c}), '|')
+FROM documents WHERE {c} IS NOT NULL
+HAVING count(DISTINCT {c}) BETWEEN 1 AND 100""")
+    for c in text:
+        parts.append(f"""
+SELECT 'expect_column_value_lengths_to_be_between', '{c}',
+       CAST(min(length({c})) AS DOUBLE), CAST(max(length({c})) AS DOUBLE),
+       NULL
+FROM documents""")
+    for c in numeric:
+        chunks = (
+            f"(SELECT min({c}) AS m0, max({c}) AS m1, avg({c}) AS m2, "
+            f"quantile_cont({c}, 0.5) AS m3 FROM documents "
+            f"GROUP BY ('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15))"
+            f"::BIGINT % 8)")
+        for etype, m in (("expect_column_min_to_be_between", "m0"),
+                         ("expect_column_max_to_be_between", "m1"),
+                         ("expect_column_mean_to_be_between", "m2"),
+                         ("expect_column_median_to_be_between", "m3")):
+            parts.append(f"""
+SELECT '{etype}', '{c}', round(min({m}), 6), round(max({m}), 6), NULL
+FROM {chunks} WHERE {m} IS NOT NULL""")
+        parts.append(f"""
+SELECT 'expect_column_values_to_be_between', '{c}',
+       round(min(m0), 6), round(max(m1), 6), NULL
+FROM {chunks} WHERE m0 IS NOT NULL""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@_q("onboarding_assistant_documents", _onboarding_oracle())
+def _rbp3(spark, sf):
+    """OnboardingDataAssistant preset (VERDICT r4 task 3; reference
+    rule_based_profiler/data_assistant/onboarding_data_assistant.py:46):
+    one call emits table / uniqueness / nullity / nonnullity / numeric /
+    text / categorical rules as a declarative RBP config; every
+    SQL-replayable emitted expectation's type, domain column, and
+    resolved bounds/value-set are pinned against a DuckDB replay whose
+    emission predicates are themselves derived from the data."""
+    from great_expectations_spark.data_assistant import (
+        run_onboarding_assistant,
+    )
+    from great_expectations_spark.pipeline.similarity import round_half_up
+
+    res = run_onboarding_assistant(_tbl(spark, sf, "documents"))
+
+    def r6(x):
+        return None if x is None else float(round_half_up(float(x), 6))
+
+    _RANGES = {"expect_column_min_to_be_between",
+               "expect_column_max_to_be_between",
+               "expect_column_mean_to_be_between",
+               "expect_column_median_to_be_between",
+               "expect_column_values_to_be_between"}
+    rows = []
+    for e in res.suite.expectations:
+        t, k = e.expectation_type, e.kwargs
+        if t in ("expect_column_values_to_match_regex",
+                 "expect_column_values_to_match_strftime_format"):
+            continue
+        if t == "expect_table_row_count_to_be_between":
+            rows.append((t, "", float(k["min_value"]),
+                         float(k["max_value"]), None))
+        elif t == "expect_table_columns_to_match_set":
+            rows.append((t, "", None, None,
+                         "|".join(sorted(k["column_set"]))))
+        elif t == "expect_column_values_to_be_unique":
+            rows.append((t, k["column"], None, None, None))
+        elif t in ("expect_column_values_to_not_be_null",
+                   "expect_column_values_to_be_null"):
+            rows.append((t, k["column"],
+                         float(k["mostly"]) if "mostly" in k else None,
+                         None, None))
+        elif t == "expect_column_value_lengths_to_be_between":
+            rows.append((t, k["column"], float(k["min_value"]),
+                         float(k["max_value"]), None))
+        elif t in _RANGES:
+            rows.append((t, k["column"], r6(k["min_value"]),
+                         r6(k["max_value"]), None))
+        elif t == "expect_column_values_to_be_in_set":
+            rows.append((t, k["column"], None, None,
+                         "|".join(str(v) for v in k["value_set"])))
+        else:
+            raise AssertionError(f"unexpected assistant emission {t}")
+    return spark.createDataFrame(
+        rows, "etype string, col string, lo double, hi double, vs string")
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     def vote(j: int) -> str:
         return (

@@ -32,6 +32,12 @@ from great_expectations_spark.rule_profiler import (
     RuleBasedProfilerResult,
     run_rule_based_profiler,
 )
+from great_expectations_spark.data_assistant import (
+    onboarding_profiler_config,
+    run_onboarding_assistant,
+    run_volume_assistant,
+    volume_profiler_config,
+)
 from great_expectations_spark.grouped import validate_by, violations_by
 from great_expectations_spark.validator import SparkValidator, validate
 from great_expectations_spark.context import DataContext, get_context
@@ -65,6 +71,10 @@ __all__ = [
     "chunk_metrics",
     "onboarding_suite",
     "run_rule_based_profiler",
+    "onboarding_profiler_config",
+    "run_onboarding_assistant",
+    "volume_profiler_config",
+    "run_volume_assistant",
     "RuleBasedProfilerResult",
     "violations_by",
     "register_regex_expectation",

@@ -236,31 +236,53 @@ def _resolve_domains(
             deferred.append((rname, decide_cat))
         elif cls == "MapMetricColumnDomainBuilder":
             metric = db.get("map_metric_name")
-            if metric not in ("column_values.nonnull", "column_values.null"):
+            if metric not in ("column_values.nonnull", "column_values.null",
+                              "column_values.unique"):
                 raise ValueError(
                     "MapMetricColumnDomainBuilder supports map_metric_name "
-                    "column_values.nonnull / column_values.null here "
-                    f"(got {metric!r}); other map metrics need per-column "
-                    "shaped jobs — run them as expectations instead")
+                    "column_values.nonnull / column_values.null / "
+                    f"column_values.unique here (got {metric!r}); other map "
+                    "metrics need per-column shaped jobs — run them as "
+                    "expectations instead")
             cand = _name_filtered_columns(df, db)
             max_vals = int(db.get("max_unexpected_values", 0))
             max_ratio = db.get("max_unexpected_ratio")
-            want_null = metric == "column_values.null"
             for c in cand:
                 fused_aggs.setdefault(
                     f"__nn__{c}", F.count(F.col(c)).alias(f"__nn__{c}"))
+                if metric == "column_values.unique":
+                    fused_aggs.setdefault(
+                        f"__d__{c}",
+                        F.count_distinct(F.col(c)).alias(f"__d__{c}"))
 
             def decide_map(row, cand=cand, max_vals=max_vals,
-                           max_ratio=max_ratio, want_null=want_null):
+                           max_ratio=max_ratio, metric=metric):
                 n = row["__n__"] or 0
                 keep = []
                 for c in cand:
                     nonnull = row[f"__nn__{c}"] or 0
-                    # unexpected under nonnull = null rows; under null =
-                    # nonnull rows (map_metric_column_domain_builder.py:30)
-                    unexpected = nonnull if want_null else (n - nonnull)
+                    if metric == "column_values.null":
+                        # unexpected under null = nonnull rows
+                        # (map_metric_column_domain_builder.py:30)
+                        unexpected, denom = nonnull, n
+                    elif metric == "column_values.nonnull":
+                        unexpected, denom = n - nonnull, n
+                    else:
+                        # unique: nonnull - distinct counts each duplicated
+                        # row beyond its first — ZERO iff truly unique (the
+                        # exact test); for nonzero thresholds it is a LOWER
+                        # bound on GE's unexpected count (which counts every
+                        # member of a duplicated group), so a column the
+                        # reference would reject can slip through a loose
+                        # threshold — use 0 thresholds for exact semantics.
+                        # Denominator is the nonnull count (map metrics
+                        # ignore nulls); a fully-null column never qualifies.
+                        d = row[f"__d__{c}"] or 0
+                        unexpected, denom = nonnull - d, nonnull
+                        if nonnull == 0:
+                            continue
                     if max_ratio is not None:
-                        ok = n > 0 and unexpected / n <= float(max_ratio)
+                        ok = denom > 0 and unexpected / denom <= float(max_ratio)
                     else:
                         ok = unexpected <= max_vals
                     if ok:
