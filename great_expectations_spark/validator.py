@@ -65,11 +65,11 @@ def _required_columns(config: ExpectationConfiguration) -> list[str]:
 # decodes to a different double than the float32-widened collect();
 # json.loads turns a bare decimal number into a lossy float; bytes have
 # no JSON form) but become fused-eligible through the typed encodings
-# below: timestamp → unix_micros int64, float32 → exact cast("double")
-# widening, binary → base64 string, decimal → exact string cast (decoded
-# back to decimal.Decimal). Still NOT safe (falls back to bounded
-# per-expectation violation jobs): timestamp_ntz (fromInternal semantics
-# differ).
+# below: timestamp → unix_micros int64, timestamp_ntz → wall-clock string
+# cast (session-timezone-independent, full microseconds), float32 →
+# exact cast("double") widening, binary → base64 string, decimal → exact
+# string cast (decoded back to decimal.Decimal). The atom matrix is
+# complete: no type falls back to per-expectation violation jobs.
 _JSON_SAFE_ATOMS = (
     T.StringType, T.BooleanType, T.DateType,
     T.ByteType, T.ShortType, T.IntegerType,
@@ -77,7 +77,8 @@ _JSON_SAFE_ATOMS = (
 )
 
 # atoms that need a typed re-encoding before to_json to round-trip exactly
-_ENCODED_ATOMS = (T.TimestampType, T.FloatType, T.BinaryType, T.DecimalType)
+_ENCODED_ATOMS = (T.TimestampType, T.TimestampNTZType, T.FloatType,
+                  T.BinaryType, T.DecimalType)
 
 
 def _json_safe(dt: T.DataType) -> bool:
@@ -116,6 +117,11 @@ def _fuse_encode(col: Column, dt: T.DataType) -> Column:
     untouched."""
     if not _needs_encode(dt):
         return col
+    if isinstance(dt, T.TimestampNTZType):
+        # wall-clock string cast: renders the NTZ's own micros digits with
+        # NO session-timezone conversion — the same wall clock
+        # TimestampNTZType.fromInternal reconstructs on collect()
+        return col.cast("string")
     if isinstance(dt, T.TimestampType):
         return F.unix_micros(col)
     if isinstance(dt, T.FloatType):
@@ -146,6 +152,12 @@ def _from_json_value(v: Any, dt: T.DataType) -> Any:
     ``_fuse_encode`` produced."""
     if v is None:
         return None
+    if isinstance(dt, T.TimestampNTZType):
+        # parse the wall-clock string back to the naive datetime collect()
+        # yields (fromInternal), then _py's isoformat rendering
+        import datetime as _dt
+
+        return _dt.datetime.fromisoformat(v.replace(" ", "T")).isoformat()
     if isinstance(dt, T.TimestampType):
         # identical to collect()'s conversion (fromInternal: local-tz
         # naive datetime with exact microseconds) followed by _py's

@@ -452,3 +452,71 @@ def test_fused_typed_encoding_rows_and_index(spark, monkeypatch):
     assert "2024-05-06T07:08:09.100002" in tss
     xs = {d["x"] for d in fr["unexpected_index_list"] if d["x"] is not None}
     assert any(abs(v - 9.899999618530273) < 1e-12 for v in xs)
+
+
+def test_fused_timestamp_ntz_exact(spark, monkeypatch):
+    """timestamp_ntz IS fused-eligible via the wall-clock string-cast
+    encoding (round 5 — the last cell of the atom matrix): sub-ms
+    precision intact, identical to the per-expectation path, THROUGH the
+    fused plan, and independent of the session timezone (NTZ carries no
+    zone, so the rendered wall clock must not shift)."""
+    _forbid_solo_fallback(monkeypatch)
+    rows = [
+        (1, datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)),
+        (2, datetime.datetime(2024, 1, 2, 3, 4, 5, 123999)),
+        (3, datetime.datetime(2024, 1, 1)),
+        (300, datetime.datetime(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, "i int, ts timestamp_ntz")
+    suite = (
+        ExpectationSuite("ntz")
+        .add("expect_column_values_to_be_between",
+             column="ts", max_value="2024-01-01T12:00:00", mostly=0.1)
+        .add("expect_column_values_to_be_between", column="i", max_value=2,
+             mostly=0.1)
+    )
+    fused = validate(df, suite, result_format="SUMMARY",
+                     options=Options(fuse_violations=True))
+    solo = validate(df, suite, result_format="SUMMARY",
+                    options=Options(fuse_violations=False))
+    f_counts = fused.results[0].result["partial_unexpected_counts"]
+    s_counts = solo.results[0].result["partial_unexpected_counts"]
+    assert f_counts == s_counts
+    assert {d["value"]: d["count"] for d in f_counts} == {
+        "2024-01-02T03:04:05.123456": 1, "2024-01-02T03:04:05.123999": 1}
+
+    # session-timezone independence: same wall clock under a shifted zone
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        shifted = validate(df, suite, result_format="SUMMARY",
+                           options=Options(fuse_violations=True))
+        assert (shifted.results[0].result["partial_unexpected_counts"]
+                == f_counts)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+def test_fused_timestamp_ntz_in_containers(spark, monkeypatch):
+    """NTZ nested in arrays also rides the fused encoding: the duplicated
+    NTZ array itself appears in unexpected_list, byte-identical to the
+    per-expectation path (full microseconds)."""
+    _forbid_solo_fallback(monkeypatch)
+    ts = datetime.datetime(2024, 6, 1, 12, 0, 0, 500)
+    other = datetime.datetime(2024, 6, 2)
+    df = spark.createDataFrame(
+        [(1, [ts]), (2, [ts]), (300, [other])],
+        "i int, a array<timestamp_ntz>")
+    suite = (
+        ExpectationSuite("ntz-arr")
+        .add("expect_column_values_to_be_unique", column="a", mostly=0.1)
+        .add("expect_column_values_to_be_between", column="i", max_value=2,
+             mostly=0.1)
+    )
+    fused = validate(df, suite, result_format="COMPLETE",
+                     options=Options(fuse_violations=True))
+    solo = validate(df, suite, result_format="COMPLETE",
+                    options=Options(fuse_violations=False))
+    f_list = fused.results[0].result["unexpected_list"]
+    assert f_list == solo.results[0].result["unexpected_list"]
+    assert f_list and all(v == ["2024-06-01T12:00:00.000500"] for v in f_list)
