@@ -48,6 +48,7 @@ from great_expectations_spark.stores import (
     InMemoryStoreBackend,
     MetricStore,
     TupleFilesystemStoreBackend,
+    TupleHadoopFilesystemStoreBackend,
     ValidationResultStore,
 )
 from great_expectations_spark.functions.conditions import (
@@ -83,6 +84,7 @@ __all__ = [
     "get_context",
     "InMemoryStoreBackend",
     "TupleFilesystemStoreBackend",
+    "TupleHadoopFilesystemStoreBackend",
     "DatabaseStoreBackend",
     "ExpectationSuiteStore",
     "ValidationResultStore",

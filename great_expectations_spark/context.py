@@ -71,7 +71,33 @@ class DataContext:
         evaluation_parameters: EvaluationParameterStore | None = None,
     ) -> None:
         self.root_dir = root_dir
-        if root_dir is not None:
+        if root_dir is not None and "://" in root_dir:
+            # URI root (file://, hdfs://, s3a://, gs://, abfs://...):
+            # every store rides the Hadoop FileSystem backend through the
+            # active SparkSession's JVM — the engine's answer to the
+            # reference's cloud store backends (tuple_store_backend.py:
+            # 433/715/938) with zero Python cloud SDKs. Metrics and
+            # evaluation parameters use key→path JSON files here (SQLite
+            # cannot live on a remote URI).
+            from great_expectations_spark.stores import (
+                TupleHadoopFilesystemStoreBackend,
+            )
+
+            def hd(sub: str, key_length: int, template: str | None = None):
+                return TupleHadoopFilesystemStoreBackend(
+                    root_dir.rstrip("/") + "/" + sub, key_length=key_length,
+                    filepath_template=template)
+
+            self.suites = suites or ExpectationSuiteStore(
+                hd("expectations", 1))
+            self.validations = validations or ValidationResultStore(
+                hd("validations", 2, "{0}/{1}.json"))
+            self.metrics = metrics or MetricStore(
+                hd("metrics", 3, "{0}/{1}/{2}.json"))
+            self.evaluation_parameters = evaluation_parameters or (
+                EvaluationParameterStore(
+                    hd("evaluation_parameters", 3, "{0}/{1}/{2}.json")))
+        elif root_dir is not None:
             os.makedirs(root_dir, exist_ok=True)
             self.suites = suites or ExpectationSuiteStore(
                 TupleFilesystemStoreBackend(

@@ -156,16 +156,39 @@ class InMemoryStoreBackend(StoreBackend):
             del self._store[key]
 
 
+def _compile_template(key_length: int, filepath_template: str | None,
+                      filepath_suffix: str) -> tuple[str, "re.Pattern"]:
+    """Validate + compile a key→relative-path template: every key index
+    exactly once, placeholders separated by non-empty literals (otherwise
+    ``list_keys`` could not parse paths back into tuples — same
+    constraint the reference enforces in ``tuple_store_backend.py:
+    157-208``). Returns (template, regex with one group per index)."""
+    if filepath_template is None:
+        filepath_template = "/".join(
+            f"{{{i}}}" for i in range(key_length)) + filepath_suffix
+    indices = [int(m) for m in re.findall(r"\{(\d+)\}", filepath_template)]
+    if sorted(indices) != list(range(key_length)):
+        raise StoreBackendError(
+            f"filepath_template {filepath_template!r} must use each of "
+            f"{{0}}..{{{key_length - 1}}} exactly once")
+    # reversibility: non-empty literal text between adjacent placeholders
+    if re.search(r"\}\{", filepath_template):
+        raise StoreBackendError(
+            f"filepath_template {filepath_template!r} is not reversible: "
+            "adjacent placeholders with no separator")
+    pattern = re.escape(filepath_template)
+    for i in range(key_length):
+        pattern = pattern.replace(re.escape(f"{{{i}}}"), f"(?P<k{i}>[^/]+)")
+    return filepath_template, re.compile("^" + pattern + "$")
+
+
 class TupleFilesystemStoreBackend(StoreBackend):
     """One file per key under ``base_directory``.
 
     ``filepath_template`` maps the key tuple to a relative path with
     ``{i}`` placeholders, e.g. ``"{0}/{1}.json"`` for
-    ``(suite_name, run_id)``. It must be reversible: every key index
-    appears exactly once and placeholders are separated by non-empty
-    literals (otherwise ``list_keys`` could not parse paths back into
-    tuples — same constraint the reference enforces in
-    ``tuple_store_backend.py:157-208``). Default template:
+    ``(suite_name, run_id)``; see :func:`_compile_template` for the
+    reversibility rules. Default template:
     ``"{0}/{1}/.../{n}" + filepath_suffix``.
     """
 
@@ -176,26 +199,10 @@ class TupleFilesystemStoreBackend(StoreBackend):
         filepath_template: str | None = None,
         filepath_suffix: str = ".json",
     ) -> None:
-        if filepath_template is None:
-            filepath_template = "/".join(f"{{{i}}}" for i in range(key_length)) + filepath_suffix
-        indices = [int(m) for m in re.findall(r"\{(\d+)\}", filepath_template)]
-        if sorted(indices) != list(range(key_length)):
-            raise StoreBackendError(
-                f"filepath_template {filepath_template!r} must use each of "
-                f"{{0}}..{{{key_length - 1}}} exactly once")
-        # reversibility: non-empty literal text between adjacent placeholders
-        if re.search(r"\}\{", filepath_template):
-            raise StoreBackendError(
-                f"filepath_template {filepath_template!r} is not reversible: "
-                "adjacent placeholders with no separator")
         self.base_directory = base_directory
         self.key_length = key_length
-        self.filepath_template = filepath_template
-        # template -> regex with one capture group per key index
-        pattern = re.escape(filepath_template)
-        for i in range(key_length):
-            pattern = pattern.replace(re.escape(f"{{{i}}}"), f"(?P<k{i}>[^/]+)")
-        self._path_re = re.compile("^" + pattern + "$")
+        self.filepath_template, self._path_re = _compile_template(
+            key_length, filepath_template, filepath_suffix)
         os.makedirs(base_directory, exist_ok=True)
 
     def _key_to_path(self, key: tuple[str, ...]) -> str:
@@ -240,6 +247,124 @@ class TupleFilesystemStoreBackend(StoreBackend):
 
     def _remove_key(self, key: tuple[str, ...]) -> None:
         os.remove(self._key_to_path(key))
+
+
+class TupleHadoopFilesystemStoreBackend(StoreBackend):
+    """Key→path store over Hadoop's FileSystem API, reached through the
+    SparkSession's JVM — ONE backend covering every URI scheme the
+    cluster's Hadoop client supports (``file://``, ``hdfs://``,
+    ``s3a://``, ``gs://``, ``abfs://``, ...) with zero Python cloud
+    SDKs. The engine twin of the reference's per-cloud Tuple stores
+    (tuple_store_backend.py:433 TupleS3StoreBackend, :715
+    TupleGCSStoreBackend, :938 TupleAzureBlobStoreBackend), whose
+    key→object-path mapping this reproduces; contract-tested against
+    ``file://`` URIs through the same code path (tests/test_stores.py).
+
+    Key parts are percent-encoded into path segments (a ``:`` or ``%``
+    in a run id must not break Hadoop's ``Path`` parsing) and decoded on
+    ``list_keys`` — the escaping round-trips, so keys come back exactly.
+    Writes go to a ``.tmp`` sibling then ``rename`` — atomic on HDFS and
+    file://; on object stores rename is copy+delete, which still never
+    exposes a torn object (puts are atomic there), matching the
+    reference's cloud-store write semantics.
+
+    Driver-side only (py4j): stores hold suite/result JSON, not data —
+    the same placement the reference gives its store backends."""
+
+    def __init__(
+        self,
+        root_uri: str,
+        key_length: int = 1,
+        filepath_template: str | None = None,
+        filepath_suffix: str = ".json",
+        spark: Any = None,
+    ) -> None:
+        from pyspark.sql import SparkSession
+
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise StoreBackendError(
+                "TupleHadoopFilesystemStoreBackend needs an active "
+                "SparkSession — the JVM hosts the Hadoop FileSystem client")
+        self.key_length = key_length
+        self.filepath_template, self._path_re = _compile_template(
+            key_length, filepath_template, filepath_suffix)
+        self._jvm = spark._jvm
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        root = self._Path(root_uri)
+        self._fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        self._root = self._fs.makeQualified(root)
+        self._fs.mkdirs(self._root)
+
+    # -- key <-> path -------------------------------------------------
+    def _rel(self, key: tuple[str, ...]) -> str:
+        from urllib.parse import quote
+
+        if len(key) != self.key_length:
+            raise InvalidKeyError(
+                f"key {key!r} has length {len(key)}, backend expects "
+                f"{self.key_length}")
+        return self.filepath_template.format(
+            *[quote(part, safe="") for part in key])
+
+    def _path(self, key: tuple[str, ...]):
+        return self._Path(self._root, self._rel(key))
+
+    def _path_to_key(self, rel: str) -> tuple[str, ...] | None:
+        from urllib.parse import unquote
+
+        m = self._path_re.match(rel)
+        if not m:
+            return None
+        return tuple(unquote(m.group(f"k{i}"))
+                     for i in range(self.key_length))
+
+    # -- backend protocol ---------------------------------------------
+    def _get(self, key: tuple[str, ...]) -> str:
+        stream = self._fs.open(self._path(key))
+        try:
+            baos = self._jvm.java.io.ByteArrayOutputStream()
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                stream, baos, 65536, False)
+            return bytes(baos.toByteArray()).decode("utf-8")
+        finally:
+            stream.close()
+
+    def _set(self, key: tuple[str, ...], value: str) -> None:
+        dest = self._path(key)
+        tmp = self._Path(self._root, self._rel(key) + ".tmp")
+        out = self._fs.create(tmp, True)  # creates parent dirs
+        try:
+            out.write(bytearray(value.encode("utf-8")))
+        finally:
+            out.close()
+        if self._fs.exists(dest):
+            self._fs.delete(dest, False)
+        if not self._fs.rename(tmp, dest):
+            raise StoreBackendError(
+                f"rename {tmp} -> {dest} failed on "
+                f"{self._fs.getScheme()} filesystem")
+
+    def _has_key(self, key: tuple[str, ...]) -> bool:
+        p = self._path(key)
+        return bool(self._fs.exists(p)
+                    and self._fs.getFileStatus(p).isFile())
+
+    def _list_keys(self, prefix: tuple[str, ...]) -> Iterator[tuple[str, ...]]:
+        if not self._fs.exists(self._root):
+            return
+        root_s = self._root.toString()
+        it = self._fs.listFiles(self._root, True)
+        while it.hasNext():
+            p = it.next().getPath().toString()
+            if not p.startswith(root_s + "/"):
+                continue
+            key = self._path_to_key(p[len(root_s) + 1:])
+            if key is not None and key[: len(prefix)] == prefix:
+                yield key
+
+    def _remove_key(self, key: tuple[str, ...]) -> None:
+        self._fs.delete(self._path(key), False)
 
 
 class DatabaseStoreBackend(StoreBackend):

@@ -286,3 +286,104 @@ def test_eval_param_store_latest_view(tmp_path):
     assert s.bind_latest_params()[urn] == 50
     with pytest.raises(InvalidKeyError):
         s.store_suite_result(_result(1), s.LATEST_RUN)
+
+
+# ----------------------------------------------- Hadoop FileSystem backend
+# (VERDICT r4 task 5: the reference's cloud Tuple stores
+# tuple_store_backend.py:433/715/938 re-expressed as ONE backend over
+# Hadoop's FileSystem API via the Spark JVM — contract-tested against
+# file:// URIs through the exact code path s3a://gs://abfs:// would take)
+
+
+def _hadoop_backend(spark, tmp_path, key_length=1, **kw):
+    from great_expectations_spark.stores import (
+        TupleHadoopFilesystemStoreBackend,
+    )
+
+    return TupleHadoopFilesystemStoreBackend(
+        f"file://{tmp_path}/hfs{key_length}", key_length=key_length,
+        spark=spark, **kw)
+
+
+def test_hadoop_backend_crud(spark, tmp_path):
+    b = _hadoop_backend(spark, tmp_path)
+    assert not b.has_key(("a",))
+    b.set(("a",), "v1")
+    assert b.has_key(("a",)) and ("a",) in b
+    assert b.get(("a",)) == "v1"
+    b.set(("a",), "v2")  # overwrite through the tmp+rename path
+    assert b.get(("a",)) == "v2"
+    b.set(("b",), "w")
+    assert b.list_keys() == [("a",), ("b",)]
+    b.move(("a",), ("c",))
+    assert b.get(("c",)) == "v2" and not b.has_key(("a",))
+    b.remove_key(("b",))
+    assert b.list_keys() == [("c",)]
+    with pytest.raises(InvalidKeyError):
+        b.get(("zzz",))
+    with pytest.raises(InvalidKeyError):
+        b.remove_key(("zzz",))
+
+
+def test_hadoop_backend_composite_keys_prefix_and_escaping(spark, tmp_path):
+    b = _hadoop_backend(spark, tmp_path, key_length=2,
+                        filepath_template="{0}/{1}.json")
+    b.set(("suite_a", "run1"), "1")
+    b.set(("suite_a", "run2"), "2")
+    b.set(("suite_b", "run1"), "3")
+    assert b.list_keys(("suite_a",)) == [
+        ("suite_a", "run1"), ("suite_a", "run2")]
+    assert b.list_keys(("suite_a", "run1")) == [("suite_a", "run1")]
+    # characters hostile to Hadoop Path parsing round-trip via the
+    # percent-encoding: colon (URI scheme), slash, percent, space
+    hostile = ("s:uite/100%", "run id:2024/01")
+    b.set(hostile, "payload")
+    assert b.get(hostile) == "payload"
+    assert hostile in b.list_keys()
+    b.remove_key(hostile)
+    assert hostile not in b.list_keys()
+
+
+def test_hadoop_backend_unicode_and_large_values(spark, tmp_path):
+    b = _hadoop_backend(spark, tmp_path)
+    big = "χ² " * 50_000  # multi-byte utf-8, > one 64 KiB copy buffer
+    b.set(("big",), big)
+    assert b.get(("big",)) == big
+
+
+def test_hadoop_backend_template_validation_shared(spark, tmp_path):
+    from great_expectations_spark.stores import (
+        TupleHadoopFilesystemStoreBackend,
+    )
+
+    with pytest.raises(StoreBackendError):
+        TupleHadoopFilesystemStoreBackend(
+            f"file://{tmp_path}/bad", key_length=2,
+            filepath_template="{0}{1}.json", spark=spark)
+
+
+def test_data_context_uri_root_end_to_end(spark, tmp_path):
+    """DataContext accepts a URI root: suites, validations, metrics and
+    evaluation parameters all land under the Hadoop-backed stores and
+    read back identically."""
+    from great_expectations_spark.context import DataContext
+
+    ctx = DataContext(f"file://{tmp_path}/ctx")
+    suite = ExpectationSuite(name="web").add(
+        "expect_column_values_to_not_be_null", column="url")
+    ctx.add_suite(suite)
+    assert ctx.list_suite_names() == ["web"]
+    assert ctx.get_suite("web").to_json() == suite.to_json()
+
+    res = _suite_result("web")
+    ctx.validations.set(("web", "run-1"), res)
+    assert ctx.validations.runs_for_suite("web") == ["run-1"]
+    assert ctx.validations.get(("web", "run-1")).to_json() == res.to_json()
+
+    stored = ctx.evaluation_parameters.store_suite_result(res, "run-1")
+    assert stored == 2
+    urns = ctx.evaluation_parameters.bind_latest_params()
+    assert any("web:expect_column_mean_to_be_between" in u for u in urns)
+
+    # the store layout is plain files a plain reader can see
+    assert (tmp_path / "ctx" / "expectations" / "web.json").is_file()
