@@ -623,14 +623,17 @@ def main() -> None:
     # sf1-scale stress numbers (tools/bench_sf1.py — multi-minute run over
     # a ~200-400x synthetic corpus, measured out-of-band and embedded here
     # with its own wall-clock timestamp so the driver bench line carries
-    # them without re-paying the run)
+    # them without re-paying the run). source_round labels WHICH round's
+    # out-of-band run produced the block — these are NOT re-measured at
+    # this bench invocation's HEAD.
     sf1_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "bench_results", "sf1_stress_r3.json")
     if os.path.exists(sf1_path):
         try:
             with open(sf1_path) as fh:
-                out["sf1_stress"] = json.load(fh)
+                out["sf1_stress"] = {"source_round": 3,
+                                     "carried_over": True, **json.load(fh)}
         except Exception:
             pass
     print(json.dumps(out))
