@@ -602,7 +602,8 @@ def render_history_docs(
     return path
 
 
-def render_profile_docs(profile_df, docs_dir: str, table_name: str) -> str:
+def render_profile_docs(profile_df, docs_dir: str, table_name: str,
+                        details: dict | None = None) -> str:
     """Render a ``profiler.profile()`` result to a static HTML page — the
     engine-sized subset of the reference's ProfilingResultsPageRenderer +
     ProfilingResultsOverviewSectionRenderer
@@ -612,6 +613,11 @@ def render_profile_docs(profile_df, docs_dir: str, table_name: str) -> str:
     overview section renders, and one stats row per column (type,
     null fraction, approx-distinct + cardinality band, numeric
     min/max/mean/stddev, datetime range, string/binary length stats).
+
+    ``details`` (from ``profiler.profile_details``) additionally renders
+    one SECTION per column — properties, common-value bars, histogram
+    bars — the reference's ProfilingResultsColumnSectionRenderer
+    (render/renderer/column_section_renderer.py:33) re-expressed.
 
     ``profile_df`` is the one-row-per-COLUMN frame ``profiler.profile``
     returns (collected here — driver transfer bounded by schema width) or
@@ -665,6 +671,65 @@ def render_profile_docs(profile_df, docs_dir: str, table_name: str) -> str:
             f"<td>{extra}</td>"
             "</tr>")
 
+    # per-column sections (column_section_renderer.py:33) — properties
+    # from the overview row, plus common-value / histogram bars when the
+    # caller supplies profile_details()
+    col_sections: list[str] = []
+    if details is not None:
+        def bar(count: int, biggest: int, label: str) -> str:
+            pct = max(2, round(100 * count / biggest)) if biggest else 0
+            return (f"<tr><td>{label}</td><td>{count}</td>"
+                    f"<td><div style='background:#69c;height:0.8em;"
+                    f"width:{pct}%'></div></td></tr>")
+
+        for r in rows:
+            c = r["column"]
+            props = [("type", r["dtype"]), ("kind", r["kind"]),
+                     ("null fraction", num(r["null_fraction"]))]
+            if r["approx_distinct"] is not None:
+                props.append(("≈distinct",
+                              f"{r['approx_distinct']} "
+                              f"({r['cardinality_band'] or ''})"))
+            if r["kind"] == "numeric":
+                props += [("min", num(r["min"])), ("max", num(r["max"])),
+                          ("mean", num(r["mean"])),
+                          ("stddev", num(r["stddev"]))]
+            elif r["kind"] == "datetime":
+                props += [("min", r["min_ts"] or ""),
+                          ("max", r["max_ts"] or "")]
+            elif r["kind"] in ("string", "binary"):
+                props += [("min length", num(r["min_len"])),
+                          ("max length", num(r["max_len"])),
+                          ("avg length", num(r["avg_len"], 1))]
+            prop_rows = "".join(
+                f"<tr><td>{_html.escape(str(k))}</td>"
+                f"<td>{_html.escape(str(v))}</td></tr>" for k, v in props)
+            parts = [f"<section><h3><code>{_html.escape(c)}</code></h3>"
+                     f"<table>{prop_rows}</table>"]
+            d = details.get(c) or {}
+            tv = d.get("top_values")
+            if tv:
+                biggest = max(n for _v, n in tv)
+                parts.append(
+                    "<h4>common values</h4><table>"
+                    + "".join(bar(n, biggest,
+                                  _html.escape(str(v))) for v, n in tv)
+                    + "</table>")
+            hist = d.get("histogram")
+            if hist:
+                biggest = max(hist["counts"]) if hist["counts"] else 0
+                labels = [
+                    f"[{num(hist['edges'][i], 3)}, {num(hist['edges'][i + 1], 3)}"
+                    + ("]" if i == len(hist["counts"]) - 1 else ")")
+                    for i in range(len(hist["counts"]))]
+                parts.append(
+                    "<h4>histogram</h4><table>"
+                    + "".join(bar(n, biggest, _html.escape(lbl))
+                              for lbl, n in zip(labels, hist["counts"]))
+                    + "</table>")
+            parts.append("</section>")
+            col_sections.append("".join(parts))
+
     html = (
         "<!doctype html><meta charset='utf-8'>"
         f"<title>Profile — {_html.escape(table_name)}</title>"
@@ -677,7 +742,8 @@ def render_profile_docs(profile_df, docs_dir: str, table_name: str) -> str:
         "<section><h3>columns</h3>"
         "<table><tr><th>column</th><th>type</th><th>kind</th>"
         "<th>null frac</th><th>≈distinct (band)</th><th>range</th>"
-        "<th></th></tr>" + "".join(body) + "</table></section>")
+        "<th></th></tr>" + "".join(body) + "</table></section>"
+        + "".join(col_sections))
     path = os.path.join(docs_dir, f"profile__{table_name}.html")
     with open(path, "w") as f:
         f.write(html)

@@ -129,6 +129,82 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     return spark.createDataFrame(out, schema)
 
 
+def profile_details(
+    df: DataFrame,
+    profile_rows: list | None = None,
+    top_k: int = 10,
+    max_set_card: int = 1000,
+    bins: int = 8,
+) -> dict[str, dict]:
+    """Per-column drill-down for the profiling column sections — the data
+    behind the reference's ProfilingResultsColumnSectionRenderer
+    (render/renderer/column_section_renderer.py:33: "Example Values" /
+    common-value bars and histograms per column).
+
+    Two jobs regardless of column count:
+      * ONE unioned top-k value-counts frame covering every column whose
+        approx-distinct stays under ``max_set_card`` (each branch is its
+        own bounded groupBy+limit; one collect);
+      * ONE fused ``df.agg`` of conditional-sum histogram bins for every
+        numeric column with a non-degenerate [min, max] (the KL/histogram
+        agg convention — no per-column scan).
+
+    Returns {column: {"top_values": [(value_str, count), ...],
+    "histogram": {"edges": [...], "counts": [...]}}} — feed to
+    ``actions.render_profile_docs(details=...)``.
+    """
+    rows = profile_rows if profile_rows is not None else profile(df).collect()
+    rows = [r if isinstance(r, dict) else r.asDict() for r in rows]
+    out: dict[str, dict] = {}
+
+    vc_cols = [r["column"] for r in rows
+               if r["approx_distinct"] is not None
+               and 0 < r["approx_distinct"] <= max_set_card]
+    if vc_cols:
+        branches = []
+        for c in vc_cols:
+            branches.append(
+                df.where(F.col(c).isNotNull())
+                .groupBy(F.col(c).cast("string").alias("v"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n").desc(), F.col("v").asc())
+                .limit(top_k)
+                .select(F.lit(c).alias("c"), "v", "n"))
+        union = branches[0]
+        for b in branches[1:]:
+            union = union.unionByName(b)
+        for r in union.collect():
+            out.setdefault(r["c"], {}).setdefault("top_values", []).append(
+                (r["v"], int(r["n"])))
+        for c in out:
+            out[c]["top_values"].sort(key=lambda t: (-t[1], t[0]))
+
+    hist_specs = [(r["column"], float(r["min"]), float(r["max"]))
+                  for r in rows
+                  if r["kind"] == "numeric" and r["min"] is not None
+                  and r["max"] is not None and r["min"] < r["max"]]
+    if hist_specs:
+        aggs = []
+        edges_by_col: dict[str, list[float]] = {}
+        for c, lo, hi in hist_specs:
+            edges = [lo + (hi - lo) * i / bins for i in range(bins + 1)]
+            edges_by_col[c] = edges
+            col = F.col(c)
+            for i in range(bins):
+                upper = (col <= F.lit(edges[i + 1])) if i == bins - 1 \
+                    else (col < F.lit(edges[i + 1]))
+                aggs.append(F.sum(
+                    ((col >= F.lit(edges[i])) & upper).cast("long")
+                ).alias(f"__h__{c}__{i}"))
+        hrow = df.agg(*aggs).first()
+        for c, _lo, _hi in hist_specs:
+            out.setdefault(c, {})["histogram"] = {
+                "edges": edges_by_col[c],
+                "counts": [int(hrow[f"__h__{c}__{i}"] or 0)
+                           for i in range(bins)]}
+    return out
+
+
 # ---- format inference (reference parity) -----------------------------------
 # rule_based_profiler/parameter_builder/regex_pattern_string_parameter_builder
 # .py:42 (CANDIDATE_REGEX) and simple_date_format_string_parameter_builder

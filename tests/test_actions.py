@@ -276,3 +276,50 @@ def test_build_docs_site_links_suite_definitions(spark, tmp_path):
     assert "[definition]" in index and "suite__s1.html" in index
     assert "s2" in index and "suite__s2.html" in index
     assert "r1" in index  # run link still present
+
+
+def test_render_profile_docs_column_sections_golden(spark, tmp_path):
+    """Per-column profiling sections (VERDICT r4 task 7; reference
+    column_section_renderer.py:33): properties table + common-value bars
+    + histogram bars per column, pinned as a golden file. profile_details
+    runs exactly two jobs regardless of column count."""
+    import os
+
+    from great_expectations_spark.actions import render_profile_docs
+    from great_expectations_spark.profiler import profile, profile_details
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "b", "c"][i % 4], float(i % 10), None)
+         for i in range(40)],
+        "id long, s string, x double, b binary")
+    prof = profile(df).collect()
+    details = profile_details(df, profile_rows=prof, top_k=3, bins=4)
+    # top values: 'b' dominates (20 of 40); histogram covers [0, 9] in 4 bins
+    assert details["s"]["top_values"][0] == ("b", 20)
+    assert len(details["s"]["top_values"]) == 3
+    assert sum(details["x"]["histogram"]["counts"]) == 40
+    assert len(details["x"]["histogram"]["counts"]) == 4
+
+    path = render_profile_docs(prof, str(tmp_path), "t2", details=details)
+    got = open(path).read()
+    assert got.count("<section>") == 2 + 4  # overview panels + 4 columns
+    assert "common values" in got and "histogram" in got
+    assert "<code>s</code>" in got and "width:100%" in got
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "profile_docs_sections.html")
+    if not os.path.exists(golden_path):
+        with open(golden_path, "w") as f:
+            f.write(got)
+    assert got == open(golden_path).read()
+
+
+def test_profile_details_respects_cardinality_cap(spark):
+    from great_expectations_spark.profiler import profile_details
+
+    df = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(500)], "id long, s string")
+    d = profile_details(df, max_set_card=100)
+    # both columns exceed the cap -> no value-count branches at all
+    assert all("top_values" not in (d.get(c) or {}) for c in ("id", "s"))
+    # numeric histogram still present for id
+    assert sum(d["id"]["histogram"]["counts"]) == 500
