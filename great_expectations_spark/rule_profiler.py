@@ -697,13 +697,23 @@ def _resolve_parameters(
                     # real batches: one per-batch value per resolved batch
                     # (reference metric_multi_batch_parameter_builder.py
                     # resolves the metric for every Batch), riding the
-                    # shared groupBy(batch_key)
+                    # shared groupBy(batch_key). Metrics with no per-chunk
+                    # aggregate form (value_counts, histogram, ...) keep
+                    # the single-batch degradation instead of erroring.
                     dk = domain_kwargs_for(pb, domain, rule_vars)
                     metric = pb["metric_name"]
+                    try:
+                        agg = _chunk_agg(metric, dk)
+                    except ValueError:
+                        alias = f"m{len(metric_requests)}"
+                        vk = pb.get("metric_value_kwargs") or {}
+                        metric_requests[alias] = (metric, {**dk, **vk})
+                        metric_sinks.append((key, name, alias, cls))
+                        continue
                     plan_key = plan_for(rule_spec, 0, "")
                     plan = chunk_plans[plan_key]
                     alias = f"c{len(plan['aggs'])}"
-                    plan["aggs"][alias] = _chunk_agg(metric, dk).alias(alias)
+                    plan["aggs"][alias] = agg.alias(alias)
                     chunk_sinks.append((key, name, plan_key, alias, {
                         "mode": "multibatch_values",
                         "metric_name": metric,

@@ -626,3 +626,32 @@ def test_batch_key_expr_splitter_family(spark, events):
             assert n == expect_n, (spec, n)
     with pytest.raises(ValueError):
         batch_key_expr(events, {"splitter": "nope", "column": "ts"})
+
+
+def test_metric_multibatch_nonaggregable_falls_back_single_batch(spark, events):
+    """Under a real batch_spec, a MetricMultiBatch metric with no
+    per-chunk aggregate form (column.value_counts) degrades to the
+    single-batch value instead of erroring, while aggregable siblings in
+    the same rule still resolve per batch."""
+    cfg = {
+        "name": "fb", "config_version": 1.0,
+        "batch_spec": {"splitter": "date_part", "column": "ts",
+                       "part": "day"},
+        "rules": {"r": {
+            "domain_builder": {"class_name": "ColumnDomainBuilder",
+                               "include_column_names": ["event_type"]},
+            "parameter_builders": [
+                {"name": "vc",
+                 "class_name": "MetricMultiBatchParameterBuilder",
+                 "metric_name": "column.value_counts",
+                 "metric_domain_kwargs": "$domain.domain_kwargs"},
+                {"name": "daily_n",
+                 "class_name": "MetricMultiBatchParameterBuilder",
+                 "metric_name": "table.row_count",
+                 "metric_domain_kwargs": "$domain.domain_kwargs"}],
+            "expectation_configuration_builders": []}}}
+    res = run_rule_based_profiler(events, cfg)
+    p = res.parameters["r"]["event_type"]
+    assert p["vc"]["details"]["num_batches"] == 1  # single-batch fallback
+    assert sum(n for _v, n in p["vc"]["value"][0]) <= events.count()
+    assert p["daily_n"]["details"]["num_batches"] == 30  # real batches
