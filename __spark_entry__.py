@@ -456,6 +456,83 @@ def _q9b(spark, sf):
     return spark.createDataFrame(rows, "expectation string, value string, cnt long")
 
 
+@_q("fused_ntz_violations", """
+WITH v AS (SELECT ts FROM events WHERE ts > TIMESTAMP '2024-01-30 20:00:00')
+SELECT CASE WHEN strftime(ts, '%f') = '000000'
+            THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+            ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') END AS value
+FROM v
+UNION ALL
+SELECT '__count__=' || CAST(count(*) AS VARCHAR) FROM v
+""")
+def _q9c(spark, sf):
+    """timestamp_ntz rides the FUSED violation pass (round-5 closing cell
+    of the typed-encoding matrix, validator.py _fuse_encode): events.ts
+    cast to ntz, a between expectation violated by the final hours of the
+    crawl, COMPLETE list through the shared fused scan — every wall-clock
+    value byte-compared against DuckDB's naive-timestamp rendering at
+    full microsecond precision."""
+    from great_expectations_spark.plans.compiler import Options
+
+    df = _tbl(spark, sf, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz"))
+    suite = (
+        ExpectationSuite(name="ntz")
+        .add("expect_column_values_to_be_between",
+             column="ts", max_value="2024-01-30T20:00:00", mostly=0.01)
+        .add("expect_column_values_to_be_between",
+             column="value", max_value=-1.0, mostly=0.001)
+    )
+    res = validate(df, suite, result_format="COMPLETE",
+                   options=Options(fuse_violations=True))
+    vals = res.results[0].result["unexpected_list"]
+    rows = [(v,) for v in vals] + [(f"__count__={len(vals)}",)]
+    return spark.createDataFrame(rows, "value string")
+
+
+@_q("profile_details_documents", """
+WITH stats AS (
+  SELECT CAST(min(n_chars) AS DOUBLE) AS lo, CAST(max(n_chars) AS DOUBLE) AS hi
+  FROM documents
+),
+bins AS (
+  SELECT CAST(t.range AS INT) AS i,
+         lo + (hi - lo) * t.range / 4 AS e0,
+         lo + (hi - lo) * (t.range + 1) / 4 AS e1
+  FROM stats, range(4) t
+)
+SELECT 'n_chars_bin' AS kind, CAST(i AS VARCHAR) AS label,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents d
+        WHERE d.n_chars >= e0
+          AND (CASE WHEN i = 3 THEN d.n_chars <= e1
+                    ELSE d.n_chars < e1 END)) AS cnt
+FROM bins
+UNION ALL
+SELECT 'lang_top', v, n FROM (
+  SELECT lang AS v, CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE lang IS NOT NULL
+  GROUP BY lang ORDER BY n DESC, v ASC LIMIT 3)
+""")
+def _q9d(spark, sf):
+    """profile_details drill-down (round 5; reference
+    column_section_renderer.py:33 common-value bars + histograms): the
+    bounded top-k value counts for lang (ties broken count-desc then
+    value-asc, exactly the union-branch ordering) and the 4-bin
+    equal-width n_chars histogram (same float edge arithmetic both
+    sides) replayed in DuckDB."""
+    from great_expectations_spark.profiler import profile, profile_details
+
+    docs = _tbl(spark, sf, "documents")
+    prof = profile(docs).collect()
+    d = profile_details(docs, profile_rows=prof, top_k=3, bins=4)
+    rows = []
+    for i, n in enumerate(d["n_chars"]["histogram"]["counts"]):
+        rows.append(("n_chars_bin", str(i), n))
+    for v, n in d["lang"]["top_values"]:
+        rows.append(("lang_top", v, n))
+    return spark.createDataFrame(rows, "kind string, label string, cnt long")
+
+
 # ---- uniqueness -------------------------------------------------------------
 
 _UNIQ_ORACLE = """
