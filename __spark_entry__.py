@@ -1431,13 +1431,19 @@ FROM documents""")
     for c in numeric:
         chunks = (
             f"(SELECT min({c}) AS m0, max({c}) AS m1, avg({c}) AS m2, "
-            f"quantile_cont({c}, 0.5) AS m3 FROM documents "
+            f"quantile_cont({c}, 0.5) AS m3, "
+            f"quantile_cont({c}, 0.25) AS m4, "
+            f"quantile_cont({c}, 0.75) AS m5 FROM documents "
             f"GROUP BY ('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15))"
             f"::BIGINT % 8)")
-        for etype, m in (("expect_column_min_to_be_between", "m0"),
-                         ("expect_column_max_to_be_between", "m1"),
-                         ("expect_column_mean_to_be_between", "m2"),
-                         ("expect_column_median_to_be_between", "m3")):
+        for etype, m in (
+                ("expect_column_min_to_be_between", "m0"),
+                ("expect_column_max_to_be_between", "m1"),
+                ("expect_column_mean_to_be_between", "m2"),
+                ("expect_column_median_to_be_between", "m3"),
+                ("expect_column_quantile_values_to_be_between__0.25", "m4"),
+                ("expect_column_quantile_values_to_be_between__0.5", "m3"),
+                ("expect_column_quantile_values_to_be_between__0.75", "m5")):
             parts.append(f"""
 SELECT '{etype}', '{c}', round(min({m}), 6), round(max({m}), 6), NULL
 FROM {chunks} WHERE {m} IS NOT NULL""")
@@ -1497,6 +1503,10 @@ def _rbp3(spark, sf):
         elif t in _RANGES:
             rows.append((t, k["column"], r6(k["min_value"]),
                          r6(k["max_value"]), None))
+        elif t == "expect_column_quantile_values_to_be_between":
+            qr = k["quantile_ranges"]
+            for q, (lo, hi) in zip(qr["quantiles"], qr["value_ranges"]):
+                rows.append((f"{t}__{q}", k["column"], r6(lo), r6(hi), None))
         elif t == "expect_column_values_to_be_in_set":
             rows.append((t, k["column"], None, None,
                          "|".join(str(v) for v in k["value_set"])))

@@ -164,6 +164,12 @@ def onboarding_profiler_config(
              "mostly": mostly}],
     }
     if numeric:
+        q25 = _range_builder("q25_range", "column.quantile", estimator,
+                             false_positive_rate, n_chunks)
+        q25["metric_value_kwargs"] = {"quantile": 0.25}
+        q75 = _range_builder("q75_range", "column.quantile", estimator,
+                             false_positive_rate, n_chunks)
+        q75["metric_value_kwargs"] = {"quantile": 0.75}
         rules["numeric_columns_rule"] = {
             "domain_builder": {"class_name": "ColumnDomainBuilder",
                                "include_column_names": numeric},
@@ -176,6 +182,7 @@ def onboarding_profiler_config(
                                false_positive_rate, n_chunks),
                 _range_builder("median_range", "column.median", estimator,
                                false_positive_rate, n_chunks),
+                q25, q75,
                 _range_builder("stdev_range", "column.standard_deviation",
                                estimator, false_positive_rate, n_chunks)],
             "expectation_configuration_builders": [
@@ -195,6 +202,23 @@ def onboarding_profiler_config(
                  "column": "$domain.domain_kwargs.column",
                  "min_value": "$parameter.median_range.value[0]",
                  "max_value": "$parameter.median_range.value[1]"},
+                # reference numeric rule's quantile ranges
+                # (onboarding_data_assistant.py:298): each whole-table
+                # quantile lies inside its per-batch envelope (the same
+                # order-statistic argument as the median), so this
+                # validates green on the profiled data
+                {"expectation_type":
+                     "expect_column_quantile_values_to_be_between",
+                 "column": "$domain.domain_kwargs.column",
+                 "quantile_ranges": {
+                     "quantiles": [0.25, 0.5, 0.75],
+                     "value_ranges": [
+                         ["$parameter.q25_range.value[0]",
+                          "$parameter.q25_range.value[1]"],
+                         ["$parameter.median_range.value[0]",
+                          "$parameter.median_range.value[1]"],
+                         ["$parameter.q75_range.value[0]",
+                          "$parameter.q75_range.value[1]"]]}},
                 # whole-column bounds from the min/max envelopes
                 {"expectation_type": "expect_column_values_to_be_between",
                  "column": "$domain.domain_kwargs.column",

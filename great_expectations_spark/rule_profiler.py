@@ -476,6 +476,17 @@ def _eval_condition(cond: str, variables: dict, domain: _Domain,
 def _chunk_agg(metric: str, kw: dict[str, Any]) -> Column:
     c = kw.get("column")
     col = F.col(c) if c else None
+
+    def one_quantile():
+        # "column.quantile" with metric_value_kwargs {"quantile": p}: one
+        # scalar per batch, so a NumericMetricRange builder can envelope
+        # any quantile, not just the median (the reference numeric rule's
+        # quantile ranges, onboarding_data_assistant.py:298)
+        p = float(kw["quantile"])
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"quantile must be in [0, 1], got {p}")
+        return F.percentile(col, F.lit(p))
+
     table = {
         "table.row_count": lambda: F.count(F.lit(1)),
         "column.min": lambda: F.min(col),
@@ -483,6 +494,7 @@ def _chunk_agg(metric: str, kw: dict[str, Any]) -> Column:
         "column.mean": lambda: F.avg(col),
         "column.sum": lambda: F.sum(col),
         "column.median": lambda: F.expr(f"percentile({c}, 0.5)"),
+        "column.quantile": one_quantile,
         "column.standard_deviation": lambda: F.stddev_samp(col),
         "column.distinct_values.count": lambda: F.count_distinct(col),
     }
@@ -703,7 +715,9 @@ def _resolve_parameters(
                     dk = domain_kwargs_for(pb, domain, rule_vars)
                     metric = pb["metric_name"]
                     try:
-                        agg = _chunk_agg(metric, dk)
+                        agg = _chunk_agg(
+                            metric,
+                            {**dk, **(pb.get("metric_value_kwargs") or {})})
                     except ValueError:
                         alias = f"m{len(metric_requests)}"
                         vk = pb.get("metric_value_kwargs") or {}
@@ -738,7 +752,10 @@ def _resolve_parameters(
                     plan_key = plan_for(spec, n_chunks, chunk_by)
                     plan = chunk_plans[plan_key]
                     alias = f"c{len(plan['aggs'])}"
-                    plan["aggs"][alias] = _chunk_agg(metric, dk).alias(alias)
+                    plan["aggs"][alias] = _chunk_agg(
+                        metric,
+                        {**dk, **(pb.get("metric_value_kwargs") or {})}
+                    ).alias(alias)
                     chunk_sinks.append((key, name, plan_key, alias, {
                         "mode": "range",
                         "estimator": pb.get("estimator", "bootstrap"),

@@ -655,3 +655,45 @@ def test_metric_multibatch_nonaggregable_falls_back_single_batch(spark, events):
     assert p["vc"]["details"]["num_batches"] == 1  # single-batch fallback
     assert sum(n for _v, n in p["vc"]["value"][0]) <= events.count()
     assert p["daily_n"]["details"]["num_batches"] == 30  # real batches
+
+
+def test_quantile_chunk_metric_range(spark, events):
+    """column.quantile with metric_value_kwargs {"quantile": p}: a
+    NumericMetricRange builder envelopes ANY quantile (reference numeric
+    rule's quantile ranges); exact estimator over real day batches =
+    [min, max] of per-day type-7 quantiles."""
+    cfg = {
+        "name": "q", "config_version": 1.0,
+        "batch_spec": {"splitter": "date_part", "column": "ts",
+                       "part": "day"},
+        "rules": {"r": {
+            "domain_builder": {"class_name": "ColumnDomainBuilder",
+                               "include_column_names": ["value"]},
+            "parameter_builders": [
+                {"name": "q25",
+                 "class_name": "NumericMetricRangeMultiBatchParameterBuilder",
+                 "metric_name": "column.quantile",
+                 "metric_value_kwargs": {"quantile": 0.25},
+                 "metric_domain_kwargs": "$domain.domain_kwargs",
+                 "estimator": "exact"}],
+            "expectation_configuration_builders": []}}}
+    res = run_rule_based_profiler(events, cfg)
+    lo, hi = res.parameters["r"]["value"]["q25"]["value"]
+    per_day = (events.groupBy(F.dayofmonth("ts"))
+               .agg(F.percentile("value", F.lit(0.25)).alias("q")).collect())
+    qs = [r["q"] for r in per_day]
+    assert lo == pytest.approx(min(qs)) and hi == pytest.approx(max(qs))
+    with pytest.raises(ValueError):
+        run_rule_based_profiler(events, {
+            "name": "bad", "config_version": 1.0,
+            "rules": {"r": {
+                "domain_builder": {"class_name": "ColumnDomainBuilder",
+                                   "include_column_names": ["value"]},
+                "parameter_builders": [
+                    {"name": "q",
+                     "class_name":
+                         "NumericMetricRangeMultiBatchParameterBuilder",
+                     "metric_name": "column.quantile",
+                     "metric_value_kwargs": {"quantile": 1.5},
+                     "metric_domain_kwargs": "$domain.domain_kwargs"}],
+                "expectation_configuration_builders": []}}})
