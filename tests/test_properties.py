@@ -200,3 +200,41 @@ class TestFusedPathProperties:
             assert (a is None) == (b is None)
             if a is not None:
                 assert b == pytest.approx(a, abs=2e-6)
+
+
+class TestConditionGrammar:
+    """rule_profiler condition grammar: '&' and '|' share ONE
+    left-associative precedence level (the reference's single
+    infixNotation tier) — pinned against a brute-force left fold over
+    randomly generated boolean expressions with parentheses."""
+
+    @given(st.data())
+    @settings(max_examples=200, deadline=None)
+    def test_single_precedence_matches_left_fold(self, data):
+        from great_expectations_spark.rule_profiler import _eval_condition
+
+        def operand(depth):
+            # an operand inside a chain must be an atom or parenthesized
+            # — an unparenthesized sub-chain would flatten into the outer
+            # chain and change the tree the reference value was folded on
+            kind = data.draw(st.sampled_from(
+                ["atom", "paren"] if depth < 4 else ["atom"]))
+            if kind == "atom":
+                b = data.draw(st.booleans())
+                return (f"$variables.{'t' if b else 'f'} == 1", b)
+            s, v = gen(depth + 1)
+            return (f"({s})", v)
+
+        def gen(depth):
+            n = data.draw(st.integers(min_value=0, max_value=4))
+            s, v = operand(depth)
+            for _ in range(n):
+                op = data.draw(st.sampled_from(["&", "|"]))
+                s2, v2 = operand(depth)
+                s = f"{s} {op} {s2}"
+                v = (v and v2) if op == "&" else (v or v2)  # left fold
+            return (s, v)
+
+        cond, want = gen(0)
+        got = _eval_condition(cond, {"t": 1, "f": 0}, None, {})
+        assert got == want, cond
