@@ -1429,12 +1429,15 @@ SELECT 'expect_column_value_lengths_to_be_between', '{c}',
        NULL
 FROM documents""")
     for c in numeric:
+        # every numeric builder shares ONE pseudo-chunk key — md5 of the
+        # first profiled column (doc_id) — so the whole numeric rule is a
+        # single groupBy (data_assistant.py scale note)
         chunks = (
             f"(SELECT min({c}) AS m0, max({c}) AS m1, avg({c}) AS m2, "
             f"quantile_cont({c}, 0.5) AS m3, "
             f"quantile_cont({c}, 0.25) AS m4, "
             f"quantile_cont({c}, 0.75) AS m5 FROM documents "
-            f"GROUP BY ('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15))"
+            f"GROUP BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
             f"::BIGINT % 8)")
         for etype, m in (
                 ("expect_column_min_to_be_between", "m0"),

@@ -164,27 +164,31 @@ def onboarding_profiler_config(
              "mostly": mostly}],
     }
     if numeric:
-        q25 = _range_builder("q25_range", "column.quantile", estimator,
-                             false_positive_rate, n_chunks)
-        q25["metric_value_kwargs"] = {"quantile": 0.25}
-        q75 = _range_builder("q75_range", "column.quantile", estimator,
-                             false_positive_rate, n_chunks)
-        q75["metric_value_kwargs"] = {"quantile": 0.75}
+        def rb(name, metric, vk=None):
+            b = _range_builder(name, metric, estimator,
+                               false_positive_rate, n_chunks)
+            if vk:
+                b["metric_value_kwargs"] = vk
+            if batch_spec is None:
+                # ONE shared pseudo-chunk key for every (column × statistic)
+                # — without it each column's builders would default
+                # chunk_by to the column itself, one full-table shuffle
+                # PER COLUMN; with it (or with a real batch_spec) the
+                # whole numeric rule is a single groupBy
+                b["chunk_by"] = all_cols[0]
+            return b
+
         rules["numeric_columns_rule"] = {
             "domain_builder": {"class_name": "ColumnDomainBuilder",
                                "include_column_names": numeric},
             "parameter_builders": [
-                _range_builder("min_range", "column.min", estimator,
-                               false_positive_rate, n_chunks),
-                _range_builder("max_range", "column.max", estimator,
-                               false_positive_rate, n_chunks),
-                _range_builder("mean_range", "column.mean", estimator,
-                               false_positive_rate, n_chunks),
-                _range_builder("median_range", "column.median", estimator,
-                               false_positive_rate, n_chunks),
-                q25, q75,
-                _range_builder("stdev_range", "column.standard_deviation",
-                               estimator, false_positive_rate, n_chunks)],
+                rb("min_range", "column.min"),
+                rb("max_range", "column.max"),
+                rb("mean_range", "column.mean"),
+                rb("median_range", "column.median"),
+                rb("q25_range", "column.quantile", {"quantile": 0.25}),
+                rb("q75_range", "column.quantile", {"quantile": 0.75}),
+                rb("stdev_range", "column.standard_deviation")],
             "expectation_configuration_builders": [
                 {"expectation_type": "expect_column_min_to_be_between",
                  "column": "$domain.domain_kwargs.column",
@@ -367,9 +371,14 @@ def volume_profiler_config(
             "domain_builder": {"class_name": "ColumnDomainBuilder",
                                "include_column_names": cols},
             "parameter_builders": [
-                _range_builder("distinct_range",
-                               "column.distinct_values.count",
-                               estimator, false_positive_rate, n_chunks)],
+                {**_range_builder("distinct_range",
+                                  "column.distinct_values.count",
+                                  estimator, false_positive_rate, n_chunks),
+                 # shared pseudo-chunk key: one groupBy for every column's
+                 # per-chunk distinct counts (same scale note as the
+                 # onboarding numeric rule)
+                 **({} if batch_spec is not None
+                    else {"chunk_by": cols[0]})}],
             "expectation_configuration_builders": [
                 # chunk-wise distinct counts under-shoot the whole-table
                 # count (chunks split value groups), so only the emitted

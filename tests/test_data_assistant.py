@@ -141,3 +141,19 @@ def test_volume_assistant_green_and_bounded(spark, pages):
         whole = df.select(c).distinct().count()
         assert got[c]["max_value"] == whole
         assert got[c]["min_value"] <= whole
+
+
+def test_onboarding_numeric_rule_shares_one_chunk_plan(spark):
+    """Without a batch_spec every numeric column's range builders share
+    ONE md5 pseudo-chunk key (the first profiled column) — one groupBy
+    for the whole numeric rule instead of one full-table shuffle per
+    column (the 100-TB scale shape)."""
+    df = spark.createDataFrame(
+        [(i, float(i % 7), float(i % 11), i % 13) for i in range(200)],
+        "id bigint, a double, b double, c bigint")
+    res = run_onboarding_assistant(df)
+    labels = {
+        res.parameters["numeric_columns_rule"][col]["mean_range"][
+            "details"]["batching"]
+        for col in ("id", "a", "b", "c")}
+    assert labels == {"md5(id)%8"}
