@@ -88,6 +88,7 @@ def onboarding_profiler_config(
     batch_spec: dict | None = None,
     max_null_ratio: float = 0.05,
     format_threshold: float = 0.9,
+    format_sample_mod: int | None = None,
 ) -> dict[str, Any]:
     """The OnboardingDataAssistant's rules as one declarative config
     (reference onboarding_data_assistant.py:91-165 builds the same eight
@@ -264,14 +265,22 @@ def onboarding_profiler_config(
                  "class_name": "MetricSingleBatchParameterBuilder",
                  "metric_name": "column_values.length_max",
                  "metric_domain_kwargs": "$domain.domain_kwargs"},
+                # format_sample_mod: candidate evaluation is per-row
+                # Python work (strftime mask = pandas UDF) — at crawl
+                # scale run it on a deterministic 1/mod sample; ratios,
+                # not exact counts, drive the emission
                 {"name": "date_format",
                  "class_name": "SimpleDateFormatStringParameterBuilder",
                  "metric_domain_kwargs": "$domain.domain_kwargs",
-                 "threshold": format_threshold},
+                 "threshold": format_threshold,
+                 **({"sample_mod": format_sample_mod}
+                    if format_sample_mod else {})},
                 {"name": "regex",
                  "class_name": "RegexPatternStringParameterBuilder",
                  "metric_domain_kwargs": "$domain.domain_kwargs",
-                 "threshold": format_threshold}],
+                 "threshold": format_threshold,
+                 **({"sample_mod": format_sample_mod}
+                    if format_sample_mod else {})}],
             "expectation_configuration_builders": [
                 {"expectation_type":
                      "expect_column_value_lengths_to_be_between",

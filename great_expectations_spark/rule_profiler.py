@@ -768,24 +768,29 @@ def _resolve_parameters(
                         "n_chunks": n_chunks,
                         "chunk_by": chunk_by,
                     }))
-                elif cls == "SimpleDateFormatStringParameterBuilder":
+                elif cls in ("SimpleDateFormatStringParameterBuilder",
+                             "RegexPatternStringParameterBuilder"):
+                    fkind = ("strftime"
+                             if cls == "SimpleDateFormatStringParameterBuilder"
+                             else "regex")
                     dk = domain_kwargs_for(pb, domain, rule_vars)
-                    cands = tuple(pb.get("candidate_strings")
-                                  or CANDIDATE_STRFTIME)
+                    cands = tuple(
+                        pb.get("candidate_strings") or CANDIDATE_STRFTIME
+                        if fkind == "strftime"
+                        else pb.get("candidate_regexes") or CANDIDATE_REGEXES)
                     thr = float(pb.get("threshold", 1.0))
-                    fmt_plans.setdefault(("strftime", cands), set()).add(
+                    # optional deterministic 1/sample_mod row sample
+                    # (xxhash64 of the column value): candidate-format
+                    # evaluation is the one builder whose cost is per-row
+                    # PYTHON work (the strftime mask is a pandas UDF), so
+                    # at 10^12 rows it must run on a sample — format
+                    # detection needs ratios, not exact counts
+                    smod = pb.get("sample_mod")
+                    smod = int(smod) if smod else None
+                    fmt_plans.setdefault((fkind, cands, smod), set()).add(
                         dk["column"])
                     fmt_sinks.append(
-                        (key, name, "strftime", cands, dk["column"], thr))
-                elif cls == "RegexPatternStringParameterBuilder":
-                    dk = domain_kwargs_for(pb, domain, rule_vars)
-                    cands = tuple(pb.get("candidate_regexes")
-                                  or CANDIDATE_REGEXES)
-                    thr = float(pb.get("threshold", 1.0))
-                    fmt_plans.setdefault(("regex", cands), set()).add(
-                        dk["column"])
-                    fmt_sinks.append(
-                        (key, name, "regex", cands, dk["column"], thr))
+                        (key, name, fkind, cands, smod, dk["column"], thr))
                 elif cls == "ValueSetMultiBatchParameterBuilder":
                     dk = domain_kwargs_for(pb, domain, rule_vars)
                     alias = f"m{len(metric_requests)}"
@@ -890,16 +895,27 @@ def _resolve_parameters(
                 lo, hi = int(lo), int(hi)
         out[key][name] = {"value": [lo, hi], "details": details}
 
-    # pass 2c: one infer_formats per distinct candidate list
-    fmt_results: dict[tuple[str, tuple], dict] = {}
-    for (kind, cands), cols in fmt_plans.items():
-        fmt_results[(kind, cands)] = infer_formats(
-            df, sorted(cols),
+    # pass 2c: one infer_formats per distinct (candidate list, sample)
+    fmt_results: dict[tuple, dict] = {}
+    for (kind, cands, smod), cols in fmt_plans.items():
+        cols = sorted(cols)
+        src = df
+        if smod and smod > 1:
+            # deterministic 1/smod sample keyed on the evaluated columns'
+            # own values — every distinct value has the same inclusion
+            # probability, which is all a match RATIO needs
+            pred = None
+            for c in cols:
+                p = F.pmod(F.xxhash64(F.col(c)), F.lit(smod)) == 0
+                pred = p if pred is None else (pred | p)
+            src = df.where(pred)
+        fmt_results[(kind, cands, smod)] = infer_formats(
+            src, cols,
             candidate_regexes=list(cands) if kind == "regex" else [],
             candidate_strings=list(cands) if kind == "strftime" else [],
             threshold=0.0)  # thresholds applied per sink below
-    for key, name, kind, cands, col, thr in fmt_sinks:
-        info = fmt_results[(kind, cands)].get(col)
+    for key, name, kind, cands, smod, col, thr in fmt_sinks:
+        info = fmt_results[(kind, cands, smod)].get(col)
         section = (info or {}).get(kind, {})
         ratios = section.get("ratios", {})
         best, best_ratio = None, 0.0
@@ -909,8 +925,10 @@ def _resolve_parameters(
                 best, best_ratio = cand, ratio
         detail_key = ("candidate_strings" if kind == "strftime"
                       else "evaluated_regexes")
-        out[key][name] = {"value": best, "details": {
-            "success_ratio": best_ratio, detail_key: dict(ratios)}}
+        details = {"success_ratio": best_ratio, detail_key: dict(ratios)}
+        if smod:
+            details["sample_mod"] = smod
+        out[key][name] = {"value": best, "details": details}
     return out
 
 

@@ -157,3 +157,21 @@ def test_onboarding_numeric_rule_shares_one_chunk_plan(spark):
             "details"]["batching"]
         for col in ("id", "a", "b", "c")}
     assert labels == {"md5(id)%8"}
+
+
+def test_format_sample_mod_matches_exact_inference(spark, pages):
+    """format_sample_mod evaluates candidate formats on a deterministic
+    1/mod hash sample — the inferred format must agree with the exact
+    full-scan inference on homogeneous data, with the sample recorded in
+    the parameter details."""
+    df = pages.select("url", "lang")
+    exact = run_onboarding_assistant(df)
+    sampled = run_onboarding_assistant(df, format_sample_mod=7)
+    for col in ("url", "lang"):
+        e = exact.parameters["text_columns_rule"][col]["regex"]
+        s = sampled.parameters["text_columns_rule"][col]["regex"]
+        assert s["value"] == e["value"]
+        assert s["details"]["sample_mod"] == 7
+        assert "sample_mod" not in e["details"]
+    vr = validate(df, sampled.suite, result_format="BOOLEAN_ONLY")
+    assert vr.success

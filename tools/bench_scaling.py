@@ -542,6 +542,37 @@ def _substring_run(label: str) -> dict:
             "rows_per_sec": round(n_in / best, 2)}
 
 
+def _profiler_run(label: str) -> dict:
+    """Round-5 surface: OnboardingDataAssistant with a REAL date_part
+    batch_spec over the webpages parquet — one fused domain agg, one
+    fused metric agg, ONE groupBy(day(warc_ts)) for every numeric range
+    builder, one format-inference scan. The per-row cost (regex
+    candidate evaluation, distinct counting) grows with data, so this
+    measures the profiling path's own N→4N scaling."""
+    from great_expectations_spark import run_onboarding_assistant
+
+    spark, cores = _session(label)
+    df = spark.read.parquet(DATA_DIR)
+    df.selectExpr("sum(length(text))", "sum(length(url))").first()  # warm
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.time()
+        res = run_onboarding_assistant(
+            df, batch_spec={"splitter": "date_part", "column": "warc_ts",
+                            "part": "day"},
+            # per-row-Python format inference rides a deterministic 1/101
+            # sample (still ~hundreds of thousands of rows) — the
+            # documented crawl-scale configuration; everything else is
+            # exact full-table JVM aggregation
+            format_sample_mod=101)
+        best = min(best, time.time() - t0)
+        assert len(res.suite.expectations) > 5
+    spark.stop()
+    return {"label": label, "master": MASTERS[label][0], "cores": cores,
+            "rows": N_ROWS, "best_sec": round(best, 4),
+            "rows_per_sec": round(N_ROWS / best, 2)}
+
+
 def _calib_run(label: str) -> dict:
     """Host scaling ceiling: embarrassingly-parallel codegen aggregation."""
     from pyspark.sql import functions as F
@@ -596,7 +627,9 @@ def _spawn(label: str, kind: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="8g")
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--worker", label, kind],
-        capture_output=True, text=True, timeout=900, env=env,
+        capture_output=True, text=True,
+        timeout=int(os.environ.get("SPARK_GRAFT_SCALING_TIMEOUT", 900)),
+        env=env,
     )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:
@@ -637,11 +670,13 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALING_SUBSTR"):
         _doc_sample_gen(SUBSTR_ROWS)
         kinds += ("substring",)
+    if os.environ.get("SPARK_GRAFT_SCALING_PROFILER"):
+        kinds += ("profiler",)
     # the operator samples slice DATA_DIR, so it must exist even with the
     # engine suite itself skipped
     if skip_engine and any(k in kinds for k in ("bm25", "bpe", "substring",
                                                 "mono", "grouped", "para",
-                                                "recipe")):
+                                                "recipe", "profiler")):
         _gen_data()
     best: dict = {}
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", 3))
@@ -710,7 +745,7 @@ def main() -> None:
         report["shuffle_ceiling_4N"] = s_4n
         report["shuffle_ceiling_efficiency"] = round(
             s_4n["rows_per_sec"] / (4 * s_n["rows_per_sec"]), 4)
-    for kind in ("bm25", "pagerank", "bpe", "substring"):
+    for kind in ("bm25", "pagerank", "bpe", "substring", "profiler"):
         if (kind, "N") in best:
             k_n, k_4n = best[(kind, "N")], best[(kind, "4N")]
             report[f"{kind}_N"] = k_n
@@ -727,7 +762,8 @@ if __name__ == "__main__":
               "recipe": _recipe_run, "calib": _calib_run,
               "shuffle": _shufcalib_run, "bm25": _bm25_run,
               "pagerank": _pagerank_run, "bpe": _bpe_run,
-              "substring": _substring_run}[sys.argv[3]]
+              "substring": _substring_run,
+              "profiler": _profiler_run}[sys.argv[3]]
         print(json.dumps(fn(sys.argv[2])))
     else:
         main()
