@@ -193,12 +193,51 @@ class DataContext:
     # ---- docs ----
 
     def build_data_docs(self, docs_dir: str | None = None) -> str:
+        """Build the static docs site. Under a URI root (the renderers
+        write through ``os`` APIs, which would treat ``hdfs://...`` as a
+        bogus relative local path) the site is rendered into a local
+        staging directory and uploaded file-by-file through the same
+        Hadoop FileSystem the stores use; returns the URI of the site
+        root. An explicit LOCAL ``docs_dir`` always renders locally."""
         if docs_dir is None:
             if self.root_dir is None:
                 raise ValueError("ephemeral context: pass docs_dir explicitly")
-            docs_dir = os.path.join(self.root_dir, "data_docs")
-        return build_docs_site(self.validations, docs_dir,
-                               suite_store=self.suites)
+            docs_dir = self.root_dir.rstrip("/") + "/data_docs" \
+                if "://" in self.root_dir \
+                else os.path.join(self.root_dir, "data_docs")
+        if "://" not in docs_dir:
+            return build_docs_site(self.validations, docs_dir,
+                                   suite_store=self.suites)
+
+        import shutil
+        import tempfile
+
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError(
+                "building docs at a URI needs an active SparkSession "
+                "(the JVM hosts the Hadoop FileSystem client)")
+        staging = tempfile.mkdtemp(prefix="ges_docs_")
+        try:
+            build_docs_site(self.validations, staging,
+                            suite_store=self.suites)
+            jvm = spark._jvm
+            Path = jvm.org.apache.hadoop.fs.Path
+            root = Path(docs_dir)
+            fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.mkdirs(root)
+            for dirpath, _dirs, files in os.walk(staging):
+                for name in files:
+                    local = os.path.join(dirpath, name)
+                    rel = os.path.relpath(local, staging).replace(
+                        os.sep, "/")
+                    fs.copyFromLocalFile(
+                        False, True, Path(local), Path(root, rel))
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return docs_dir
 
 
 def get_context(root_dir: str | None = None, **kwargs: Any) -> DataContext:

@@ -190,23 +190,32 @@ def onboarding_profiler_config(
                 rb("q25_range", "column.quantile", {"quantile": 0.25}),
                 rb("q75_range", "column.quantile", {"quantile": 0.75}),
                 rb("stdev_range", "column.standard_deviation")],
+            # every builder is condition-gated on a resolved lower bound:
+            # an all-null column resolves [None, None] (the profiler's
+            # annotate-not-raise path) and must emit NOTHING here — a
+            # between expectation with two None bounds validates red,
+            # breaking the green-on-profiled-data contract
             "expectation_configuration_builders": [
                 {"expectation_type": "expect_column_min_to_be_between",
                  "column": "$domain.domain_kwargs.column",
                  "min_value": "$parameter.min_range.value[0]",
-                 "max_value": "$parameter.min_range.value[1]"},
+                 "max_value": "$parameter.min_range.value[1]",
+                 "condition": "$parameter.min_range.value[0] != None"},
                 {"expectation_type": "expect_column_max_to_be_between",
                  "column": "$domain.domain_kwargs.column",
                  "min_value": "$parameter.max_range.value[0]",
-                 "max_value": "$parameter.max_range.value[1]"},
+                 "max_value": "$parameter.max_range.value[1]",
+                 "condition": "$parameter.max_range.value[0] != None"},
                 {"expectation_type": "expect_column_mean_to_be_between",
                  "column": "$domain.domain_kwargs.column",
                  "min_value": "$parameter.mean_range.value[0]",
-                 "max_value": "$parameter.mean_range.value[1]"},
+                 "max_value": "$parameter.mean_range.value[1]",
+                 "condition": "$parameter.mean_range.value[0] != None"},
                 {"expectation_type": "expect_column_median_to_be_between",
                  "column": "$domain.domain_kwargs.column",
                  "min_value": "$parameter.median_range.value[0]",
-                 "max_value": "$parameter.median_range.value[1]"},
+                 "max_value": "$parameter.median_range.value[1]",
+                 "condition": "$parameter.median_range.value[0] != None"},
                 # reference numeric rule's quantile ranges
                 # (onboarding_data_assistant.py:298): each whole-table
                 # quantile lies inside its per-batch envelope (the same
@@ -223,12 +232,14 @@ def onboarding_profiler_config(
                          ["$parameter.median_range.value[0]",
                           "$parameter.median_range.value[1]"],
                          ["$parameter.q75_range.value[0]",
-                          "$parameter.q75_range.value[1]"]]}},
+                          "$parameter.q75_range.value[1]"]]},
+                 "condition": "$parameter.median_range.value[0] != None"},
                 # whole-column bounds from the min/max envelopes
                 {"expectation_type": "expect_column_values_to_be_between",
                  "column": "$domain.domain_kwargs.column",
                  "min_value": "$parameter.min_range.value[0]",
-                 "max_value": "$parameter.max_range.value[1]"}],
+                 "max_value": "$parameter.max_range.value[1]",
+                 "condition": "$parameter.min_range.value[0] != None"}],
         }
     if datetime_:
         rules["datetime_columns_rule"] = {
@@ -250,7 +261,9 @@ def onboarding_profiler_config(
                 {"expectation_type": "expect_column_values_to_be_between",
                  "column": "$domain.domain_kwargs.column",
                  "min_value": "$parameter.ts_min.value",
-                 "max_value": "$parameter.ts_max.value"}],
+                 "max_value": "$parameter.ts_max.value",
+                 # all-null datetime column: both bounds None — skip
+                 "condition": "$parameter.ts_min.value != None"}],
         }
     if text:
         rules["text_columns_rule"] = {
@@ -286,7 +299,9 @@ def onboarding_profiler_config(
                      "expect_column_value_lengths_to_be_between",
                  "column": "$domain.domain_kwargs.column",
                  "min_value": "$parameter.len_min.value",
-                 "max_value": "$parameter.len_max.value"},
+                 "max_value": "$parameter.len_max.value",
+                 # all-null text column: both length bounds None — skip
+                 "condition": "$parameter.len_min.value != None"},
                 {"expectation_type":
                      "expect_column_values_to_match_strftime_format",
                  "column": "$domain.domain_kwargs.column",

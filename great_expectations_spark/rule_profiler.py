@@ -563,6 +563,10 @@ def batch_key_expr(df: DataFrame, spec: dict[str, Any]) -> tuple[Column, str]:
         return (F.pmod(F.col(c), F.lit(mod)).cast("int"),
                 f"mod_integer({c},{mod})")
     if kind == "divided_integer":
+        # truncation toward zero, NOT floor — byte-for-byte the
+        # reference's (col / divisor).cast(IntegerType())
+        # (sparkdf_data_splitter.py:251-263) and checkpoint.Splitter:
+        # negative values in (-divisor, divisor) share batch 0 there too
         d = int(s["divisor"])
         return (F.col(c) / d).cast("int"), f"divided_integer({c},{d})"
     if kind == "converted_datetime":
@@ -779,12 +783,13 @@ def _resolve_parameters(
                         if fkind == "strftime"
                         else pb.get("candidate_regexes") or CANDIDATE_REGEXES)
                     thr = float(pb.get("threshold", 1.0))
-                    # optional deterministic 1/sample_mod row sample
-                    # (xxhash64 of the column value): candidate-format
-                    # evaluation is the one builder whose cost is per-row
-                    # PYTHON work (the strftime mask is a pandas UDF), so
-                    # at 10^12 rows it must run on a sample — format
-                    # detection needs ratios, not exact counts
+                    # optional 1/sample_mod per-row sample (seeded
+                    # F.rand, the reference random sampler's shape):
+                    # candidate-format evaluation is the one builder
+                    # whose cost is per-row PYTHON work (the strftime
+                    # mask is a pandas UDF), so at 10^12 rows it must run
+                    # on a sample — format detection needs unbiased
+                    # ratios, not exact counts
                     smod = pb.get("sample_mod")
                     smod = int(smod) if smod else None
                     fmt_plans.setdefault((fkind, cands, smod), set()).add(
@@ -901,14 +906,12 @@ def _resolve_parameters(
         cols = sorted(cols)
         src = df
         if smod and smod > 1:
-            # deterministic 1/smod sample keyed on the evaluated columns'
-            # own values — every distinct value has the same inclusion
-            # probability, which is all a match RATIO needs
-            pred = None
-            for c in cols:
-                p = F.pmod(F.xxhash64(F.col(c)), F.lit(smod)) == 0
-                pred = p if pred is None else (pred | p)
-            src = df.where(pred)
+            # PER-ROW 1/smod sample (the reference random sampler's
+            # F.rand(seed) < p shape, sparkdf_data_sampler.py) — row-wise
+            # so match RATIOS stay unbiased; value-keyed hashing would
+            # include/exclude whole value groups and skew the ratio on
+            # low-cardinality or skewed columns
+            src = df.where(F.rand(seed=smod) < 1.0 / smod)
         fmt_results[(kind, cands, smod)] = infer_formats(
             src, cols,
             candidate_regexes=list(cands) if kind == "regex" else [],

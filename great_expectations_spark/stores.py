@@ -263,10 +263,14 @@ class TupleHadoopFilesystemStoreBackend(StoreBackend):
     Key parts are percent-encoded into path segments (a ``:`` or ``%``
     in a run id must not break Hadoop's ``Path`` parsing) and decoded on
     ``list_keys`` — the escaping round-trips, so keys come back exactly.
-    Writes go to a ``.tmp`` sibling then ``rename`` — atomic on HDFS and
-    file://; on object stores rename is copy+delete, which still never
-    exposes a torn object (puts are atomic there), matching the
-    reference's cloud-store write semantics.
+    Writes go to a ``.tmp`` sibling then an OVERWRITE rename through
+    ``FileContext`` — atomic on HDFS and file:// even when the key
+    already exists (no delete-then-rename window where a concurrent
+    reader sees the key missing). Where ``FileContext`` cannot serve the
+    scheme the backend falls back to delete+rename, which still never
+    exposes a TORN value but does open a brief missing-key window on
+    overwrite — the same semantics the reference's cloud stores have on
+    non-atomic object stores.
 
     Driver-side only (py4j): stores hold suite/result JSON, not data —
     the same placement the reference gives its store backends."""
@@ -290,11 +294,27 @@ class TupleHadoopFilesystemStoreBackend(StoreBackend):
         self.filepath_template, self._path_re = _compile_template(
             key_length, filepath_template, filepath_suffix)
         self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
         self._Path = self._jvm.org.apache.hadoop.fs.Path
         root = self._Path(root_uri)
-        self._fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._fs = root.getFileSystem(self._conf)
         self._root = self._fs.makeQualified(root)
         self._fs.mkdirs(self._root)
+        # FileContext gives the PUBLIC rename-with-OVERWRITE the
+        # FileSystem API hides — atomic replace on HDFS/local; absent
+        # for some schemes, in which case _set falls back
+        try:
+            self._fctx = self._jvm.org.apache.hadoop.fs.FileContext \
+                .getFileContext(self._root.toUri(), self._conf)
+            rename_cls = getattr(self._jvm.org.apache.hadoop.fs,
+                                 "Options$Rename")
+            arr = self._gateway.new_array(rename_cls, 1)
+            arr[0] = rename_cls.OVERWRITE
+            self._rename_overwrite = arr
+        except Exception:
+            self._fctx = None
+            self._rename_overwrite = None
 
     # -- key <-> path -------------------------------------------------
     def _rel(self, key: tuple[str, ...]) -> str:
@@ -338,6 +358,11 @@ class TupleHadoopFilesystemStoreBackend(StoreBackend):
             out.write(bytearray(value.encode("utf-8")))
         finally:
             out.close()
+        if self._fctx is not None:
+            # atomic replace: concurrent readers see old value or new
+            # value, never a missing key (class docstring)
+            self._fctx.rename(tmp, dest, self._rename_overwrite)
+            return
         if self._fs.exists(dest):
             self._fs.delete(dest, False)
         if not self._fs.rename(tmp, dest):

@@ -175,3 +175,40 @@ def test_format_sample_mod_matches_exact_inference(spark, pages):
         assert "sample_mod" not in e["details"]
     vr = validate(df, sampled.suite, result_format="BOOLEAN_ONLY")
     assert vr.success
+
+
+def test_onboarding_all_null_columns_stay_green(spark):
+    """Review fix (r5): all-null numeric / text / datetime columns
+    resolve [None, None] ranges, and the assistant must emit NO
+    between-family expectation for them (a double-None between validates
+    red) — the suite stays green on the profiled data."""
+    df = spark.createDataFrame(
+        [(i, None, None, None) for i in range(40)],
+        "id bigint, v double, s string, ts timestamp")
+    res = run_onboarding_assistant(df)
+    null_cols = {"v", "s", "ts"}
+    for e in res.suite.expectations:
+        if e.kwargs.get("column") in null_cols:
+            assert e.expectation_type == "expect_column_values_to_be_null", e
+    vr = validate(df, res.suite, result_format="BOOLEAN_ONLY")
+    assert vr.success, [r.expectation_config.expectation_type
+                        for r in vr.results if not r.success]
+
+
+def test_format_sampling_is_row_wise_not_value_keyed(spark):
+    """Review fix (r5): the format-inference sample is PER-ROW (seeded
+    rand), not value-keyed — a 50/50 date/garbage column must read a
+    ~0.5 match ratio under sampling, never 1.0 (whole-value-group
+    sampling would include all dates and exclude all garbage, emitting a
+    strftime expectation that fails on the producing data)."""
+    rows = [(i, "2020-10-14" if i % 2 == 0 else "notadate")
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "i bigint, s string")
+    res = run_onboarding_assistant(df.select("s"), format_sample_mod=7)
+    p = res.parameters["text_columns_rule"]["s"]["date_format"]
+    assert p["value"] is None  # 0.5 ratio < 0.9 threshold
+    ratios = p["details"]["candidate_strings"]
+    best = max(ratios.values()) if ratios else 0.0
+    assert 0.3 < best < 0.7, ratios
+    vr = validate(df.select("s"), res.suite, result_format="BOOLEAN_ONLY")
+    assert vr.success

@@ -387,3 +387,40 @@ def test_data_context_uri_root_end_to_end(spark, tmp_path):
 
     # the store layout is plain files a plain reader can see
     assert (tmp_path / "ctx" / "expectations" / "web.json").is_file()
+
+
+def test_hadoop_backend_overwrite_is_atomic_filecontext(spark, tmp_path):
+    """Review fix (r5): overwrite goes through FileContext's
+    rename-with-OVERWRITE (the PUBLIC atomic replace), not
+    delete-then-rename — no missing-key window, and no stray .tmp
+    siblings remain."""
+    import os
+
+    b = _hadoop_backend(spark, tmp_path)
+    assert b._fctx is not None and b._rename_overwrite is not None
+    b.set(("k",), "v1")
+    b.set(("k",), "v2")
+    assert b.get(("k",)) == "v2"
+    leftovers = [f for _, _, fs in os.walk(tmp_path) for f in fs
+                 if f.endswith(".tmp")]
+    assert leftovers == []
+
+
+def test_data_context_uri_root_builds_docs_remotely(spark, tmp_path):
+    """Review fix (r5): build_data_docs under a URI root renders into a
+    local staging dir and uploads through the Hadoop FileSystem instead
+    of writing a bogus local path named after the URI."""
+    from great_expectations_spark.context import DataContext
+
+    ctx = DataContext(f"file://{tmp_path}/ctx")
+    ctx.add_suite(ExpectationSuite(name="web").add(
+        "expect_column_values_to_not_be_null", column="u"))
+    res = _suite_result("web")
+    ctx.validations.set(("web", "run-1"), res)
+    site = ctx.build_data_docs()
+    assert site == f"file://{tmp_path}/ctx/data_docs"
+    assert (tmp_path / "ctx" / "data_docs" / "index.html").is_file()
+    assert (tmp_path / "ctx" / "data_docs" / "suite__web.html").is_file()
+    # and no URI-named local junk directory appeared in the CWD
+    import os
+    assert not os.path.exists("file:")
